@@ -1,0 +1,86 @@
+"""Partition-granular checkpoint / lineage (north_rule: resumable from a
+checkpoint table with per-partition lineage + metrics).
+
+Replaces the reference's per-document Mongo status state machine
+(IN_QUEUE → IN_PROGRESS → REDACTED/REJECTED, ocrr_engine.py:54,
+in_progress/process_in_progress_status.py:107, process_ocrr.py:179-190) with
+an append-only parquet/Iceberg lineage table keyed by a stable hash bucket of
+``doc_id``:
+
+    checkpoint(bucket int, status string, attempt int, n_docs long,
+               n_spans long, n_pages long, n_boxes long, wall_sec double)
+
+* Claiming/resume   = anti-join the input against completed buckets (S1/S2).
+* Completion        = one appended row per bucket after its output commit
+                      (write order: data first, lineage second → a crash
+                      re-processes at most the in-flight bucket group, and the
+                      bucket-partitioned dynamic overwrite makes reruns
+                      idempotent).
+* Metrics           = per-bucket aggregates (A8) — queryable lineage instead
+                      of log lines.
+
+Bucketing uses xxhash64(doc_id) so the same document always lands in the same
+bucket across runs and cluster sizes — the property that makes resume exact
+at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = (
+    "bucket int, status string, attempt int, n_docs long, n_spans long, "
+    "n_pages long, n_boxes long, wall_sec double"
+)
+
+
+def bucket_col(n_buckets: int, doc_id_col: str = "doc_id"):
+    return F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets)).cast("int")
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", bucket_col(n_buckets))
+
+
+def completed_buckets(spark: SparkSession, ckpt_dir: str) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(ckpt_dir)
+            .filter(F.col("status") == "done")
+            .select("bucket").distinct().collect()
+        )
+        return {r.bucket for r in rows}
+    except Exception:
+        return set()
+
+
+def filter_remaining(docs_with_bucket: DataFrame, done: set[int]) -> DataFrame:
+    """Resume anti-join. For a small completed set a literal isin-NOT filter
+    pushes into the scan; a broadcast anti-join would be used for very large
+    checkpoint tables — at 10^12 docs the bucket count stays O(10^4-10^5),
+    so the literal filter always suffices."""
+    if not done:
+        return docs_with_bucket
+    return docs_with_bucket.filter(~F.col("bucket").isin(list(done)))
+
+
+def append_checkpoint(spark: SparkSession, ckpt_dir: str, rows: list[dict]) -> None:
+    if not rows:
+        return
+    spark.createDataFrame(
+        [(r["bucket"], r.get("status", "done"), r.get("attempt", 1),
+          r.get("n_docs", 0), r.get("n_spans", 0), r.get("n_pages", 0),
+          r.get("n_boxes", 0), r.get("wall_sec", 0.0)) for r in rows],
+        schema=CHECKPOINT_SCHEMA,
+    ).write.mode("append").parquet(ckpt_dir)
+
+
+class StageTimer:
+    def __init__(self):
+        self.t0 = time.time()
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0

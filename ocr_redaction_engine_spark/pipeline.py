@@ -1,0 +1,120 @@
+"""End-to-end redaction pipeline (SURVEY.md §3.4) — pure DataFrame wiring.
+
+    documents ──explode──┬─ text spans ── regexp PII redact ──┐
+                         └─ media spans ── tokenize(join) ──  │
+                              classify (rlike bank) ──┬───────┴─ reassembled spans
+                                                      │
+                              UNKNOWN ── JVM REJECTED rows ─┐
+                              known ── mapInPandas kernel ──┴─ redactions + values
+
+Shuffles on the path: (1) the media_ref resolve join, (2) the per-page seq
+window. The span-sequence output itself is shuffle-free; assembling array-form
+documents adds one hash agg on doc_id. Skew from media-heavy documents
+dissolves at explode time — the unit of work is the page, and pages hash
+uniformly across tasks (explicit ``repartition`` knob for the Arrow stage
+below; AQE splits any residual join skew).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import checkpoint as ckpt
+from .banks import UNKNOWN_TYPE
+from .operators.classify import classify_pages
+from .operators.explode import explode_spans, route_spans
+from .operators.extract import extract_fields, rejected_unknown_pages
+from .operators.redactions import build_redactions, build_values
+from .operators.reassemble import assemble_documents, reassemble_flat
+from .operators.tokenize import tokenize_fixture
+
+
+@dataclass
+class PipelineConfig:
+    level: int = 1                 # redaction level (settings/configuration.ini:10-13)
+    n_buckets: int = 32            # checkpoint granularity
+    bucket_group: int = 8          # buckets committed per wave
+    extract_partitions: int | None = None  # explicit repartition before the Arrow stage
+
+
+def run_pipeline(documents: DataFrame, media_pages: DataFrame,
+                 config: PipelineConfig | None = None) -> dict[str, DataFrame]:
+    """Lazy plan builder: returns the four output DataFrames."""
+    cfg = config or PipelineConfig()
+    spans = explode_spans(documents)
+    text_spans, media_spans = route_spans(spans)
+
+    pages = tokenize_fixture(media_spans, media_pages)
+    if cfg.extract_partitions:
+        # page-granular spread before the Python boundary: Arrow-stage cost is
+        # per-page and invisible to AQE (SURVEY.md §4.2)
+        pages = pages.repartition(cfg.extract_partitions, "media_ref")
+    pages = classify_pages(pages)
+
+    known = pages.filter(F.col("doc_type") != UNKNOWN_TYPE)
+    unknown = pages.filter(F.col("doc_type") == UNKNOWN_TYPE)
+    extracted = extract_fields(known, cfg.level).unionByName(rejected_unknown_pages(unknown))
+
+    return {
+        "spans": reassemble_flat(text_spans, media_spans),
+        "documents": assemble_documents(reassemble_flat(text_spans, media_spans)),
+        "redactions": build_redactions(extracted),
+        "values": build_values(extracted),
+    }
+
+
+def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
+            out_dir: str, ckpt_dir: str, config: PipelineConfig | None = None) -> dict:
+    """Batch job with partition-granular resume.
+
+    Buckets (stable xxhash64(doc_id) % n) are processed in groups; each group
+    writes its outputs partitioned by bucket (dynamic overwrite → idempotent
+    reruns) and then appends its lineage rows. A killed run resumes by
+    anti-joining completed buckets (north_rule).
+    """
+    cfg = config or PipelineConfig()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs = ckpt.with_bucket(spark.read.parquet(documents_path), cfg.n_buckets)
+    media_pages = spark.read.parquet(media_pages_path)
+    done = ckpt.completed_buckets(spark, ckpt_dir)
+    remaining = sorted(set(range(cfg.n_buckets)) - done)
+
+    stats = {"buckets_done_before": len(done), "waves": 0}
+    for g in range(0, len(remaining), cfg.bucket_group):
+        group = remaining[g: g + cfg.bucket_group]
+        timer = ckpt.StageTimer()
+        wave_docs = docs.filter(F.col("bucket").isin(group))
+        outs = run_pipeline(wave_docs.drop("bucket"), media_pages, cfg)
+
+        spans = ckpt.with_bucket(outs["spans"], cfg.n_buckets)
+        spans.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/spans")
+        red = ckpt.with_bucket(outs["redactions"], cfg.n_buckets)
+        red.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/redactions")
+        vals = ckpt.with_bucket(outs["values"], cfg.n_buckets)
+        vals.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/values")
+
+        # per-bucket lineage metrics from the data just written (A8)
+        m = {r["bucket"]: r for r in
+             spark.read.parquet(f"{out_dir}/spans").filter(F.col("bucket").isin(group))
+             .groupBy("bucket")
+             .agg(F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_spans"))
+             .collect()}
+        b = {r["bucket"]: r["n_boxes"] for r in
+             spark.read.parquet(f"{out_dir}/redactions").filter(F.col("bucket").isin(group))
+             .groupBy("bucket").agg(F.count("*").alias("n_boxes")).collect()}
+        wall = timer.elapsed()
+        ckpt.append_checkpoint(spark, ckpt_dir, [
+            {"bucket": bk, "status": "done",
+             "n_docs": m[bk]["n_docs"] if bk in m else 0,
+             "n_spans": m[bk]["n_spans"] if bk in m else 0,
+             "n_boxes": b.get(bk, 0),
+             "wall_sec": wall / max(1, len(group))}
+            for bk in group
+        ])
+        stats["waves"] += 1
+    stats["buckets_total"] = cfg.n_buckets
+    return stats
