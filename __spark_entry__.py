@@ -1,38 +1,606 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: chunk sf0.001 documents into ordered spans, run
+the engine's JVM-side PII redaction + order-preserving reassembly.
+
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+plus the training-data analytics layer; each callable takes (spark, sf_dir).
+
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+query. Non-SQL-expressible ops (full media pipeline with Arrow extraction,
+SimHash, LSH-ANN, multimodal byte features) are rows-only here and carry
+their own oracle in tests/ (the pure-Python reference oracle).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+CHUNK = 8
+
+
+def _chunked_spans(docs: DataFrame) -> DataFrame:
+    """documents(text) → ordered text spans of CHUNK tokens (the interleaved
+    input shape derived from the driver corpus; T3 span explode)."""
+    d = docs.withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    d = d.withColumn(
+        "chunks",
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size("tokens") / CHUNK).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i * CHUNK + 1, CHUNK)),
+        ),
+    )
+    return d.select("doc_id", F.posexplode("chunks").alias("order", "span_text"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: span explode → JVM PII redaction →
+    span sequence ordered by (doc_id, order)."""
+    from ocr_redaction_engine_spark.pii import redact_text_col
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    spans = _chunked_spans(docs)
+    return spans.select(
+        "doc_id", "order",
+        F.lit("text").alias("kind"),
+        redact_text_col(F.col("span_text")).alias("text"),
+        F.lit("").alias("media_ref"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q01_filter_pushdown_sum(spark, sf_dir):
+    """S1/P1 + Q6 shape: predicate pushdown to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.04) & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q02_project_split(spark, sf_dir):
+    """P2 work-item projection: split/cast/lower derivations."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split("c_name", "#").getItem(1).cast("int").alias("cust_num"),
+        F.lower("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") > 0).alias("positive_bal"),
+    )
+
+
+def q03_token_explode_agg(spark, sf_dir):
+    """P5/T3: tokenize + per-doc aggregates."""
+    d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+    )
+
+
+def q04_classify_firstmatch(spark, sf_dir):
+    """C1..C8: ordered first-match regex classification bank."""
+    d = _t(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("text").rlike(r"\bstream\b"), "STREAM")
+        .when(F.col("text").rlike(r"\bwindow\b"), "WINDOW")
+        .when(F.col("text").rlike(r"\bjoin\b"), "JOIN")
+        .when(F.col("text").rlike(r"\bscan\b"), "SCAN")
+        .otherwise("OTHER")
+    )
+    return d.select("doc_id", cls.alias("doc_class"))
+
+
+def q05_pii_redact(spark, sf_dir):
+    """north_star PII bank: email/SSN/phone regexp_replace chain."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("u"), F.col("doc_id").cast("string"), F.lit("@example.com ssn "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" ph "),
+        F.lpad(F.col("doc_id").cast("string"), 10, "9"),
+    )
+    red = F.regexp_replace(raw, r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "[EMAIL]")
+    red = F.regexp_replace(red, r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]")
+    red = F.regexp_replace(red, r"\b\d{10}\b", "[PHONE]")
+    return d.select("doc_id", red.alias("redacted"))
+
+
+def q06_token_filter(spark, sf_dir):
+    """P4/P6: token-level predicate filters."""
+    d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    return (
+        d.select(F.explode("tokens").alias("token"))
+        .filter(F.length("token").isin(3, 4) & F.col("token").rlike("^[a-z]+$"))
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+    )
+
+
+def q07_window_seqnum(spark, sf_dir):
+    """A3: sequence numbering window."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("user_id", "event_id", F.row_number().over(w).alias("seq"))
+
+
+def q08_first_event_per_user(spark, sf_dir):
+    """F19/F32: first-match-only per group."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"), "event_type")
+    )
+
+
+def q09_distinct_dedupe(spark, sf_dir):
+    """A4: distinct."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_type", (F.col("user_id") % 10).alias("user_mod")).distinct()
+
+
+def q10_fingerprint(spark, sf_dir):
+    """A5-adjacent: order-stable reassembly fingerprint."""
+    from ocr_redaction_engine_spark.analytics.text import fingerprint
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q11_dict_broadcast_join(spark, sf_dir):
+    """F10/F26: broadcast dictionary containment join."""
+    dictionary = spark.createDataFrame(
+        [("join",), ("scan",), ("merge",), ("filter",), ("sort",), ("hash",)], "token string")
+    d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    toks = d.select("doc_id", F.explode("tokens").alias("token"))
+    return (
+        toks.join(F.broadcast(dictionary), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"), F.countDistinct("token").alias("n_terms"))
+    )
+
+
+def q12_anti_join(spark, sf_dir):
+    """S1/S2 resume shape: anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q13_groupagg_q1(spark, sf_dir):
+    """A1/A2 fold analog: TPC-H Q1-shaped aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q14_join_broadcast_revenue(spark, sf_dir):
+    """Broadcast dim join + agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+def q15_rejected_box(spark, sf_dir):
+    """A7: the 80 % box with int() truncation parity."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lit(0).alias("x1"), F.lit(0).alias("y1"),
+        F.col("n_chars").alias("x2"),
+        F.floor(F.col("n_chars") * 0.8).cast("bigint").alias("y2"),
+    )
+
+
+def q16_name_parse(spark, sf_dir):
+    """A6: frame/doc-id parse of synthetic document names."""
+    d = _t(spark, sf_dir, "documents")
+    name = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat((F.col("doc_id") % 20 + 1).cast("string"), F.lit("F-ab"),
+                 F.col("doc_id").cast("string"), F.lit("x_pg.jpg")),
+    ).otherwise(F.concat(F.lit("p"), F.col("doc_id").cast("string"), F.lit("_pg.jpg")))
+    d = d.select("doc_id", name.alias("document_name"))
+    matched = F.col("document_name").rlike("^[0-9]+F[0-9a-fA-Z_-]+")
+    first_seg = F.split("document_name", "_").getItem(0)
+    frame = F.when(matched, F.split(F.split("document_name", "-").getItem(0), "F")
+                   .getItem(0).cast("int") - 1).otherwise(0)
+    dash_seg = F.split(first_seg, "-").getItem(1)
+    doc_part = F.when(matched, F.expr(
+        "substring(split(split(document_name,'_')[0],'-')[1], 1, "
+        "length(split(split(document_name,'_')[0],'-')[1]) - 1)"
+    )).otherwise(F.expr(
+        "substring(split(document_name,'_')[0], 1, length(split(document_name,'_')[0]) - 1)"))
+    return d.select("doc_id", "document_name", frame.alias("frame_id"), doc_part.alias("document_id"))
+
+
+def q17_hourly_rollup(spark, sf_dir):
+    """Streaming-analog tumbling rollup (batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hr"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("value")).cast("double").alias("total_value"))
+    )
+
+
+def dedup_exact(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.dedup import exact_dupes
+    return exact_dupes(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_bands(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.dedup import minhash_signatures
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def dedup_jaccard_pairs(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.dedup import jaccard_pairs
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def ann_cosine_topk(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.similarity import cosine_topk
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def text_quality(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.text import quality
+    return quality(_t(spark, sf_dir, "documents"))
+
+
+def text_langid(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.text import langid
+    return langid(_t(spark, sf_dir, "documents"))
+
+
+def text_vocab(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.text import vocab_stats
+    return vocab_stats(_t(spark, sf_dir, "documents"), min_count=100)
+
+
+# --- rows-only (non-SQL-expressible; oracled by the pure-Python reference
+# oracle in tests/test_pipeline_golden.py instead) -------------------------
+
+def _synthetic_corpus_dfs(spark, n_docs=150):
+    from ocr_redaction_engine_spark import corpus
+    docs, pages = corpus.build_corpus_local(42, n_docs)
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs], schema=corpus.DOCUMENTS_DDL)
+    pages_df = spark.createDataFrame(
+        [(p["media_ref"], p["document_name"], p["width"], p["height"], p["doc_type"],
+          [(w["x1"], w["y1"], w["x2"], w["y2"], w["text"]) for w in p["words"]],
+          p["lines"],
+          [(q["x1"], q["y1"], q["x2"], q["y2"]) for q in p["qr_boxes"]])
+         for p in pages], schema=corpus.MEDIA_PAGES_DDL)
+    return docs_df, pages_df
+
+
+def pipeline_spans(spark, sf_dir):
+    """Full interleaved pipeline (text branch) on the deterministic synthetic
+    corpus — span-sequence output (north rule). Golden-tested vs the
+    pure-Python oracle in pytest."""
+    from ocr_redaction_engine_spark.pipeline import run_pipeline
+    docs_df, pages_df = _synthetic_corpus_dfs(spark)
+    return run_pipeline(docs_df, pages_df)["spans"]
+
+
+def pipeline_redactions(spark, sf_dir):
+    """Media branch end-to-end: classify → Arrow extraction → boxes + seq."""
+    from ocr_redaction_engine_spark.pipeline import run_pipeline
+    docs_df, pages_df = _synthetic_corpus_dfs(spark)
+    return run_pipeline(docs_df, pages_df)["redactions"]
+
+
+def dedup_simhash_cands(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.dedup import simhash_candidates
+    return simhash_candidates(_t(spark, sf_dir, "documents"))
+
+
+def ann_lsh_topk(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.similarity import lsh_bucketed_topk
+    return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def multimodal_byte_features(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.multimodal import byte_features, synthesize_binary
+    return byte_features(synthesize_binary(spark, 500))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
+        "q02_project_split": q02_project_split,
+        "q03_token_explode_agg": q03_token_explode_agg,
+        "q04_classify_firstmatch": q04_classify_firstmatch,
+        "q05_pii_redact": q05_pii_redact,
+        "q06_token_filter": q06_token_filter,
+        "q07_window_seqnum": q07_window_seqnum,
+        "q08_first_event_per_user": q08_first_event_per_user,
+        "q09_distinct_dedupe": q09_distinct_dedupe,
+        "q10_fingerprint": q10_fingerprint,
+        "q11_dict_broadcast_join": q11_dict_broadcast_join,
+        "q12_anti_join": q12_anti_join,
+        "q13_groupagg_q1": q13_groupagg_q1,
+        "q14_join_broadcast_revenue": q14_join_broadcast_revenue,
+        "q15_rejected_box": q15_rejected_box,
+        "q16_name_parse": q16_name_parse,
+        "q17_hourly_rollup": q17_hourly_rollup,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_bands": dedup_minhash_bands,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "ann_cosine_topk": ann_cosine_topk,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_vocab": text_vocab,
+        "pipeline_spans": pipeline_spans,
+        "pipeline_redactions": pipeline_redactions,
+        "dedup_simhash_cands": dedup_simhash_cands,
+        "ann_lsh_topk": ann_lsh_topk,
+        "multimodal_byte_features": multimodal_byte_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOK = r"string_split_regex(trim(text), '\s+')"
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_filter_pushdown_sum": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.04 AND l_quantity < 25
+        """,
+        "q02_project_split": """
+            SELECT c_custkey,
+                   CAST(string_split(c_name, '#')[2] AS INT) AS cust_num,
+                   lower(c_mktsegment) AS segment,
+                   c_acctbal > 0 AS positive_bal
+            FROM customer
+        """,
+        "q03_token_explode_agg": f"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   len(list_distinct({_TOK})) AS n_distinct
+            FROM documents
+        """,
+        "q04_classify_firstmatch": r"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '\bstream\b') THEN 'STREAM'
+                        WHEN regexp_matches(text, '\bwindow\b') THEN 'WINDOW'
+                        WHEN regexp_matches(text, '\bjoin\b')   THEN 'JOIN'
+                        WHEN regexp_matches(text, '\bscan\b')   THEN 'SCAN'
+                        ELSE 'OTHER' END AS doc_class
+            FROM documents
+        """,
+        "q05_pii_redact": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     'u' || CAST(doc_id AS VARCHAR) || '@example.com ssn '
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ph '
+                       || lpad(CAST(doc_id AS VARCHAR), 10, '9'),
+                     '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '[EMAIL]', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                     '\b\d{10}\b', '[PHONE]', 'g') AS redacted
+            FROM documents
+        """,
+        "q06_token_filter": f"""
+            SELECT token, COUNT(*) AS cnt FROM (
+              SELECT unnest({_TOK}) AS token FROM documents
+            ) WHERE length(token) IN (3, 4) AND regexp_matches(token, '^[a-z]+$')
+              AND regexp_matches(token, '^[a-z]+$')
+            GROUP BY token
+        """,
+        "q07_window_seqnum": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+            FROM events WHERE user_id < 20
+        """,
+        "q08_first_event_per_user": """
+            SELECT user_id, event_id AS first_event_id, event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "q09_distinct_dedupe": """
+            SELECT DISTINCT event_type, user_id % 10 AS user_mod FROM events
+        """,
+        "q10_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOK}, ' ')) AS fp,
+                   len({_TOK}) AS n_tokens
+            FROM documents
+        """,
+        "q11_dict_broadcast_join": f"""
+            SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT token) AS n_terms
+            FROM (SELECT doc_id, unnest({_TOK}) AS token FROM documents)
+            WHERE token IN ('join','scan','merge','filter','sort','hash')
+            GROUP BY doc_id
+        """,
+        "q12_anti_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment
+        """,
+        "q13_groupagg_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q14_join_broadcast_revenue": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q15_rejected_box": """
+            SELECT doc_id, 0 AS x1, 0 AS y1, n_chars AS x2,
+                   CAST(floor(n_chars * 0.8) AS BIGINT) AS y2
+            FROM documents
+        """,
+        "q16_name_parse": """
+            WITH named AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN CAST(doc_id % 20 + 1 AS VARCHAR) || 'F-ab' || CAST(doc_id AS VARCHAR) || 'x_pg.jpg'
+                          ELSE 'p' || CAST(doc_id AS VARCHAR) || '_pg.jpg' END AS document_name
+              FROM documents)
+            SELECT doc_id, document_name,
+                   CASE WHEN regexp_matches(document_name, '^[0-9]+F[0-9a-fA-Z_-]+')
+                        THEN CAST(string_split(string_split(document_name, '-')[1], 'F')[1] AS INT) - 1
+                        ELSE 0 END AS frame_id,
+                   CASE WHEN regexp_matches(document_name, '^[0-9]+F[0-9a-fA-Z_-]+')
+                        THEN substring(string_split(string_split(document_name, '_')[1], '-')[2], 1,
+                                       length(string_split(string_split(document_name, '_')[1], '-')[2]) - 1)
+                        ELSE substring(string_split(document_name, '_')[1], 1,
+                                       length(string_split(document_name, '_')[1]) - 1) END AS document_id
+            FROM named
+        """,
+        "q17_hourly_rollup": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hr, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": f"""
+            WITH fp AS (
+              SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM documents),
+            g AS (SELECT fp, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS dup_count
+                  FROM fp GROUP BY fp)
+            SELECT f.doc_id, f.fp, g.canonical_doc_id, g.dup_count
+            FROM fp f JOIN g USING (fp)
+        """,
+        "dedup_minhash_bands": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents)
+            SELECT doc_id,
+                   MIN(md5('0:' || token)) AS sig_0,
+                   MIN(md5('1:' || token)) AS sig_1,
+                   MIN(md5('2:' || token)) AS sig_2,
+                   MIN(md5('3:' || token)) AS sig_3
+            FROM toks GROUP BY doc_id
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            inter AS (
+              SELECT c.a, c.b, COUNT(*) AS inter
+              FROM cands c
+              JOIN toks ta ON ta.doc_id = c.a
+              JOIN toks tb ON tb.doc_id = c.b AND tb.token = ta.token
+              GROUP BY c.a, c.b)
+            SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+                   round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+            WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.8
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) q_emb
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id c_id, CAST(embedding AS DOUBLE[]) c_emb
+                  FROM embeddings WHERE vec_id >= 5),
+            s AS (SELECT q_id, c_id,
+                         round(list_cosine_similarity(q_emb, c_emb), 6) AS sim
+                  FROM q, c),
+            r AS (SELECT q_id, c_id, sim,
+                         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
+                  FROM s)
+            SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   round(CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}), 6) AS distinct_ratio,
+                   round(CAST(list_sum(list_transform({_TOK}, t -> length(t))) AS DOUBLE) / len({_TOK}), 6) AS avg_token_len,
+                   round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS digit_ratio
+            FROM documents
+        """,
+        "text_langid": f"""
+            SELECT doc_id, lang,
+                   round(CAST(len(list_filter({_TOK}, t -> regexp_matches(t, '[aeiou]$'))) AS DOUBLE)
+                         / len({_TOK}), 6) AS vowel_ratio,
+                   CASE WHEN round(CAST(len(list_filter({_TOK}, t -> regexp_matches(t, '[aeiou]$'))) AS DOUBLE)
+                              / len({_TOK}), 6) >= 0.5 THEN 'romance'
+                        WHEN CAST(list_sum(list_transform({_TOK}, t -> length(t))) AS DOUBLE)
+                              / len({_TOK}) >= 5.0 THEN 'compounding'
+                        ELSE 'analytic' END AS lang_guess
+            FROM documents
+        """,
+        "text_vocab": f"""
+            SELECT token, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOK}) AS token FROM documents)
+            GROUP BY token HAVING COUNT(*) >= 100
+        """,
+    }
