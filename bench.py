@@ -1,0 +1,168 @@
+"""Benchmark driver (driver contract + north_rule scaling evidence).
+
+Default run:
+  1. times the headline ``queries()`` entries at ``$SPARK_GRAFT_SF_DIR``
+     (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``;
+  2. measures end-to-end redaction-pipeline throughput (docs/sec) on a
+     deterministic synthetic interleaved corpus (seed 42) at TWO parallelism
+     levels — N/4 and N cores, fresh JVM each (subprocess) — and reports
+     scaling efficiency = (docs_s_N / docs_s_N4) / 4 (BASELINE.json north_rule;
+     sandbox stand-in for N vs 4N executors).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": docs_per_sec_at_N, "unit": "sec", ...,
+   "queries": {name: sec}, "sf": 0.1, "scaling": {...}}
+
+Subprocess mode (internal): ``python bench.py --pipeline-only --cpus K``
+prints a small JSON dict for one pipeline run.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/orx_bench_corpus")
+
+# headline subset: one per operator family (full set is exercised by the
+# driver's correctness gate; bench keeps wall-clock bounded)
+HEADLINE = [
+    "q01_filter_pushdown_sum", "q03_token_explode_agg", "q05_pii_redact",
+    "q06_token_filter", "q07_window_seqnum", "q11_dict_broadcast_join",
+    "q13_groupagg_q1", "q14_join_broadcast_revenue", "q17_hourly_rollup",
+    "dedup_exact", "dedup_minhash_bands", "ann_cosine_topk",
+    "text_quality", "text_vocab",
+]
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .appName(f"bench-{cpus}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_corpus(spark, n_docs: int) -> tuple[str, str]:
+    """Materialize the bench corpus once; reuse across runs (deterministic)."""
+    from ocr_redaction_engine_spark.corpus import write_corpus
+    marker = os.path.join(CORPUS_DIR, f".ok_{n_docs}")
+    docs = f"{CORPUS_DIR}/documents"
+    pages = f"{CORPUS_DIR}/media_pages"
+    if not os.path.exists(marker):
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        write_corpus(spark, CORPUS_DIR, n_docs, seed=42, partitions=64)
+        open(marker, "w").close()
+    return docs, pages
+
+
+def run_pipeline_once(cpus: int, n_docs: int) -> dict:
+    from ocr_redaction_engine_spark.pipeline import PipelineConfig, run_pipeline
+
+    spark = _session(cpus)
+    docs_path, pages_path = ensure_corpus(spark, n_docs)
+    documents = spark.read.parquet(docs_path)
+    media_pages = spark.read.parquet(pages_path)
+
+    cfg = PipelineConfig()  # no explicit repartition: the tokenize join's
+    # hash partitioning on media_ref already feeds the Arrow stage evenly
+    # Warm pass (untimed): spawns+imports the Python Arrow workers, JIT-compiles
+    # codegen, faults in the page cache. On a long-lived cluster over 100 TB
+    # this cost amortizes to ~0; timing it would measure fork/exec, not the
+    # engine. Steady-state throughput is what the north_rule scales on.
+    warm = run_pipeline(documents, media_pages, cfg)
+    _force(warm["spans"])
+    _force(warm["redactions"])
+
+    t0 = time.time()
+    outs = run_pipeline(documents, media_pages, cfg)
+    _force(outs["spans"])
+    _force(outs["redactions"])
+    wall = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--ndocs", type=int, default=BENCH_DOCS)
+    ap.add_argument("--no-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.pipeline_only:
+        print(json.dumps(run_pipeline_once(args.cpus, args.ndocs)))
+        return
+
+    import __spark_entry__ as entry_mod
+
+    spark = _session(args.cpus)
+    ensure_corpus(spark, args.ndocs)
+    qtimes = {}
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm (plan + IO cache)
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # pipeline throughput at two parallelism levels, fresh JVM each
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CORPUS=CORPUS_DIR)
+    runs = {}
+    levels = [args.cpus] if args.no_scaling else [max(args.cpus // 4, 1), args.cpus]
+    for cpus in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+             "--cpus", str(cpus), "--ndocs", str(args.ndocs)],
+            capture_output=True, text=True, env=env, check=True)
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    hi = runs[args.cpus]
+    result = {
+        "metric": "end_to_end_redaction_docs_per_sec",
+        "value": round(hi["wall_sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+        "docs_per_sec": hi["docs_per_sec"],
+        "n_docs": hi["n_docs"],
+        "cpus": args.cpus,
+    }
+    if not args.no_scaling:
+        lo = runs[max(args.cpus // 4, 1)]
+        result["scaling"] = {
+            "low": lo, "high": hi,
+            "efficiency": round((hi["docs_per_sec"] / lo["docs_per_sec"])
+                                / (hi["cpus"] / lo["cpus"]), 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,20 +1,23 @@
 """Field extraction stage — the single Arrow UDF on the hot path.
 
-Classified pages → per-field rows via ``mapInPandas`` running the pure
+Classified pages → flat output rows via ``mapInPandas`` running the pure
 semantics kernel (ocr_redaction_engine_spark.kernel). The take-while /
 anchor-window heuristics (SURVEY.md §2.5 F4/F7/F15/F20/F24/F30/F33) are
 doc-local ordered logic that SQL can't express cleanly; everything around
-this stage (classification, joins, sequence numbering, reassembly) stays
-JVM-side.
+this stage (classification, joins, reassembly) stays JVM-side.
 
-Output schema (one row per extracted field, or one ``__PAGE__`` row for
-REJECTED pages):
+Everything page-local is finished INSIDE this stage — one kernel call sees
+the whole page, so box sequence numbering (the reference's ``count_index``,
+prepare_xml/redacted.py:36-40), the E-Pancard None-coordinates page blackout
+(redacted.py:36 throws → page emits no boxes), and the REJECTED 80 % box
+(rejected_doc_coordinates.py:13-19) are all computed here. Downstream sinks
+are pure narrow filters: the whole redactions branch runs with ZERO shuffles
+after the tokenize join.
 
-    doc_id, offset, media_ref, document_name, width, height, status,
-    field_idx, field, value, boxes array<struct<x1,y1,x2,y2>>, boxes_null
+Output: one row per extracted value and one row per redaction box.
 
-``boxes_null`` carries the E-Pancard father-name quirk (kernel.py): any true
-row suppresses the whole page's box output downstream.
+    doc_id, offset, media_ref, document_name, status,
+    row_kind ('value' | 'box'), field_idx, field, value, seq, x1, y1, x2, y2
 """
 
 from __future__ import annotations
@@ -24,12 +27,14 @@ from pyspark.sql import functions as F
 
 from .. import kernel
 
-EXTRACT_SCHEMA_DDL = (
+PAGE_ROWS_SCHEMA_DDL = (
     "doc_id string, offset int, media_ref string, document_name string, "
-    "width int, height int, status string, field_idx int, field string, "
-    "value string, boxes array<struct<x1:int,y1:int,x2:int,y2:int>>, "
-    "boxes_null boolean"
+    "status string, row_kind string, field_idx int, field string, "
+    "value string, seq int, x1 int, y1 int, x2 int, y2 int"
 )
+
+_COLS = ["doc_id", "offset", "media_ref", "document_name", "status", "row_kind",
+         "field_idx", "field", "value", "seq", "x1", "y1", "x2", "y2"]
 
 
 def _as_word_tuples(words):
@@ -40,46 +45,57 @@ def _as_qr_tuples(qrs):
     return [(int(q["x1"]), int(q["y1"]), int(q["x2"]), int(q["y2"])) for q in qrs]
 
 
-def extract_fields(classified_pages: DataFrame, level: int = 1) -> DataFrame:
-    """Runs kernel.extract_page per page inside Arrow batches. Pages with
-    doc_type UNKNOWN must be filtered out by the caller (they shortcut to
-    REJECTED without paying the Python boundary)."""
+def extract_page_rows(pages: DataFrame, level: int = 1) -> DataFrame:
+    """Runs kernel.identify_page + kernel.extract_page per page inside Arrow
+    batches. Identification happens HERE, not as a JVM when-chain: the regex
+    bank is compiled once per worker at module import (the spark-submit
+    --py-files equivalent of a broadcast automaton) and a page costs ~50 µs
+    to classify — vs the reference's ≤7 re-OCR identify passes
+    (document_identification/identify_doc.py:33-45) and vs Catalyst
+    re-evaluating a 25-regex CASE chain in every expression that references
+    the column. UNKNOWN pages shortcut to the REJECTED 80 % box row."""
     import pandas as pd
-
-    cols = ["doc_id", "offset", "media_ref", "document_name", "width", "height",
-            "status", "field_idx", "field", "value", "boxes", "boxes_null"]
 
     def run(batches):
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 words = _as_word_tuples(row.words)
+                doc_type = kernel.identify_page([w[4] for w in words])
                 res = kernel.extract_page(
-                    row.doc_type, words, list(row.lines), _as_qr_tuples(row.qr_boxes), level
+                    doc_type, words, list(row.lines), _as_qr_tuples(row.qr_boxes), level
                 )
                 base = (row.doc_id, int(row.offset), row.media_ref, row.document_name,
-                        int(row.width), int(row.height), res["status"])
+                        res["status"])
                 if res["status"] == kernel.REJECTED:
-                    out.append(base + (-1, "__PAGE__", "", [], False))
+                    x1, y1, x2, y2 = kernel.rejected_box(int(row.width), int(row.height))
+                    out.append(base + ("box", -1, "__PAGE__", "", 1, x1, y1, x2, y2))
                     continue
                 for fi, f in enumerate(res["fields"]):
-                    null = f["boxes"] is None
-                    boxes = [] if null else [tuple(b) for b in f["boxes"]]
-                    out.append(base + (fi, f["field"], f["value"], boxes, null))
-            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
+                    out.append(base + ("value", fi, f["field"], f["value"], 0, 0, 0, 0, 0))
+                if kernel.boxes_output_failed(res["fields"]):
+                    continue  # the None-coordinates quirk: values kept, no boxes
+                for seq, (fi, field, x1, y1, x2, y2) in enumerate(
+                        kernel.flatten_boxes(res["fields"]), start=1):
+                    out.append(base + ("box", fi, field, "", seq, x1, y1, x2, y2))
+            yield pd.DataFrame(out, columns=_COLS) if out else pd.DataFrame({c: [] for c in _COLS})
 
-    return classified_pages.mapInPandas(run, schema=EXTRACT_SCHEMA_DDL)
+    return pages.mapInPandas(run, schema=PAGE_ROWS_SCHEMA_DDL)
 
 
 def rejected_unknown_pages(unknown_pages: DataFrame) -> DataFrame:
-    """UNKNOWN pages bypass the Arrow stage entirely: REJECTED rows built
-    from pure Catalyst expressions (process_ocrr.py:74-77)."""
+    """UNKNOWN pages bypass the Arrow stage entirely: the REJECTED 80 % box
+    row built from pure Catalyst expressions (process_ocrr.py:74-77;
+    int() truncates toward zero and height >= 0, so floor is exact)."""
     return unknown_pages.select(
-        "doc_id", "offset", "media_ref", "document_name", "width", "height",
+        "doc_id", "offset", "media_ref", "document_name",
         F.lit("REJECTED").alias("status"),
+        F.lit("box").alias("row_kind"),
         F.lit(-1).alias("field_idx"),
         F.lit("__PAGE__").alias("field"),
         F.lit("").alias("value"),
-        F.expr("cast(array() as array<struct<x1:int,y1:int,x2:int,y2:int>>)").alias("boxes"),
-        F.lit(False).alias("boxes_null"),
+        F.lit(1).alias("seq"),
+        F.lit(0).alias("x1"), F.lit(0).alias("y1"),
+        F.col("width").alias("x2"),
+        F.floor(F.col("height") * F.lit(0.8)).cast("int").alias("y2"),
     )

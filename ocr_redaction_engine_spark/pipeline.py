@@ -1,18 +1,19 @@
 """End-to-end redaction pipeline (SURVEY.md §3.4) — pure DataFrame wiring.
 
-    documents ──explode──┬─ text spans ── regexp PII redact ──┐
-                         └─ media spans ── tokenize(join) ──  │
-                              classify (rlike bank) ──┬───────┴─ reassembled spans
-                                                      │
-                              UNKNOWN ── JVM REJECTED rows ─┐
-                              known ── mapInPandas kernel ──┴─ redactions + values
+    documents ──explode──┬─ text spans ── regexp PII redact ──┬─ reassembled spans
+                         └─ media spans ── tokenize(join) ────┘
+                               └─ mapInPandas kernel (identify + extract
+                                  + page-local seq/quirks) ── redactions + values
 
-Shuffles on the path: (1) the media_ref resolve join, (2) the per-page seq
-window. The span-sequence output itself is shuffle-free; assembling array-form
-documents adds one hash agg on doc_id. Skew from media-heavy documents
-dissolves at explode time — the unit of work is the page, and pages hash
-uniformly across tasks (explicit ``repartition`` knob for the Arrow stage
-below; AQE splits any residual join skew).
+ONE shuffle on the whole path: the media_ref resolve join. Sequence
+numbering, the None-coordinates quirk, and the REJECTED box are all computed
+page-locally inside the Arrow stage, so the redactions/values sinks are
+narrow filters that pipeline inside the extract tasks. The span-sequence
+output itself is shuffle-free; assembling array-form documents adds one hash
+agg on doc_id. Skew from media-heavy documents dissolves at explode time —
+the unit of work is the page, and pages hash uniformly across tasks
+(optional ``repartition`` knob below for clusters where the join's
+partitioning is too coarse for the Python stage; AQE splits join skew).
 """
 
 from __future__ import annotations
@@ -23,10 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import checkpoint as ckpt
-from .banks import UNKNOWN_TYPE
-from .operators.classify import classify_pages
 from .operators.explode import explode_spans, route_spans
-from .operators.extract import extract_fields, rejected_unknown_pages
+from .operators.extract import extract_page_rows
 from .operators.redactions import build_redactions, build_values
 from .operators.reassemble import assemble_documents, reassemble_flat
 from .operators.tokenize import tokenize_fixture
@@ -52,11 +51,10 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
         # page-granular spread before the Python boundary: Arrow-stage cost is
         # per-page and invisible to AQE (SURVEY.md §4.2)
         pages = pages.repartition(cfg.extract_partitions, "media_ref")
-    pages = classify_pages(pages)
-
-    known = pages.filter(F.col("doc_type") != UNKNOWN_TYPE)
-    unknown = pages.filter(F.col("doc_type") == UNKNOWN_TYPE)
-    extracted = extract_fields(known, cfg.level).unionByName(rejected_unknown_pages(unknown))
+    # identify + extract fused in ONE Arrow stage (kernel-side bank);
+    # classify_pages (operators/classify.py) remains the JVM-side variant for
+    # SQL-expressible classification workloads
+    extracted = extract_page_rows(pages, cfg.level)
 
     return {
         "spans": reassemble_flat(text_spans, media_spans),

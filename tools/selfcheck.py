@@ -1,0 +1,107 @@
+"""Mimic the driver's correctness gate: run each queries() entry on Spark at
+sf0.01 and its oracle_sql() in DuckDB over the same parquet, compare
+row-count + schema-sorted value hash. Usage: python tools/selfcheck.py [name...]
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("selfcheck")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(rows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok_schema = sorted(cols) == sorted(ocols)
+        ok_count = len(rows) == len(orows)
+        h1 = table_hash(cols, rows)
+        h2 = table_hash(ocols, orows)
+        ok_hash = h1 == h2
+        status = "OK  " if (ok_schema and ok_count and ok_hash) else "FAIL"
+        print(f"{status}  {name}: rows {len(rows)}/{len(orows)} schema={ok_schema} hash {h1} vs {h2}")
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_schema:
+                print(f"      spark cols: {sorted(cols)}")
+                print(f"      duck  cols: {sorted(ocols)}")
+    print()
+    if failures:
+        print("FAILURES:", ", ".join(failures))
+        sys.exit(1)
+    print("all checked queries match")
+
+
+if __name__ == "__main__":
+    main()
