@@ -270,6 +270,196 @@ def q17_hourly_rollup(spark, sf_dir):
     )
 
 
+def q18_hof_token_ops(spark, sf_dir):
+    """P5 line split + HOF filter/transform (higher-order functions, no UDF)."""
+    d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    long_toks = F.filter("tokens", lambda t: F.length(t) > 4)
+    return d.select(
+        "doc_id",
+        F.size(long_toks).alias("n_long"),
+        F.concat_ws(" ", F.transform(F.slice(long_toks, 1, 5), F.upper)).alias("head_upper"),
+    )
+
+
+def q19_reverse_scan(spark, sf_dir):
+    """P7 bottom-up scan: reverse(array) + head."""
+    d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.reverse("tokens"), 1, 3)).alias("tail3"),
+    )
+
+
+def q20_pan_predicate(spark, sf_dir):
+    """F1/F17 PAN-number predicate + width-trim arithmetic
+    (documents/pancard/document_coordinates.py:41,53): synthesized candidate
+    tokens, predicate len∈{7,9,10} ∧ upper ∧ has-digit ∧ has-alpha, trim
+    x2' = x1 + floor(0.65*(x2-x1))."""
+    d = _t(spark, sf_dir, "documents")
+    cand = F.concat(
+        F.upper(F.col("text").substr(F.lit(1), (F.col("doc_id") % 4 + 3).cast("int"))),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    is_pan = (
+        F.length(cand).isin(7, 9, 10)
+        & (cand == F.upper(cand))
+        & cand.rlike("[0-9]") & cand.rlike("[A-Za-z]")
+    )
+    x1 = (F.col("doc_id") % 50).cast("int")
+    x2 = x1 + F.length(cand) * 9
+    return d.select(
+        "doc_id", cand.alias("cand"), is_pan.alias("is_pan"),
+        x1.alias("x1"),
+        F.when(is_pan, x1 + F.floor(0.65 * (x2 - x1)).cast("int")).otherwise(x2).alias("x2_trimmed"),
+    )
+
+
+def q21_date_bank_firstmatch(spark, sf_dir):
+    """F2/F8/F18 date regex bank, ordered first match (re.search vs re.match
+    anchoring: the bank is search-style, no ^ anchor)."""
+    d = _t(spark, sf_dir, "documents")
+    cand = F.concat(
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("-")),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("-")),
+        (1950 + F.col("doc_id") % 60).cast("string"),
+    )
+    bank = [
+        (r"\d{2}/\d{2}/\d{4}", "slash_full"),
+        (r"\d{2}-\d{2}-\d{4}", "dash_full"),
+        (r"\d{4}-\d{4}", "year_pair_dash"),
+        (r"\d{4}/\d{4}", "year_pair_slash"),
+        (r"\d{2}/\d{2}/\d{2}", "slash_short"),
+        (r"\d{1}/\d{2}/\d{4}", "slash_d1"),
+    ]
+    expr = None
+    for pat, name in bank:
+        cond = cand.rlike(pat)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return d.select("doc_id", cand.alias("cand"), expr.otherwise("none").alias("matched"))
+
+
+def q22_lead_anchor(spark, sf_dir):
+    """F20 anchor + next-line window: lead() per group."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q23_take_until(spark, sf_dir):
+    """F4/F24/F30 ordered take-while as SQL: events per user until the first
+    'purchase' (break keyword analog), expressed with a min-window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cut = F.min(F.when(F.col("event_type") == "purchase", F.col("event_id"))).over(w)
+    return (
+        ev.withColumn("cut", cut)
+        .filter(F.col("cut").isNull() | (F.col("event_id") < F.col("cut")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_before"),
+             F.sum(_dec("value")).cast("double").alias("value_before"))
+    )
+
+
+def q24_distinct_order_fp(spark, sf_dir):
+    """A4 order-preserving dedupe: array_distinct keeps first occurrence."""
+    d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_distinct("tokens"))).alias("fp_distinct"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+    )
+
+
+def q25_except_years(spark, sf_dir):
+    """Set ops (F20/F21 union/not-in analog): customers ordering in 1995 but
+    not in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    c = _t(spark, sf_dir, "customer")
+    only95 = y95.distinct().exceptAll(y96.distinct())
+    return (
+        c.join(only95, c.c_custkey == only95.o_custkey)
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q26_rollup(spark, sf_dir):
+    """Aggregation breadth beyond the reference: ROLLUP with grand total."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("total"))
+    )
+
+
+def q27_assembly_fp(spark, sf_dir):
+    """A5 order-stable reassembly: per-user event chain fingerprint, order
+    restored by array_sort regardless of task interleaving."""
+    ev = _t(spark, sf_dir, "events")
+    chain = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
+        lambda s: s.getField("event_id").cast("string"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.md5(F.concat_ws(",", chain)).alias("chain_fp"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q28_salted_agg(spark, sf_dir):
+    """north_rule skew handling: two-stage salted aggregation (partial on
+    (key, salt), final on key) — equals the plain groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("user_id"), F.lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("c"), F.sum(_dec("value")).alias("v"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum("v").cast("double").alias("total"),
+    )
+
+
+def q29_shingles(spark, sf_dir):
+    """Dedup primitive: 3-gram shingling via sequence+slice HOFs."""
+    d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(tokens) - 2, 0)),"
+        " i -> concat_ws(' ', slice(tokens, i, 3)))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )
+
+
+def embed_norms(spark, sf_dir):
+    """Embedding math in pure HOFs (F.aggregate): L2 norm + max |x|."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(F.array_max(F.transform(vec, F.abs)), 6).alias("max_abs"),
+    )
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.4 on the synthetic
+    corpus; the LSH-bucketed variant is the scale path)."""
+    from ocr_redaction_engine_spark.analytics.similarity import cosine_pairs
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def dedup_exact(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.dedup import exact_dupes
     return exact_dupes(_t(spark, sf_dir, "documents"))
@@ -373,6 +563,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_rejected_box": q15_rejected_box,
         "q16_name_parse": q16_name_parse,
         "q17_hourly_rollup": q17_hourly_rollup,
+        "q18_hof_token_ops": q18_hof_token_ops,
+        "q19_reverse_scan": q19_reverse_scan,
+        "q20_pan_predicate": q20_pan_predicate,
+        "q21_date_bank_firstmatch": q21_date_bank_firstmatch,
+        "q22_lead_anchor": q22_lead_anchor,
+        "q23_take_until": q23_take_until,
+        "q24_distinct_order_fp": q24_distinct_order_fp,
+        "q25_except_years": q25_except_years,
+        "q26_rollup": q26_rollup,
+        "q27_assembly_fp": q27_assembly_fp,
+        "q28_salted_agg": q28_salted_agg,
+        "q29_shingles": q29_shingles,
+        "embed_norms": embed_norms,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_exact": dedup_exact,
         "dedup_minhash_bands": dedup_minhash_bands,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -520,6 +724,133 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "q18_hof_token_ops": f"""
+            SELECT doc_id,
+                   len(list_filter({_TOK}, t -> length(t) > 4)) AS n_long,
+                   array_to_string(list_transform(
+                       list_slice(list_filter({_TOK}, t -> length(t) > 4), 1, 5),
+                       t -> upper(t)), ' ') AS head_upper
+            FROM documents
+        """,
+        "q19_reverse_scan": f"""
+            SELECT doc_id,
+                   array_to_string(list_slice(list_reverse({_TOK}), 1, 3), ' ') AS tail3
+            FROM documents
+        """,
+        "q20_pan_predicate": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     upper(substring(text, 1, CAST(doc_id % 4 + 3 AS INT)))
+                       || CAST(doc_id % 10000 AS VARCHAR) AS cand,
+                     CAST(doc_id % 50 AS INT) AS x1
+              FROM documents),
+            p AS (
+              SELECT *, x1 + length(cand) * 9 AS x2,
+                     length(cand) IN (7, 9, 10)
+                       AND cand = upper(cand)
+                       AND regexp_matches(cand, '[0-9]')
+                       AND regexp_matches(cand, '[A-Za-z]') AS is_pan
+              FROM c)
+            SELECT doc_id, cand, is_pan, x1,
+                   CASE WHEN is_pan THEN x1 + CAST(floor(0.65 * (x2 - x1)) AS INT)
+                        ELSE x2 END AS x2_trimmed
+            FROM p
+        """,
+        "q21_date_bank_firstmatch": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '-' END
+                       || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '-' END
+                       || CAST(1950 + doc_id % 60 AS VARCHAR) AS cand
+              FROM documents)
+            SELECT doc_id, cand,
+                   CASE WHEN regexp_matches(cand, '\d{2}/\d{2}/\d{4}') THEN 'slash_full'
+                        WHEN regexp_matches(cand, '\d{2}-\d{2}-\d{4}') THEN 'dash_full'
+                        WHEN regexp_matches(cand, '\d{4}-\d{4}') THEN 'year_pair_dash'
+                        WHEN regexp_matches(cand, '\d{4}/\d{4}') THEN 'year_pair_slash'
+                        WHEN regexp_matches(cand, '\d{2}/\d{2}/\d{2}') THEN 'slash_short'
+                        WHEN regexp_matches(cand, '\d{1}/\d{2}/\d{4}') THEN 'slash_d1'
+                        ELSE 'none' END AS matched
+            FROM c
+        """,
+        "q22_lead_anchor": """
+            SELECT user_id, event_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events WHERE user_id < 50
+        """,
+        "q23_take_until": """
+            WITH cuts AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' THEN event_id END)
+                          OVER (PARTITION BY user_id) AS cut
+              FROM events)
+            SELECT user_id, COUNT(*) AS n_before,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_before
+            FROM cuts WHERE cut IS NULL OR event_id < cut
+            GROUP BY user_id
+        """,
+        "q24_distinct_order_fp": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_transform({_TOK}, (x, i) -> struct_pack(t := x, i := i))) AS s
+              FROM documents),
+            firsts AS (
+              SELECT doc_id, s.t AS token, MIN(s.i) AS first_pos
+              FROM tok GROUP BY doc_id, s.t)
+            SELECT doc_id,
+                   md5(string_agg(token, ' ' ORDER BY first_pos)) AS fp_distinct,
+                   COUNT(*) AS n_distinct
+            FROM firsts GROUP BY doc_id
+        """,
+        "q25_except_years": """
+            WITH only95 AS (
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+              EXCEPT
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer JOIN only95 ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q26_rollup": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY ROLLUP (event_type)
+        """,
+        "q27_assembly_fp": """
+            SELECT user_id,
+                   md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)) AS chain_fp,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "q28_salted_agg": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY event_type
+        """,
+        "q29_shingles": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
+              FROM t)
+            SELECT doc_id, len(sh) AS n_shingles, len(list_distinct(sh)) AS n_distinct_shingles
+            FROM s
+        """,
+        "embed_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+                   round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
+            FROM embeddings
+        """,
+        "dedup_embedding_cosine": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
         """,
         "dedup_exact": f"""
             WITH fp AS (

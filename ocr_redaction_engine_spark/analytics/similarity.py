@@ -45,6 +45,27 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+    Brute-force upper-triangle cross join in double precision — the
+    correctness baseline; at scale, restrict candidates with lsh_buckets and
+    join on bucket instead of the cross join."""
+    def side(prefix: str) -> DataFrame:
+        return embeddings.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(f"{prefix}_emb"),
+        )
+
+    a, b = side("a"), side("b")
+    return (
+        F.broadcast(a).crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", F.round(_dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"), "sim")
+    )
+
+
 BUCKET_SCHEMA = "vec_id long, bucket long"
 
 

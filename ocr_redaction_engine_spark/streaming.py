@@ -1,0 +1,118 @@
+"""Structured Streaming surface (SURVEY.md §2.1 S1, §2.7 streaming).
+
+The reference's only "streaming" is a 5 s Mongo poll loop feeding an
+in-process queue (in_progress/process_in_progress_status.py:57-67,
+ocrr_engine.py:31,78-80). Its Spark equivalent is a micro-batch trigger:
+``readStream`` over the documents table with ``trigger(availableNow=True)``
+drains everything that has arrived and stops — rerunning the job later picks
+up only new files, exactly like the reference's re-poll, but with
+exactly-once checkpointed progress instead of status flags.
+
+Every operator on the redaction path is stateless (explode, stream-static
+join on media_ref, the Arrow extraction stage, narrow sinks), so both
+branches run as *native* streaming queries — no foreachBatch escape hatch.
+
+``windowed_event_rollup`` adds the late-data story the reference never had:
+watermarked tumbling-window aggregation (append mode emits a window only
+once its watermark passes — late events inside the allowance still count,
+older ones are dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import DOCUMENTS_DDL
+from .operators.explode import explode_spans, route_spans
+from .operators.extract import extract_page_rows
+from .operators.redactions import build_redactions
+from .operators.reassemble import reassemble_flat
+
+
+def read_documents_stream(spark: SparkSession, documents_path: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the documents table directory. New parquet
+    files appearing under the path become micro-batches (the S1 poll loop,
+    minus the poll)."""
+    reader = spark.readStream.schema(DOCUMENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(documents_path)
+
+
+def stream_pipeline(spark: SparkSession, documents_path: str, media_pages_path: str,
+                    out_dir: str, ckpt_dir: str, level: int = 1,
+                    await_termination: bool = True):
+    """Run the redaction pipeline as two native streaming queries
+    (spans + redactions), each with its own checkpoint, drained with
+    ``availableNow``. Returns the two StreamingQuery handles."""
+    docs = read_documents_stream(spark, documents_path)
+    media_pages = spark.read.parquet(media_pages_path)  # static side
+
+    spans = explode_spans(docs)
+    text_spans, media_spans = route_spans(spans)
+
+    from .operators.tokenize import tokenize_fixture
+    pages = tokenize_fixture(media_spans, media_pages)
+    redactions = build_redactions(extract_page_rows(pages, level))
+
+    q_spans = (
+        reassemble_flat(text_spans, media_spans).writeStream
+        .format("parquet")
+        .option("path", f"{out_dir}/spans")
+        .option("checkpointLocation", f"{ckpt_dir}/spans")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_red = (
+        redactions.writeStream
+        .format("parquet")
+        .option("path", f"{out_dir}/redactions")
+        .option("checkpointLocation", f"{ckpt_dir}/redactions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q_spans.awaitTermination()
+        q_red.awaitTermination()
+    return q_spans, q_red
+
+
+def windowed_event_rollup(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup (works on a streaming OR batch
+    DataFrame — in batch the watermark is a no-op, which is exactly how the
+    differential test checks the closed-window counts)."""
+    # parquet NTZ timestamps → LTZ (session tz is pinned UTC in get_spark);
+    # watermarks require TIMESTAMP, not TIMESTAMP_NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "event_type", "n", "total_value")
+    )
+
+
+def run_windowed_stream(spark: SparkSession, events_path: str, ckpt_dir: str,
+                        queryName: str = "event_rollup") -> None:
+    """Drain the events table through the watermarked rollup into a memory
+    sink (append mode: only watermark-closed windows are emitted)."""
+    from pyspark.sql.types import StructType
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    q = (
+        windowed_event_rollup(stream).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

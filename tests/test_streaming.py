@@ -1,0 +1,109 @@
+"""Structured Streaming differential tests.
+
+1. The streaming pipeline (availableNow micro-batches) must produce exactly
+   the batch pipeline's spans and redactions on the same corpus.
+2. Incremental drain: new files appearing after a first drain are picked up
+   by a second drain without reprocessing the old ones (S1 poll semantics
+   with exactly-once checkpointing).
+3. The watermarked rollup's closed windows must agree with the batch
+   aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_redaction_engine_spark import streaming
+from ocr_redaction_engine_spark.corpus import write_corpus
+from ocr_redaction_engine_spark.pipeline import PipelineConfig, run_pipeline
+
+
+SPAN_COLS = ("doc_id", "order", "kind", "text", "media_ref")
+RED_COLS = ("doc_id", "media_ref", "status", "field", "seq", "x1", "y1", "x2", "y2")
+
+
+def _spans_set(df):
+    return sorted(tuple(r[c] for c in SPAN_COLS) for r in df.collect())
+
+
+def _red_set(df):
+    return sorted(tuple(r[c] for c in RED_COLS) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    write_corpus(spark, f"{base}/input", n_docs=120, seed=42, partitions=4)
+    return base
+
+
+def test_stream_equals_batch(spark, stream_dirs):
+    base = stream_dirs
+    streaming.stream_pipeline(
+        spark, f"{base}/input/documents", f"{base}/input/media_pages",
+        f"{base}/out", f"{base}/ckpt")
+
+    docs = spark.read.parquet(f"{base}/input/documents")
+    pages = spark.read.parquet(f"{base}/input/media_pages")
+    batch = run_pipeline(docs, pages, PipelineConfig())
+
+    got_spans = _spans_set(spark.read.parquet(f"{base}/out/spans"))
+    assert got_spans == _spans_set(batch["spans"])
+    got_red = _red_set(spark.read.parquet(f"{base}/out/redactions"))
+    assert got_red == _red_set(batch["redactions"])
+
+
+def test_incremental_drain_no_duplicates(spark, stream_dirs):
+    base = stream_dirs
+    # initial drain (no-op if test_stream_equals_batch already drained)
+    streaming.stream_pipeline(
+        spark, f"{base}/input/documents", f"{base}/input/media_pages",
+        f"{base}/out", f"{base}/ckpt")
+    before = spark.read.parquet(f"{base}/out/spans").count()
+    # re-drain of an unchanged directory: no new rows
+    streaming.stream_pipeline(
+        spark, f"{base}/input/documents", f"{base}/input/media_pages",
+        f"{base}/out", f"{base}/ckpt")
+    assert spark.read.parquet(f"{base}/out/spans").count() == before
+
+    # new arrivals (doc indexes beyond the existing corpus → fresh doc_ids):
+    # only the delta is processed
+    from ocr_redaction_engine_spark.corpus import gen_document
+    new_docs, _ = zip(*[gen_document(42, i) for i in range(200000, 200010)])
+    from ocr_redaction_engine_spark.corpus import DOCUMENTS_DDL
+    spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in new_docs], schema=DOCUMENTS_DDL,
+    ).write.mode("append").parquet(f"{base}/input/documents")
+
+    streaming.stream_pipeline(
+        spark, f"{base}/input/documents", f"{base}/input/media_pages",
+        f"{base}/out", f"{base}/ckpt")
+    spans = spark.read.parquet(f"{base}/out/spans")
+    n_new_spans = sum(len(d["spans"]) for d in new_docs)
+    assert spans.count() == before + n_new_spans
+    # per-doc uniqueness of (doc_id, order): nothing was double-processed
+    assert spans.groupBy("doc_id", "order").count().filter("count > 1").count() == 0
+
+
+def test_watermark_rollup_closed_windows(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    # file-stream sources need a directory; stage the single-file table
+    events_path = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .write.mode("overwrite").parquet(events_path)
+    streaming.run_windowed_stream(spark, events_path, ckpt, queryName="wm_rollup")
+    got = spark.sql("SELECT * FROM wm_rollup")
+
+    batch = streaming.windowed_event_rollup(spark.read.parquet(events_path))
+    # append mode emits only windows whose end <= final watermark
+    # (max ts - 2 h); compare exactly on that closed set
+    max_ts = (spark.read.parquet(events_path)
+              .agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0])
+    closed = batch.filter(
+        F.col("win_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    key = ("win_start", "event_type")
+    got_rows = sorted(tuple(r[c] for c in key) + (r["n"], r["total_value"]) for r in got.collect())
+    exp_rows = sorted(tuple(r[c] for c in key) + (r["n"], r["total_value"]) for r in closed.collect())
+    assert got_rows == exp_rows
