@@ -98,6 +98,58 @@ def windowed_event_rollup(events: DataFrame, window: str = "1 hour",
     )
 
 
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation (gap-based): the built-in
+    ``session_window`` operator; works on streaming (append after watermark
+    close) and batch (differential twin) alike."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select("user_id",
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events", "total_value")
+    )
+
+
+FIRST_SEEN_SCHEMA = "user_id long, event_id long, event_type string"
+_FIRST_SEEN_STATE = "seen int"
+
+
+def stateful_first_seen(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emit each
+    user's FIRST event (by arrival order across micro-batches), suppress the
+    rest — the streaming twin of the q08 first-match window
+    (SURVEY.md §2.5 F19/F32 first-match-only semantics), and the shape any
+    cross-batch dedupe/claim-check state machine takes."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        chunks = [pdf for pdf in pdfs if len(pdf)]  # drain fully (required)
+        if state.exists or not chunks:
+            return iter(())
+        allrows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        first = allrows.iloc[0]
+        state.update((1,))
+        return iter([pd.DataFrame({
+            "user_id": [int(key[0])],
+            "event_id": [int(first["event_id"])],
+            "event_type": [str(first["event_type"])],
+        })])
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, outputStructType=FIRST_SEEN_SCHEMA, stateStructType=_FIRST_SEEN_STATE,
+            outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_windowed_stream(spark: SparkSession, events_path: str, ckpt_dir: str,
                         queryName: str = "event_rollup") -> None:
     """Drain the events table through the watermarked rollup into a memory

@@ -1,0 +1,73 @@
+"""Kill/resume semantics (north_rule: resumable from checkpoint at partition
+granularity; SURVEY.md §5.2 item 4).
+
+A run killed after its first committed bucket group must, on rerun, process
+only the remaining buckets and produce byte-identical final outputs with no
+duplicate or missing documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_redaction_engine_spark import checkpoint
+from ocr_redaction_engine_spark.corpus import write_corpus
+from ocr_redaction_engine_spark.pipeline import PipelineConfig, run_job
+
+CFG = dict(n_buckets=8, bucket_group=2)
+
+
+@pytest.fixture(scope="module")
+def corpus_input(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("resume"))
+    write_corpus(spark, f"{base}/input", n_docs=200, seed=42, partitions=4)
+    return base
+
+
+def _spans(spark, out_dir):
+    df = spark.read.parquet(f"{out_dir}/spans")
+    return sorted((r.doc_id, r.order, r.kind, r.text, r.media_ref) for r in df.collect())
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def test_killed_run_resumes_exactly(spark, corpus_input, monkeypatch):
+    base = corpus_input
+    docs, pages = f"{base}/input/documents", f"{base}/input/media_pages"
+
+    # clean reference run
+    run_job(spark, docs, pages, f"{base}/out_clean", f"{base}/ckpt_clean",
+            PipelineConfig(**CFG))
+    expected = _spans(spark, f"{base}/out_clean")
+
+    # crash after the first committed wave
+    real_append = checkpoint.append_checkpoint
+    calls = {"n": 0}
+
+    def dying_append(spark_, ckpt_dir, rows):
+        real_append(spark_, ckpt_dir, rows)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise _Boom("simulated driver death after wave 1")
+
+    monkeypatch.setattr(checkpoint, "append_checkpoint", dying_append)
+    with pytest.raises(_Boom):
+        run_job(spark, docs, pages, f"{base}/out", f"{base}/ckpt", PipelineConfig(**CFG))
+    monkeypatch.setattr(checkpoint, "append_checkpoint", real_append)
+
+    done_after_crash = checkpoint.completed_buckets(spark, f"{base}/ckpt")
+    assert 0 < len(done_after_crash) < CFG["n_buckets"]
+
+    # resume: processes only the remaining buckets
+    stats = run_job(spark, docs, pages, f"{base}/out", f"{base}/ckpt", PipelineConfig(**CFG))
+    assert stats["buckets_done_before"] == len(done_after_crash)
+
+    got = _spans(spark, f"{base}/out")
+    assert got == expected  # no duplicates, no missing docs
+
+    # idempotent no-op rerun
+    stats2 = run_job(spark, docs, pages, f"{base}/out", f"{base}/ckpt", PipelineConfig(**CFG))
+    assert stats2["waves"] == 0
+    assert _spans(spark, f"{base}/out") == expected

@@ -87,6 +87,90 @@ def test_incremental_drain_no_duplicates(spark, stream_dirs):
     assert spans.groupBy("doc_id", "order").count().filter("count > 1").count() == 0
 
 
+def test_stateful_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-match: state must persist across
+    micro-batches (maxFilesPerTrigger=1 over ts-range-ordered files) and the
+    result must equal the batch q08 first-event-per-user window."""
+    events_path = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    # stage 4 time-slices as sequential appends: file modification order (what
+    # the file source sorts by) == event-time order, so "first arrival"
+    # equals the global (ts, event_id) minimum per user
+    import time as _time
+    ev = ev.withColumn("ts_long", F.col("ts").cast("long"))
+    bounds = ev.approxQuantile("ts_long", [0.25, 0.5, 0.75], 0.0)
+    lo = None
+    for hi in [*bounds, None]:
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts_long") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts_long") <= hi)
+        part.drop("ts_long").orderBy("ts", "event_id").coalesce(1) \
+            .write.mode("append").parquet(events_path)
+        _time.sleep(1.1)
+        lo = hi
+    ev = ev.drop("ts_long")
+
+    from ocr_redaction_engine_spark.streaming import stateful_first_seen
+    schema = spark.read.parquet(events_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(events_path))
+    q = (
+        stateful_first_seen(stream).writeStream
+        .format("memory").queryName("first_seen").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 3  # state really crossed batches
+
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT user_id, event_id, event_type FROM first_seen").collect())
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = sorted(tuple(r) for r in
+                 ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+                 .select("user_id", "event_id", "event_type").collect())
+    assert got == exp
+
+
+def test_session_windows_batch(spark):
+    """session_window gap semantics (batch differential): sessions split
+    exactly where consecutive gaps exceed 30 min."""
+    from ocr_redaction_engine_spark.streaming import session_windows
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = session_windows(ev).filter(F.col("user_id") < 10)
+
+    # independent oracle: lag-based session id then group
+    from pyspark.sql import Window as W
+    ev2 = ev.withColumn("ts", F.col("ts").cast("timestamp")).filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w) > 30 * 60
+    ).cast("int")
+    sessions = (
+        ev2.withColumn("brk", F.coalesce(gap_break, F.lit(0)))
+        .withColumn("sid", F.sum("brk").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"),
+             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+             F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+    )
+    key = lambda r: (r["user_id"], r["session_start"])
+    got_rows = sorted(((r["user_id"], r["session_start"], r["session_end"],
+                        r["n_events"], r["total_value"]) for r in got.collect()))
+    exp_rows = sorted(((r["user_id"], r["session_start"], r["session_end"],
+                        r["n_events"], r["total_value"]) for r in sessions.collect()))
+    assert got_rows == exp_rows
+
+
 def test_watermark_rollup_closed_windows(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     # file-stream sources need a directory; stage the single-file table
