@@ -35,7 +35,9 @@ def _norm(v):
 
 def _rows(cols, data):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in data)
+    rows = [tuple(_norm(r[i]) for i in idx) for r in data]
+    # None-safe total order (ROLLUP emits NULL group keys)
+    return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
 
 
 def _close(a, b):
