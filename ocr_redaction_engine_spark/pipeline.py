@@ -56,11 +56,16 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
     # SQL-expressible classification workloads
     extracted = extract_page_rows(pages, cfg.level)
 
+    from .operators.xml_sink import render_redactions_xml, render_values_xml
+
     return {
         "spans": reassemble_flat(text_spans, media_spans),
         "documents": assemble_documents(reassemble_flat(text_spans, media_spans)),
         "redactions": build_redactions(extracted),
         "values": build_values(extracted),
+        # byte-identical reference XML documents (lazy; computed only if forced)
+        "redactions_xml": render_redactions_xml(extracted),
+        "values_xml": render_values_xml(extracted),
     }
 
 

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests (SURVEY.md §4): the plan properties the
+100 TB design depends on must not silently regress.
+
+* text branch: zero Python — the PII redaction is regexp_replace inside
+  codegen, no ArrowEvalPython/BatchEvalPython/PythonUDF anywhere;
+* media branch: exactly ONE Arrow stage (MapInPandas), ONE join, and no
+  exchange after the Arrow stage (sinks are narrow);
+* scans: predicate pushdown and column pruning reach the parquet reader.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_redaction_engine_spark.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def plans(spark, corpus_dfs, tmp_path_factory):
+    # write to parquet so scans are real file scans with pushdown
+    base = str(tmp_path_factory.mktemp("plan"))
+    docs_df, pages_df = corpus_dfs
+    docs_df.write.parquet(f"{base}/documents")
+    pages_df.write.parquet(f"{base}/media_pages")
+    docs = spark.read.parquet(f"{base}/documents")
+    pages = spark.read.parquet(f"{base}/media_pages")
+    outs = run_pipeline(docs, pages, PipelineConfig())
+    return {k: v._jdf.queryExecution().executedPlan().toString()
+            for k, v in outs.items()}
+
+
+def test_text_branch_has_no_python(plans):
+    plan = plans["spans"]
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in plan, f"text branch must stay JVM-side, found {marker}"
+
+
+def test_media_branch_single_arrow_stage(plans):
+    for out in ("redactions", "values"):
+        plan = plans[out]
+        assert plan.count("MapInPandas") == 1, f"{out}: exactly one Arrow stage"
+        assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+            + plan.count("ShuffledHashJoin") == 1, f"{out}: exactly one join"
+        # nothing may shuffle after the Arrow stage: the partial plan above
+        # MapInPandas must contain no Exchange
+        after = plan.split("MapInPandas", 1)[0]
+        assert "Exchange" not in after, f"{out}: sink must be narrow after Arrow stage"
+
+
+def test_scan_pushdown_and_pruning(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("scan"))
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    ).write.parquet(f"{base}/t")
+    df = spark.read.parquet(f"{base}/t").filter(F.col("k") == 3).select("id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
+    assert "ReadSchema: struct<id:bigint,k:bigint>" in plan  # v pruned away
