@@ -32,8 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "360000"))
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/orx_bench_corpus")
-WARM_RUNS = 2   # JIT/page-cache/Python-worker warm-up passes (untimed)
-TIMED_RUNS = 3  # median-of-N timed passes
+WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "1"))   # untimed JIT/worker warm-up
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_TIMED", "2"))  # min-of-N timed passes
 
 # headline subset: one per operator family (full set is exercised by the
 # driver's correctness gate; bench keeps wall-clock bounded)
@@ -152,7 +152,11 @@ def main():
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline-only",
              "--cpus", str(cpus), "--ndocs", str(args.ndocs)],
-            capture_output=True, text=True, env=env, check=True)
+            capture_output=True, text=True, env=env)
+        if out.returncode != 0:
+            sys.stderr.write(f"pipeline subprocess (cpus={cpus}) failed:\n")
+            sys.stderr.write("\n".join(out.stderr.splitlines()[-30:]) + "\n")
+            raise SystemExit(1)
         runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
 
     hi = runs[args.cpus]
