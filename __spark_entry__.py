@@ -453,6 +453,19 @@ def embed_norms(spark, sf_dir):
     )
 
 
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / single non-space symbol)."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.4 on the synthetic
     corpus; the LSH-bucketed variant is the scale path)."""
@@ -576,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_salted_agg": q28_salted_agg,
         "q29_shingles": q29_shingles,
         "embed_norms": embed_norms,
+        "text_token_count": text_token_count,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_exact": dedup_exact,
         "dedup_minhash_bands": dedup_minhash_bands,
@@ -844,6 +858,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
                    round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
             FROM embeddings
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+                   length(text) AS n_chars
+            FROM documents
         """,
         "dedup_embedding_cosine": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
