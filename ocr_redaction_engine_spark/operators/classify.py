@@ -24,22 +24,19 @@ from pyspark.sql import functions as F
 from ..banks import DOC_TYPES, IDENTIFY_BANK, UNKNOWN_TYPE, java_ci
 
 
-def _token_matcher(pattern: str):
-    jp = java_ci(pattern)
+def _bank_hit(tokens_col: str, doc_type: str) -> Column:
+    # one combined alternation per bank (hit iff any pattern hits);
     # single-arg lambda: a 2-arg lambda would be treated as (element, index)
-    return lambda w: w.getField("text").rlike(jp)
+    union = "|".join(f"(?:{java_ci(p)})" for p in IDENTIFY_BANK[doc_type])
+    return F.exists(tokens_col, lambda t: t.rlike(union))
 
 
-def _bank_hit(words_col: str, doc_type: str) -> Column:
-    conds = [F.exists(words_col, _token_matcher(p)) for p in IDENTIFY_BANK[doc_type]]
-    return reduce(lambda a, b: a | b, conds)
-
-
-def classify_pages(pages: DataFrame, words_col: str = "words") -> DataFrame:
+def classify_pages(pages: DataFrame, tokens_col: str = "wtext") -> DataFrame:
     """Adds ``doc_type`` (string) with first-match priority; UNKNOWN when no
-    bank fires (→ REJECTED downstream, process_ocrr.py:74-77)."""
+    bank fires (→ REJECTED downstream, process_ocrr.py:74-77). ``tokens_col``
+    is an array<string> of page tokens (the SOA page layout's ``wtext``)."""
     expr = None
     for dt in DOC_TYPES:
-        hit = _bank_hit(words_col, dt)
+        hit = _bank_hit(tokens_col, dt)
         expr = F.when(hit, F.lit(dt)) if expr is None else expr.when(hit, F.lit(dt))
     return pages.withColumn("doc_type", expr.otherwise(F.lit(UNKNOWN_TYPE)))

@@ -37,12 +37,16 @@ _COLS = ["doc_id", "offset", "media_ref", "document_name", "status", "row_kind",
          "field_idx", "field", "value", "seq", "x1", "y1", "x2", "y2"]
 
 
-def _as_word_tuples(words):
-    return [(int(w["x1"]), int(w["y1"]), int(w["x2"]), int(w["y2"]), w["text"]) for w in words]
+def _word_tuples(row):
+    """Struct-of-arrays page columns → [(x1, y1, x2, y2, text)] with plain
+    Python ints (numpy ints would leak into output boxes otherwise)."""
+    return [(int(a), int(b), int(c), int(d), t)
+            for a, b, c, d, t in zip(row.wx1, row.wy1, row.wx2, row.wy2, row.wtext)]
 
 
-def _as_qr_tuples(qrs):
-    return [(int(q["x1"]), int(q["y1"]), int(q["x2"]), int(q["y2"])) for q in qrs]
+def _qr_tuples(row):
+    return [(int(a), int(b), int(c), int(d))
+            for a, b, c, d in zip(row.qx1, row.qy1, row.qx2, row.qy2)]
 
 
 def extract_page_rows(pages: DataFrame, level: int = 1) -> DataFrame:
@@ -60,10 +64,10 @@ def extract_page_rows(pages: DataFrame, level: int = 1) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                words = _as_word_tuples(row.words)
-                doc_type = kernel.identify_page([w[4] for w in words])
+                words = _word_tuples(row)
+                doc_type = kernel.identify_page(list(row.wtext))
                 res = kernel.extract_page(
-                    doc_type, words, list(row.lines), _as_qr_tuples(row.qr_boxes), level
+                    doc_type, words, list(row.lines), _qr_tuples(row), level
                 )
                 base = (row.doc_id, int(row.offset), row.media_ref, row.document_name,
                         res["status"])

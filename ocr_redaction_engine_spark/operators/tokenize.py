@@ -17,10 +17,10 @@ tesseract : the production decoder (pytesseract inside ``mapInPandas``,
             identify_doc.py:33-45). Gated behind an import-try; raises
             NotImplementedError here because the sandbox has no tesseract.
 
-All modes output the same page schema:
+All modes output the same struct-of-arrays page schema (PAGE_SCHEMA_DDL):
     (doc_id, offset, media_ref, document_name, width, height,
-     words array<struct<x1,y1,x2,y2,text>>, lines array<string>,
-     qr_boxes array<struct<x1,y1,x2,y2>>)
+     wx1/wy1/wx2/wy2 array<int>, wtext array<string>, lines array<string>,
+     qx1/qy1/qx2/qy2 array<int>)
 """
 
 from __future__ import annotations
@@ -33,19 +33,34 @@ from pyspark.sql import functions as F
 PAGE_SCHEMA_DDL = (
     "doc_id string, offset int, media_ref string, document_name string, "
     "width int, height int, "
-    "words array<struct<x1:int,y1:int,x2:int,y2:int,text:string>>, "
-    "lines array<string>, "
-    "qr_boxes array<struct<x1:int,y1:int,x2:int,y2:int>>"
+    "wx1 array<int>, wy1 array<int>, wx2 array<int>, wy2 array<int>, "
+    "wtext array<string>, lines array<string>, "
+    "qx1 array<int>, qy1 array<int>, qx2 array<int>, qy2 array<int>"
 )
+
+# Struct-of-arrays page layout: pyarrow materializes array<struct> rows as
+# Python list-of-dicts inside the UDF worker (~1 ms/page); parallel primitive
+# arrays arrive as numpy buffers instead, and the JVM-side transform that
+# builds them is whole-stage-codegen'd. The zip back to (x1,y1,x2,y2,text)
+# tuples in Python costs ~10 µs/page.
+def _pages_soa(media_pages: DataFrame) -> DataFrame:
+    w = lambda f: F.transform("words", lambda s: s.getField(f))
+    q = lambda f: F.transform("qr_boxes", lambda s: s.getField(f))
+    return media_pages.select(
+        "media_ref", "document_name", "width", "height",
+        w("x1").alias("wx1"), w("y1").alias("wy1"),
+        w("x2").alias("wx2"), w("y2").alias("wy2"),
+        w("text").alias("wtext"), "lines",
+        q("x1").alias("qx1"), q("y1").alias("qy1"),
+        q("x2").alias("qx2"), q("y2").alias("qy2"),
+    )
 
 
 def tokenize_fixture(media_spans: DataFrame, media_pages: DataFrame) -> DataFrame:
     """Equi-join resolve. ``media_pages.doc_type`` is generation ground truth
     and is dropped here — the engine classifies from words alone."""
-    pages = media_pages.select(
-        "media_ref", "document_name", "width", "height", "words", "lines", "qr_boxes"
-    )
-    return media_spans.select("doc_id", "offset", "media_ref").join(pages, "media_ref")
+    return media_spans.select("doc_id", "offset", "media_ref") \
+        .join(_pages_soa(media_pages), "media_ref")
 
 
 def _layout_from_lines(lines):
@@ -69,6 +84,10 @@ def tokenize_payload(media_with_content: DataFrame) -> DataFrame:
     changes (same schema, same batching, same partitioning)."""
     import pandas as pd
 
+    cols = ["doc_id", "offset", "media_ref", "document_name", "width", "height",
+            "wx1", "wy1", "wx2", "wy2", "wtext", "lines",
+            "qx1", "qy1", "qx2", "qy2"]
+
     def decode(batches):
         for pdf in batches:
             out = []
@@ -79,12 +98,15 @@ def tokenize_payload(media_with_content: DataFrame) -> DataFrame:
                 payload = json.loads(bytes(content).decode("utf-8"))
                 lines = payload["lines"]
                 words, width, height = _layout_from_lines(lines)
+                qr = payload.get("qr", [])
                 out.append((
                     doc_id, int(offset), ref, name, width, height,
-                    words, lines, [tuple(q) for q in payload.get("qr", [])],
+                    [w[0] for w in words], [w[1] for w in words],
+                    [w[2] for w in words], [w[3] for w in words],
+                    [w[4] for w in words], lines,
+                    [q[0] for q in qr], [q[1] for q in qr],
+                    [q[2] for q in qr], [q[3] for q in qr],
                 ))
-            cols = ["doc_id", "offset", "media_ref", "document_name",
-                    "width", "height", "words", "lines", "qr_boxes"]
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame({c: [] for c in cols})
 
     return media_with_content.mapInPandas(decode, schema=PAGE_SCHEMA_DDL)

@@ -39,10 +39,12 @@ def test_payload_tokenizer_equals_fixture_join(spark, corpus_dfs, local_corpus):
         .join(payload_df, "media_ref")
     decoded = tokenize_payload(with_content)
 
-    key = lambda r: (r["doc_id"], r["offset"], r["media_ref"])
-    norm = lambda r: (key(r), r["document_name"], r["width"], r["height"],
-                      [tuple(w) for w in r["words"]], list(r["lines"]),
-                      [tuple(q) for q in r["qr_boxes"]])
+    def norm(r):
+        return ((r["doc_id"], r["offset"], r["media_ref"]),
+                r["document_name"], r["width"], r["height"],
+                list(zip(r["wx1"], r["wy1"], r["wx2"], r["wy2"], r["wtext"])),
+                list(r["lines"]),
+                list(zip(r["qx1"], r["qy1"], r["qx2"], r["qy2"])))
     got = sorted(norm(r) for r in decoded.collect())
     exp = sorted(norm(r) for r in fixture.collect())
     assert got == exp
