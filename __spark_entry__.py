@@ -552,6 +552,15 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def dedup_components(spark, sf_dir):
+    """Near-dup group clustering: connected components over LSH candidate
+    pairs (iterative min-label propagation — union-find oracle in pytest)."""
+    from ocr_redaction_engine_spark.analytics.dedup import (
+        candidate_pairs, connected_components)
+    docs = _t(spark, sf_dir, "documents")
+    return connected_components(candidate_pairs(docs))
+
+
 def multimodal_byte_features(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.multimodal import byte_features, synthesize_binary
     return byte_features(synthesize_binary(spark, 500))
@@ -602,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
         "ann_lsh_topk": ann_lsh_topk,
+        "dedup_components": dedup_components,
         "multimodal_byte_features": multimodal_byte_features,
     }
 

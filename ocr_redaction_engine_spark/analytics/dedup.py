@@ -123,6 +123,46 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=SIMHASH_SCHEMA)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Duplicate-group clustering: connected components over candidate pairs
+    (columns ``a``, ``b``) by iterative min-label propagation.
+
+    Each round every node adopts the minimum label among itself and its
+    neighbours; convergence takes O(component diameter) rounds (near-dup
+    components are shallow — star-ish around a template — so this converges
+    in a handful of rounds at corpus scale). ``localCheckpoint`` truncates
+    the growing lineage each round — the standard guard for iterative plans.
+    Returns (node, component) with component = min node id in the component.
+    """
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select("u").distinct()
+        .withColumn("label", F.col("u"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u").agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, "u", "left")
+            .select("u", F.least("label", F.coalesce("nb_label", "label")).alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
 def simhash_candidates(docs: DataFrame, band_bits: int = 15) -> DataFrame:
     """Hamming-neighbour candidates: equal value in any of the 4 15-bit bands
     (detects signatures within small Hamming distance)."""

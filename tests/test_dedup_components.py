@@ -1,0 +1,78 @@
+"""Connected-components dedup clustering vs a pure-Python union-find oracle,
+plus the foreachPartition notifier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_redaction_engine_spark.analytics.dedup import (
+    candidate_pairs, connected_components)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {n: find(n) for n in list(parent)}
+
+
+def test_components_match_union_find(spark):
+    # chains, a clique, an isolated edge — incl. a long chain to exercise
+    # multi-round propagation
+    edges = ([(i, i + 1) for i in range(0, 12)]           # chain 0..12
+             + [(20, 21), (21, 22), (20, 22)]             # triangle
+             + [(30, 31)]                                 # pair
+             + [(40, 41), (41, 42), (40, 42), (42, 43)])  # clique + tail
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == _union_find(edges)
+
+
+def test_components_on_lsh_candidates(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = candidate_pairs(docs)
+    comp = connected_components(pairs)
+    got = {r.node: r.component for r in comp.collect()}
+    exp = _union_find([(r.a, r.b) for r in pairs.collect()])
+    assert got == exp
+
+
+def test_notifier_delivers_all_rows_in_batches(spark):
+    from ocr_redaction_engine_spark.operators.notify import notify_results
+    import tempfile, os, json, glob
+
+    outdir = tempfile.mkdtemp(prefix="notify_")
+    df = spark.range(250).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.lit("").alias("media_ref"),
+        F.lit("REDACTED").alias("status"),
+    ).repartition(4)
+
+    def make_sender():
+        # executor-side "connection": append-only file per partition batch
+        def sender(batch):
+            path = os.path.join(outdir, f"{os.getpid()}_{id(batch)}.json")
+            with open(path, "a") as f:
+                json.dump(batch, f)
+        return sender
+
+    notify_results(df, make_sender, batch_size=60)
+    seen = []
+    for p in glob.glob(f"{outdir}/*.json"):
+        with open(p) as f:
+            seen.extend(json.load(f))
+    assert sorted(r["doc_id"] for r in seen) == sorted(f"doc-{i}" for i in range(250))
+    assert all(r["status"] == "REDACTED" for r in seen)
