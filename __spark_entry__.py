@@ -552,6 +552,13 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, nprobe lists scored) — recall and
+    score parity vs brute force proven in pytest."""
+    from ocr_redaction_engine_spark.analytics.similarity import ivf_topk
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def dedup_components(spark, sf_dir):
     """Near-dup group clustering: connected components over LSH candidate
     pairs (iterative min-label propagation — union-find oracle in pytest)."""
@@ -611,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "dedup_components": dedup_components,
         "multimodal_byte_features": multimodal_byte_features,
     }

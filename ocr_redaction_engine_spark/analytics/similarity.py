@@ -103,6 +103,105 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 7) -> Dat
     return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=BUCKET_SCHEMA)
 
 
+def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
+                     n_iters: int = 4) -> list:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+
+    Init: the ``n_clusters`` vectors with the smallest md5(vec_id) (a
+    seedless deterministic sample). Assignment is an Arrow-batched numpy
+    matmul against the broadcast centroid matrix; the recompute step is a
+    per-(cluster, dim) mean via posexplode + hash agg (fully distributed —
+    only the k×dim centroid matrix ever reaches the driver).
+    """
+    import hashlib
+
+    import numpy as np
+
+    seed_ids = embeddings.select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+    ).orderBy("h").limit(n_clusters)
+    init = (
+        embeddings.join(seed_ids.select("vec_id"), "vec_id")
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    centroids = np.array([np.asarray(r.embedding, dtype=np.float64) for r in init])
+
+    for _ in range(n_iters):
+        assigned = assign_clusters(embeddings, centroids)
+        dims = (
+            embeddings.join(assigned, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in dims:
+            new[r.cluster, r.dim] = r.m
+        centroids = new
+    return centroids.tolist()
+
+
+ASSIGN_SCHEMA = "vec_id long, cluster int"
+
+
+def assign_clusters(embeddings: DataFrame, centroids) -> DataFrame:
+    """vec → nearest centroid (L2), numpy per Arrow batch."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "cluster": []})
+                continue
+            M = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
+                                "cluster": d2.argmin(axis=1).astype("int32")})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=ASSIGN_SCHEMA)
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF ANN: coarse-quantize candidates into inverted lists; each query
+    scores only the ``nprobe`` nearest lists. Same output shape as
+    cosine_topk. At warehouse scale the cluster assignment is a write-time
+    partition column, so a probe is a partition-pruned scan."""
+    import numpy as np
+
+    centroids = kmeans_centroids(embeddings, n_clusters)
+    C = np.asarray(centroids)
+
+    cand = embeddings.filter(F.col("vec_id") >= n_queries)
+    cand_assign = assign_clusters(cand, centroids)
+    cands = cand.join(cand_assign, "vec_id").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cluster")
+
+    q_rows = embeddings.filter(F.col("vec_id") < n_queries) \
+        .select("vec_id", "embedding").collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        order = (((C - v) ** 2).sum(axis=1)).argsort()[:nprobe]
+        for cl in order:
+            probe_rows.append((int(r.vec_id), int(cl)))
+    probes = embeddings.sparkSession.createDataFrame(
+        probe_rows, "q_id long, cluster int")
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+
+    scored = (
+        F.broadcast(probes.join(q, "q_id")).join(cands, "cluster")
+        .withColumn("sim", F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
+        .select("q_id", "c_id", "sim").distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                       n_planes: int = 8) -> DataFrame:
     """ANN: score only same-bucket pairs. Same output shape as cosine_topk

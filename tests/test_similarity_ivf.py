@@ -1,0 +1,49 @@
+"""IVF ANN: determinism + recall against the brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_redaction_engine_spark.analytics.similarity import (
+    cosine_topk, ivf_topk, kmeans_centroids)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_centroids_deterministic(spark, embeddings):
+    c1 = kmeans_centroids(embeddings, n_clusters=8, n_iters=2)
+    c2 = kmeans_centroids(embeddings, n_clusters=8, n_iters=2)
+    assert c1 == c2
+
+
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    exact = cosine_topk(embeddings, n_queries=5, k=10)
+    approx = ivf_topk(embeddings, n_queries=5, k=10, n_clusters=8, nprobe=4)
+
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.q_id, set()).add(r.c_id)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.q_id, set()).add(r.c_id)
+
+    assert set(approx_sets) == set(exact_sets)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    # half the lists probed; random 64-dim embeddings are a worst case for
+    # clustering, so the bar is modest — the point is the candidate pruning
+    # machinery, and determinism makes this exact-reproducible
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_is_subset_scored_identically(spark, embeddings):
+    """Every (q, c) pair IVF returns must carry the same similarity the
+    brute-force path computes (same JVM expression on both paths)."""
+    exact = {(r.q_id, r.c_id): r.sim
+             for r in cosine_topk(embeddings, n_queries=5, k=500).collect()}
+    for r in ivf_topk(embeddings, n_queries=5, k=10, n_clusters=8, nprobe=4).collect():
+        assert exact.get((r.q_id, r.c_id)) == pytest.approx(r.sim, abs=1e-6)
