@@ -573,6 +573,20 @@ def multimodal_byte_features(spark, sf_dir):
     return byte_features(synthesize_binary(spark, 500))
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-analog 1→N frame sampling over opaque binary payloads."""
+    from ocr_redaction_engine_spark.analytics.multimodal import (
+        sample_frames_bytes, synthesize_binary)
+    return sample_frames_bytes(synthesize_binary(spark, 500))
+
+
+def multimodal_window_energy(spark, sf_dir):
+    """Audio-analog windowed RMS energy over opaque binary payloads."""
+    from ocr_redaction_engine_spark.analytics.multimodal import (
+        synthesize_binary, window_energy)
+    return window_energy(synthesize_binary(spark, 500))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -621,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_components": dedup_components,
         "multimodal_byte_features": multimodal_byte_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_window_energy": multimodal_window_energy,
     }
 
 

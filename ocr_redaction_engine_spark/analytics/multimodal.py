@@ -65,6 +65,63 @@ def byte_features(media: DataFrame, bins: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = ("media_id long, frame_idx int, frame_md5 string, "
+                "mean_byte double")
+
+
+def sample_frames_bytes(media: DataFrame, frame_size: int = 256,
+                        every_n: int = 4) -> DataFrame:
+    """Frame sampling over container-less fixed-stride payloads (the shape a
+    real demuxer plugs into): slice ``content`` into ``frame_size`` frames,
+    keep every ``every_n``-th, emit per-frame stats. One input row fans out
+    to its sampled frames — the mapInPandas iterator shape for 1→N
+    multimodal expansion."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                n_frames = len(buf) // frame_size
+                for fi in range(0, n_frames, every_n):
+                    frame = buf[fi * frame_size:(fi + 1) * frame_size]
+                    arr = np.frombuffer(frame, dtype=np.uint8)
+                    out.append((int(mid), fi, hashlib.md5(frame).hexdigest(),
+                                float(round(arr.mean(), 6))))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_md5", "mean_byte"]) \
+                if out else pd.DataFrame({c: [] for c in ["media_id", "frame_idx", "frame_md5", "mean_byte"]})
+
+    return media.select("media_id", "content").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+ENERGY_SCHEMA = "media_id long, n_windows int, energy array<double>"
+
+
+def window_energy(media: DataFrame, window: int = 64) -> DataFrame:
+    """Audio-analog feature extraction: RMS energy per fixed window of the
+    byte stream (numpy-vectorized; swap the byte view for PCM samples and
+    nothing else changes)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float64)
+                n = (len(arr) + window - 1) // window
+                pad = np.zeros(n * window)
+                pad[:len(arr)] = arr
+                rms = np.sqrt((pad.reshape(n, window) ** 2).mean(axis=1))
+                out.append((int(mid), n, [float(round(x, 6)) for x in rms]))
+            yield pd.DataFrame(out, columns=["media_id", "n_windows", "energy"]) \
+                if out else pd.DataFrame({c: [] for c in ["media_id", "n_windows", "energy"]})
+
+    return media.select("media_id", "content").mapInPandas(run, schema=ENERGY_SCHEMA)
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Image decode → (width, height, channels). Requires a codec library in
     the executor image; stubbed in this container."""
