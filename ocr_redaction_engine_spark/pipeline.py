@@ -104,7 +104,9 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
         m = {r["bucket"]: r for r in
              spark.read.parquet(f"{out_dir}/spans").filter(F.col("bucket").isin(group))
              .groupBy("bucket")
-             .agg(F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_spans"))
+             .agg(F.countDistinct("doc_id").alias("n_docs"), F.count("*").alias("n_spans"),
+                  F.countDistinct(F.when(F.col("media_ref") != "", F.col("media_ref")))
+                  .alias("n_pages"))
              .collect()}
         b = {r["bucket"]: r["n_boxes"] for r in
              spark.read.parquet(f"{out_dir}/redactions").filter(F.col("bucket").isin(group))
@@ -114,6 +116,7 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
             {"bucket": bk, "status": "done",
              "n_docs": m[bk]["n_docs"] if bk in m else 0,
              "n_spans": m[bk]["n_spans"] if bk in m else 0,
+             "n_pages": m[bk]["n_pages"] if bk in m else 0,
              "n_boxes": b.get(bk, 0),
              "wall_sec": wall / max(1, len(group))}
             for bk in group
