@@ -49,7 +49,8 @@ def _qr_tuples(row):
             for a, b, c, d in zip(row.qx1, row.qy1, row.qx2, row.qy2)]
 
 
-def extract_page_rows(pages: DataFrame, level: int = 1) -> DataFrame:
+def extract_page_rows(pages: DataFrame, level: int = 1,
+                      counters: dict | None = None) -> DataFrame:
     """Runs kernel.identify_page + kernel.extract_page per page inside Arrow
     batches. Identification happens HERE, not as a JVM when-chain: the regex
     bank is compiled once per worker at module import (the spark-submit
@@ -57,12 +58,22 @@ def extract_page_rows(pages: DataFrame, level: int = 1) -> DataFrame:
     to classify — vs the reference's ≤7 re-OCR identify passes
     (document_identification/identify_doc.py:33-45) and vs Catalyst
     re-evaluating a 25-regex CASE chain in every expression that references
-    the column. UNKNOWN pages shortcut to the REJECTED 80 % box row."""
+    the column. UNKNOWN pages shortcut to the REJECTED 80 % box row.
+
+    ``counters`` (optional) holds Spark accumulators keyed ``pages`` /
+    ``rejected`` (SURVEY §2.6 A8) — live at-least-once progress metrics
+    (task retries re-count; the checkpoint lineage rows are the exact
+    numbers)."""
     import pandas as pd
+
+    c_pages = (counters or {}).get("pages")
+    c_rejected = (counters or {}).get("rejected")
 
     def run(batches):
         for pdf in batches:
             out = []
+            if c_pages is not None:
+                c_pages.add(len(pdf))
             for row in pdf.itertuples(index=False):
                 words = _word_tuples(row)
                 doc_type = kernel.identify_page(list(row.wtext))
@@ -72,6 +83,8 @@ def extract_page_rows(pages: DataFrame, level: int = 1) -> DataFrame:
                 base = (row.doc_id, int(row.offset), row.media_ref, row.document_name,
                         res["status"])
                 if res["status"] == kernel.REJECTED:
+                    if c_rejected is not None:
+                        c_rejected.add(1)
                     x1, y1, x2, y2 = kernel.rejected_box(int(row.width), int(row.height))
                     out.append(base + ("box", -1, "__PAGE__", "", 1, x1, y1, x2, y2))
                     continue

@@ -40,8 +40,10 @@ class PipelineConfig:
 
 
 def run_pipeline(documents: DataFrame, media_pages: DataFrame,
-                 config: PipelineConfig | None = None) -> dict[str, DataFrame]:
-    """Lazy plan builder: returns the four output DataFrames."""
+                 config: PipelineConfig | None = None,
+                 counters: dict | None = None) -> dict[str, DataFrame]:
+    """Lazy plan builder: returns the output DataFrames. ``counters`` =
+    optional accumulator dict for live progress metrics (A8)."""
     cfg = config or PipelineConfig()
     spans = explode_spans(documents)
     text_spans, media_spans = route_spans(spans)
@@ -54,13 +56,16 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
     # identify + extract fused in ONE Arrow stage (kernel-side bank);
     # classify_pages (operators/classify.py) remains the JVM-side variant for
     # SQL-expressible classification workloads
-    extracted = extract_page_rows(pages, cfg.level)
+    extracted = extract_page_rows(pages, cfg.level, counters)
 
     from .operators.xml_sink import render_redactions_xml, render_values_xml
 
     return {
         "spans": reassemble_flat(text_spans, media_spans),
         "documents": assemble_documents(reassemble_flat(text_spans, media_spans)),
+        # the flat extract output — persist this when forcing more than one
+        # of the sinks below, or the Arrow stage recomputes per action
+        "page_rows": extracted,
         "redactions": build_redactions(extracted),
         "values": build_values(extracted),
         # byte-identical reference XML documents (lazy; computed only if forced)
@@ -86,12 +91,20 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
     done = ckpt.completed_buckets(spark, ckpt_dir)
     remaining = sorted(set(range(cfg.n_buckets)) - done)
 
+    # live at-least-once progress accumulators (A8); exact numbers live in
+    # the checkpoint lineage rows
+    counters = {"pages": spark.sparkContext.accumulator(0),
+                "rejected": spark.sparkContext.accumulator(0)}
+
     stats = {"buckets_done_before": len(done), "waves": 0}
     for g in range(0, len(remaining), cfg.bucket_group):
         group = remaining[g: g + cfg.bucket_group]
         timer = ckpt.StageTimer()
         wave_docs = docs.filter(F.col("bucket").isin(group))
-        outs = run_pipeline(wave_docs.drop("bucket"), media_pages, cfg)
+        outs = run_pipeline(wave_docs.drop("bucket"), media_pages, cfg, counters)
+        # redactions + values both derive from the flat extract output;
+        # persist it so the Arrow stage runs once per wave, not per sink
+        page_rows = outs["page_rows"].persist()
 
         spans = ckpt.with_bucket(outs["spans"], cfg.n_buckets)
         spans.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/spans")
@@ -99,6 +112,7 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
         red.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/redactions")
         vals = ckpt.with_bucket(outs["values"], cfg.n_buckets)
         vals.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/values")
+        page_rows.unpersist()
 
         # per-bucket lineage metrics from the data just written (A8)
         m = {r["bucket"]: r for r in
@@ -123,4 +137,6 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
         ])
         stats["waves"] += 1
     stats["buckets_total"] = cfg.n_buckets
+    stats["acc_pages"] = counters["pages"].value
+    stats["acc_rejected"] = counters["rejected"].value
     return stats

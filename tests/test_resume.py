@@ -71,3 +71,16 @@ def test_killed_run_resumes_exactly(spark, corpus_input, monkeypatch):
     stats2 = run_job(spark, docs, pages, f"{base}/out", f"{base}/ckpt", PipelineConfig(**CFG))
     assert stats2["waves"] == 0
     assert _spans(spark, f"{base}/out") == expected
+
+
+def test_accumulator_metrics_match_outputs(spark, corpus_input):
+    base = corpus_input
+    stats = run_job(spark, f"{base}/input/documents", f"{base}/input/media_pages",
+                    f"{base}/out_acc", f"{base}/ckpt_acc", PipelineConfig(**CFG))
+    n_pages = (spark.read.parquet(f"{base}/out_acc/spans")
+               .filter("media_ref != ''").count())
+    n_rejected = (spark.read.parquet(f"{base}/out_acc/redactions")
+                  .filter("status = 'REJECTED'").count())
+    # at-least-once semantics: equal here (no task retries in local tests)
+    assert stats["acc_pages"] == n_pages
+    assert stats["acc_rejected"] == n_rejected
