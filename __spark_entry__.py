@@ -441,6 +441,32 @@ def q29_shingles(spark, sf_dir):
     )
 
 
+def q30_topk_orders(spark, sf_dir):
+    """§2.7 sorts/limits: global top-k with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey",
+                 _dec("o_totalprice").cast("double").alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q31_session_windows(spark, sf_dir):
+    """Session-window aggregation (gap 30 min): the built-in session_window
+    operator, differentially checked against DuckDB's lag-based session-id
+    construction — a true cross-engine operator equivalence test."""
+    from ocr_redaction_engine_spark.streaming import session_windows
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    s = session_windows(ev)
+    return s.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events", "total_value",
+    )
+
+
 def embed_norms(spark, sf_dir):
     """Embedding math in pure HOFs (F.aggregate): L2 norm + max |x|."""
     e = _t(spark, sf_dir, "embeddings")
@@ -618,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_assembly_fp": q27_assembly_fp,
         "q28_salted_agg": q28_salted_agg,
         "q29_shingles": q29_shingles,
+        "q30_topk_orders": q30_topk_orders,
+        "q31_session_windows": q31_session_windows,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -886,6 +914,32 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT doc_id, len(sh) AS n_shingles, len(list_distinct(sh)) AS n_distinct_shingles
             FROM s
+        """,
+        "q30_topk_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+            FROM orders
+            ORDER BY totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q31_session_windows": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, value FROM events WHERE user_id < 30),
+            marked AS (
+              SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                             THEN 1 ELSE 0 END AS brk
+              FROM e),
+            sess AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id,
+                   CAST(MIN(ts) AS VARCHAR) AS session_start,
+                   CAST(MAX(ts) + INTERVAL 30 MINUTES AS VARCHAR) AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM sess GROUP BY user_id, sid
         """,
         "embed_norms": """
             SELECT vec_id,
