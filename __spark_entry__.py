@@ -594,23 +594,28 @@ def dedup_components(spark, sf_dir):
     return connected_components(candidate_pairs(docs))
 
 
+N_MEDIA = 500
+
+
 def multimodal_byte_features(spark, sf_dir):
+    """Binary-column feature extraction: one scalar row per (media, bin) —
+    integer-exact, DuckDB-oracled (the payload generator is a recursive CTE)."""
     from ocr_redaction_engine_spark.analytics.multimodal import byte_features, synthesize_binary
-    return byte_features(synthesize_binary(spark, 500))
+    return byte_features(synthesize_binary(spark, N_MEDIA))
 
 
 def multimodal_frame_sample(spark, sf_dir):
     """Video-analog 1→N frame sampling over opaque binary payloads."""
     from ocr_redaction_engine_spark.analytics.multimodal import (
         sample_frames_bytes, synthesize_binary)
-    return sample_frames_bytes(synthesize_binary(spark, 500))
+    return sample_frames_bytes(synthesize_binary(spark, N_MEDIA), frame_size=128, every_n=2)
 
 
 def multimodal_window_energy(spark, sf_dir):
-    """Audio-analog windowed RMS energy over opaque binary payloads."""
+    """Audio-analog windowed RMS energy, one scalar row per (media, window)."""
     from ocr_redaction_engine_spark.analytics.multimodal import (
         synthesize_binary, window_energy)
-    return window_energy(synthesize_binary(spark, 500))
+    return window_energy(synthesize_binary(spark, N_MEDIA))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -673,6 +678,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+
+# Synthetic media payload as a recursive CTE — the exact md5-hex-chain of
+# analytics/multimodal.py:_payload (seed 42, N_MEDIA rows). `bytes` is one
+# row per (media_id, byte offset i, byte value v).
+_MEDIA_CTE = f"""
+    WITH RECURSIVE base AS (
+      SELECT CAST(r.range AS BIGINT) AS media_id,
+             256 + (CAST('0x' || substring(md5('42:' || CAST(r.range AS VARCHAR) || ':len'), 1, 4) AS INT) % 1024) AS ln
+      FROM range({N_MEDIA}) r
+    ),
+    chain AS (
+      SELECT media_id, ln, md5('42:' || CAST(media_id AS VARCHAR)) AS hx,
+             md5('42:' || CAST(media_id AS VARCHAR)) AS acc
+      FROM base
+      UNION ALL
+      SELECT media_id, ln, md5(hx), acc || md5(hx) FROM chain WHERE length(acc) < 2*ln
+    ),
+    payload AS (
+      SELECT media_id, ln, substring(acc, 1, CAST(2*ln AS INT)) AS hx
+      FROM chain WHERE length(acc) >= 2*ln
+    ),
+    bytes AS (
+      SELECT media_id, ln, CAST(i.range AS BIGINT) AS i,
+             CAST('0x' || substring(hx, CAST(2*i.range+1 AS INT), 2) AS INT) AS v
+      FROM payload CROSS JOIN range(1280) i
+      WHERE i.range < ln
+    )
+"""
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1042,5 +1075,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS cnt
             FROM (SELECT unnest({_TOK}) AS token FROM documents)
             GROUP BY token HAVING COUNT(*) >= 100
+        """,
+        "multimodal_byte_features": _MEDIA_CTE + """
+            , agg AS (
+              SELECT media_id, CAST(ln AS BIGINT) AS n_bytes,
+                     CAST((SUM(v)*1000000)//ln AS BIGINT) AS mean_b1e6
+              FROM bytes GROUP BY media_id, ln),
+            hist AS (
+              SELECT media_id, v // 16 AS hbin, COUNT(*) AS bin_count
+              FROM bytes GROUP BY media_id, v // 16),
+            binsx AS (
+              SELECT media_id, CAST(b.range AS BIGINT) AS bin
+              FROM base CROSS JOIN range(16) b)
+            SELECT a.media_id, a.n_bytes, a.mean_b1e6, binsx.bin,
+                   COALESCE(h.bin_count, 0) AS bin_count
+            FROM agg a JOIN binsx USING(media_id)
+            LEFT JOIN hist h ON h.media_id = binsx.media_id AND h.hbin = binsx.bin
+        """,
+        "multimodal_window_energy": _MEDIA_CTE + """
+            SELECT media_id, i // 64 AS window_idx,
+                   CAST(floor(sqrt(CAST(SUM(v*v) AS DOUBLE)/64)*1000000) AS BIGINT) AS rms_e6
+            FROM bytes GROUP BY media_id, i // 64
+        """,
+        "multimodal_frame_sample": _MEDIA_CTE + """
+            , frames AS (
+              SELECT media_id AS fmid, CAST(f.range AS BIGINT) AS frame_idx,
+                     substring(hx, CAST(256*f.range+1 AS INT), 256) AS fhx
+              FROM payload CROSS JOIN range(10) f
+              WHERE f.range < ln // 128 AND f.range % 2 = 0),
+            fmeans AS (
+              SELECT media_id AS mmid, i // 128 AS fidx,
+                     CAST((SUM(v)*1000000)//128 AS BIGINT) AS mean_b1e6
+              FROM bytes WHERE i < (ln // 128) * 128 GROUP BY media_id, i // 128)
+            SELECT f.fmid AS media_id, f.frame_idx, md5(f.fhx) AS frame_fp, m.mean_b1e6
+            FROM frames f JOIN fmeans m ON m.mmid = f.fmid AND m.fidx = f.frame_idx
         """,
     }

@@ -4,9 +4,26 @@ processed with Arrow-batched kernels.
 The container has no image/audio codecs, so the *decode* steps are stubbed
 behind NotImplementedError (per the build rules) while everything Spark-side
 — schema, batching, partitioning, UDF signatures, byte-level feature
-extraction — is real and tested. ``byte_features`` computes genuine
-content statistics (length, entropy-ish histogram) with numpy over Arrow
-batches, which is exactly the shape a real decoder plugs into.
+extraction — is real and tested. ``byte_features`` computes genuine content
+statistics (length, mean, byte histogram) with numpy over Arrow batches,
+which is exactly the shape a real decoder plugs into.
+
+Engine-parity design (round 2): every feature is **integer-exact** —
+
+* sums of bytes / squared bytes are int64 (order-independent, no float
+  accumulation), so Spark and the DuckDB oracle agree bit-for-bit;
+* means are fixed-point ``sum * 10^6 // n`` integers;
+* RMS energy is ``floor(sqrt(sumsq / window) * 10^6)`` — the only float ops
+  are one IEEE division and one IEEE sqrt, both correctly rounded and thus
+  identical across numpy and DuckDB;
+* the synthetic payload is an **md5-over-hex-string chain** (DuckDB's md5
+  only accepts VARCHAR, so the chain hashes the previous block's hex digest,
+  not its raw bytes), making the whole generator a recursive CTE;
+* frame fingerprints hash the frame's lowercase hex encoding
+  (``md5(frame.hex())``), again so VARCHAR-only engines can reproduce them.
+
+Outputs are scalar rows (one row per bin / window / frame) rather than array
+columns, so any canonicalizer that sorts tuples can diff them.
 """
 
 from __future__ import annotations
@@ -14,31 +31,35 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-FEATURE_SCHEMA = (
-    "media_id long, n_bytes int, mean_byte double, "
-    "hist array<int>"
-)
+FEATURE_SCHEMA = "media_id long, n_bytes long, mean_b1e6 long, bin long, bin_count long"
+
+
+def _payload(seed: int, i: int) -> bytes:
+    """Deterministic opaque payload for media ``i``: md5-hex-chain bytes.
+
+    length = 256 + (int(md5(f"{seed}:{i}:len")[:4], 16) % 1024); content =
+    unhex of the concatenated hex chain h0=md5(f"{seed}:{i}"),
+    h_{k+1}=md5(ascii(h_k)). Mirrored 1:1 by the recursive CTE in
+    __spark_entry__.oracle_sql().
+    """
+    ln = 256 + (int(hashlib.md5(f"{seed}:{i}:len".encode()).hexdigest()[:4], 16) % 1024)
+    hx = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+    acc = hx
+    while len(acc) < 2 * ln:
+        hx = hashlib.md5(hx.encode()).hexdigest()
+        acc += hx
+    return bytes.fromhex(acc[: 2 * ln])
 
 
 def synthesize_binary(spark, n: int, seed: int = 42, partitions: int = 8) -> DataFrame:
     """Deterministic opaque payloads: media_id → pseudo-random bytes
-    (md5 chain), standing in for image/audio blobs."""
+    (md5 hex chain), standing in for image/audio blobs."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            out = []
-            for i in pdf["id"]:
-                i = int(i)
-                ln = 256 + (int.from_bytes(hashlib.md5(f"{seed}:{i}:len".encode()).digest()[:2], "big") % 1024)
-                buf = b""
-                block = hashlib.md5(f"{seed}:{i}".encode()).digest()
-                while len(buf) < ln:
-                    buf += block
-                    block = hashlib.md5(block).digest()
-                out.append((i, buf[:ln], "image/fake"))
+            out = [(int(i), _payload(seed, int(i)), "image/fake") for i in pdf["id"]]
             yield pd.DataFrame(out, columns=["media_id", "content", "mime"])
 
     return spark.range(n).repartition(partitions).mapInPandas(
@@ -46,38 +67,45 @@ def synthesize_binary(spark, n: int, seed: int = 42, partitions: int = 8) -> Dat
 
 
 def byte_features(media: DataFrame, bins: int = 16) -> DataFrame:
-    """Real feature extraction over binary columns: length, mean byte value,
-    coarse byte histogram. numpy-vectorized per Arrow batch."""
+    """Feature extraction over binary columns, one row per (media, bin):
+    (media_id, n_bytes, mean_b1e6, bin, bin_count). mean_b1e6 is the
+    fixed-point mean byte value ``sum*10^6 // n``; all ``bins`` rows are
+    emitted (zero counts included). numpy-vectorized per Arrow batch."""
     import numpy as np
     import pandas as pd
+
+    cols = ["media_id", "n_bytes", "mean_b1e6", "bin", "bin_count"]
 
     def run(batches):
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 arr = np.frombuffer(bytes(content), dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=bins).astype(int)
-                out.append((int(mid), int(arr.size), float(round(arr.mean(), 6)),
-                            [int(x) for x in hist]))
-            yield pd.DataFrame(out, columns=["media_id", "n_bytes", "mean_byte", "hist"]) \
-                if out else pd.DataFrame({c: [] for c in ["media_id", "n_bytes", "mean_byte", "hist"]})
+                hist = np.bincount(arr >> 4, minlength=bins)
+                n = int(arr.size)
+                mean = int(arr.sum(dtype=np.int64)) * 1_000_000 // n
+                out.extend((int(mid), n, mean, b, int(hist[b])) for b in range(bins))
+            yield pd.DataFrame(out, columns=cols) if out else \
+                pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
 
     return media.select("media_id", "content").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-FRAME_SCHEMA = ("media_id long, frame_idx int, frame_md5 string, "
-                "mean_byte double")
+FRAME_SCHEMA = "media_id long, frame_idx long, frame_fp string, mean_b1e6 long"
 
 
-def sample_frames_bytes(media: DataFrame, frame_size: int = 256,
-                        every_n: int = 4) -> DataFrame:
+def sample_frames_bytes(media: DataFrame, frame_size: int = 128,
+                        every_n: int = 2) -> DataFrame:
     """Frame sampling over container-less fixed-stride payloads (the shape a
     real demuxer plugs into): slice ``content`` into ``frame_size`` frames,
-    keep every ``every_n``-th, emit per-frame stats. One input row fans out
-    to its sampled frames — the mapInPandas iterator shape for 1→N
-    multimodal expansion."""
+    keep every ``every_n``-th, emit per-frame fingerprint + fixed-point mean.
+    One input row fans out to its sampled frames — the mapInPandas iterator
+    shape for 1→N multimodal expansion. The fingerprint is
+    ``md5(frame.hex())`` (hex-encoded input) for cross-engine parity."""
     import numpy as np
     import pandas as pd
+
+    cols = ["media_id", "frame_idx", "frame_fp", "mean_b1e6"]
 
     def run(batches):
         for pdf in batches:
@@ -88,36 +116,45 @@ def sample_frames_bytes(media: DataFrame, frame_size: int = 256,
                 for fi in range(0, n_frames, every_n):
                     frame = buf[fi * frame_size:(fi + 1) * frame_size]
                     arr = np.frombuffer(frame, dtype=np.uint8)
-                    out.append((int(mid), fi, hashlib.md5(frame).hexdigest(),
-                                float(round(arr.mean(), 6))))
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_md5", "mean_byte"]) \
-                if out else pd.DataFrame({c: [] for c in ["media_id", "frame_idx", "frame_md5", "mean_byte"]})
+                    fp = hashlib.md5(frame.hex().encode()).hexdigest()
+                    mean = int(arr.sum(dtype=np.int64)) * 1_000_000 // frame_size
+                    out.append((int(mid), fi, fp, mean))
+            yield pd.DataFrame(out, columns=cols) if out else \
+                pd.DataFrame({"media_id": pd.Series(dtype="int64"),
+                              "frame_idx": pd.Series(dtype="int64"),
+                              "frame_fp": pd.Series(dtype="object"),
+                              "mean_b1e6": pd.Series(dtype="int64")})
 
     return media.select("media_id", "content").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-ENERGY_SCHEMA = "media_id long, n_windows int, energy array<double>"
+ENERGY_SCHEMA = "media_id long, window_idx long, rms_e6 long"
 
 
 def window_energy(media: DataFrame, window: int = 64) -> DataFrame:
-    """Audio-analog feature extraction: RMS energy per fixed window of the
-    byte stream (numpy-vectorized; swap the byte view for PCM samples and
-    nothing else changes)."""
+    """Audio-analog feature extraction, one row per (media, window): RMS
+    energy ``floor(sqrt(sumsq/window)*10^6)`` per fixed window of the byte
+    stream (zero-padded tail; swap the byte view for PCM samples and nothing
+    else changes). Squared sums are exact int64 so the value is identical
+    across engines."""
     import numpy as np
     import pandas as pd
+
+    cols = ["media_id", "window_idx", "rms_e6"]
 
     def run(batches):
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                arr = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float64)
+                arr = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
                 n = (len(arr) + window - 1) // window
-                pad = np.zeros(n * window)
+                pad = np.zeros(n * window, dtype=np.int64)
                 pad[:len(arr)] = arr
-                rms = np.sqrt((pad.reshape(n, window) ** 2).mean(axis=1))
-                out.append((int(mid), n, [float(round(x, 6)) for x in rms]))
-            yield pd.DataFrame(out, columns=["media_id", "n_windows", "energy"]) \
-                if out else pd.DataFrame({c: [] for c in ["media_id", "n_windows", "energy"]})
+                sumsq = (pad * pad).reshape(n, window).sum(axis=1)  # exact int64
+                rms_e6 = np.floor(np.sqrt(sumsq / window) * 1_000_000).astype(np.int64)
+                out.extend((int(mid), wi, int(rms_e6[wi])) for wi in range(n))
+            yield pd.DataFrame(out, columns=cols) if out else \
+                pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
 
     return media.select("media_id", "content").mapInPandas(run, schema=ENERGY_SCHEMA)
 

@@ -1,4 +1,9 @@
-"""Multimodal byte-level kernels vs driver-side numpy oracles."""
+"""Multimodal byte-level kernels vs driver-side numpy oracles.
+
+Round 2: outputs are scalar rows with integer-exact features (see
+analytics/multimodal.py docstring), so the DuckDB driver gate can hash them;
+these tests pin the kernels against an independent numpy re-computation.
+"""
 
 from __future__ import annotations
 
@@ -8,7 +13,8 @@ import numpy as np
 import pytest
 
 from ocr_redaction_engine_spark.analytics.multimodal import (
-    byte_features, sample_frames_bytes, synthesize_binary, window_energy)
+    _payload, byte_features, sample_frames_bytes, synthesize_binary,
+    window_energy)
 
 
 @pytest.fixture(scope="module")
@@ -25,44 +31,66 @@ def test_synthesize_deterministic(spark, payloads):
     again = {r.media_id: bytes(r.content)
              for r in synthesize_binary(spark, 40, seed=42, partitions=2).collect()}
     assert again == payloads  # partitioning must not change content
+    # distributed generator == local generator
+    assert all(payloads[mid] == _payload(42, mid) for mid in payloads)
+
+
+def test_payload_is_md5_hex_chain():
+    """The generator contract the DuckDB recursive CTE mirrors."""
+    buf = _payload(7, 3)
+    ln = 256 + (int(hashlib.md5(b"7:3:len").hexdigest()[:4], 16) % 1024)
+    assert len(buf) == ln
+    hx = hashlib.md5(b"7:3").hexdigest()
+    acc = hx
+    while len(acc) < 2 * ln:
+        hx = hashlib.md5(hx.encode()).hexdigest()
+        acc += hx
+    assert buf == bytes.fromhex(acc[:2 * ln])
 
 
 def test_byte_features_match_numpy(media, payloads):
-    got = {r.media_id: (r.n_bytes, r.mean_byte, list(r.hist))
-           for r in byte_features(media).collect()}
+    got = {}
+    for r in byte_features(media).collect():
+        got.setdefault(r.media_id, {})[r.bin] = (r.n_bytes, r.mean_b1e6, r.bin_count)
     assert set(got) == set(payloads)
     for mid, buf in payloads.items():
         arr = np.frombuffer(buf, dtype=np.uint8)
         hist = np.bincount(arr >> 4, minlength=16)
-        assert got[mid] == (arr.size, float(round(arr.mean(), 6)), [int(x) for x in hist])
+        mean = int(arr.sum(dtype=np.int64)) * 1_000_000 // arr.size
+        assert sorted(got[mid]) == list(range(16))  # all bins, zeros included
+        for b in range(16):
+            assert got[mid][b] == (arr.size, mean, int(hist[b]))
 
 
 def test_frame_sampling_matches_oracle(media, payloads):
     fs, every = 128, 3
     got = {}
     for r in sample_frames_bytes(media, frame_size=fs, every_n=every).collect():
-        got.setdefault(r.media_id, []).append((r.frame_idx, r.frame_md5, r.mean_byte))
+        got.setdefault(r.media_id, []).append((r.frame_idx, r.frame_fp, r.mean_b1e6))
     for mid, buf in payloads.items():
         n_frames = len(buf) // fs
         exp = []
         for fi in range(0, n_frames, every):
             frame = buf[fi * fs:(fi + 1) * fs]
             arr = np.frombuffer(frame, dtype=np.uint8)
-            exp.append((fi, hashlib.md5(frame).hexdigest(), float(round(arr.mean(), 6))))
+            exp.append((fi, hashlib.md5(frame.hex().encode()).hexdigest(),
+                        int(arr.sum(dtype=np.int64)) * 1_000_000 // fs))
         assert sorted(got.get(mid, [])) == sorted(exp), f"media {mid}"
 
 
 def test_window_energy_matches_oracle(media, payloads):
     win = 50
-    got = {r.media_id: (r.n_windows, list(r.energy))
-           for r in window_energy(media, window=win).collect()}
+    got = {}
+    for r in window_energy(media, window=win).collect():
+        got.setdefault(r.media_id, {})[r.window_idx] = r.rms_e6
     for mid, buf in payloads.items():
-        arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+        arr = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
         n = (len(arr) + win - 1) // win
-        pad = np.zeros(n * win)
+        pad = np.zeros(n * win, dtype=np.int64)
         pad[:len(arr)] = arr
-        rms = [float(round(x, 6)) for x in np.sqrt((pad.reshape(n, win) ** 2).mean(axis=1))]
-        assert got[mid] == (n, rms)
+        sumsq = (pad * pad).reshape(n, win).sum(axis=1)
+        exp = np.floor(np.sqrt(sumsq / win) * 1_000_000).astype(np.int64)
+        assert got[mid] == {wi: int(exp[wi]) for wi in range(n)}
 
 
 def test_codec_stubs_raise(media):
