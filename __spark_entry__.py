@@ -492,11 +492,37 @@ def text_token_count(spark, sf_dir):
     )
 
 
+def _embeddings_with_rerawl(e: DataFrame) -> DataFrame:
+    """Near-dup test corpus: embeddings ∪ a deterministic perturbed copy
+    ("re-crawl" analog, vec_id + 10^6). The perturbation is engine-exact:
+    x_d + ((vec_id*31 + d*7) % 11 - 5) * 0.001 in double precision, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    orig = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    # NB: alias vec_id only AFTER the transform — Spark's lateral column
+    # alias resolution would otherwise bind the lambda's vec_id to the
+    # shifted id
+    pert = e.select(
+        F.col("vec_id").alias("orig_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (((F.col("vec_id") * 31 + i * 7) % 11) - 5) * F.lit(0.001),
+        ).alias("embedding"),
+    ).select((F.col("orig_id") + 1000000).alias("vec_id"), "embedding")
+    return orig.unionByName(pert)
+
+
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.4 on the synthetic
-    corpus; the LSH-bucketed variant is the scale path)."""
-    from ocr_redaction_engine_spark.analytics.similarity import cosine_pairs
-    return cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding-cosine near-dup pairs at threshold 0.99 between the corpus
+    and its perturbed re-crawl — routed through the LSH-bucketed candidate
+    path (multi-table bucket equi-join + exact-cosine verify), the plan that
+    survives 100×. The DuckDB oracle is brute force over the same union, so
+    the gate also proves the bucketed path's recall on this corpus."""
+    from ocr_redaction_engine_spark.analytics.similarity import cosine_pairs_bucketed
+    return cosine_pairs_bucketed(
+        _embeddings_with_rerawl(_t(spark, sf_dir, "embeddings")),
+        threshold=0.99, n_tables=8, n_planes=16)
 
 
 def dedup_exact(spark, sf_dir):
@@ -988,11 +1014,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_embedding_cosine": """
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            WITH u AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    (x, i) -> x + ((vec_id*31 + (i-1)*7) % 11 - 5) * 0.001)
+              FROM embeddings)
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(list_cosine_similarity(a.e, b.e), 6) AS sim
-            FROM v a JOIN v b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+        """,
+        "ann_lsh_topk": """
+            WITH dims AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(range(len(embedding))) AS d
+              FROM embeddings),
+            qv AS (SELECT vec_id, d, CAST(floor(x*1000000) AS BIGINT) AS q FROM dims),
+            planes AS (
+              SELECT CAST(p.range AS INT) AS p, CAST(dd.range AS BIGINT) AS d,
+                     CAST(md5_number_upper('7:' || CAST(p.range AS VARCHAR) || ':' || CAST(dd.range AS VARCHAR)) >> 44 AS BIGINT) - 524288 AS w
+              FROM range(8) p CROSS JOIN range(64) dd),
+            dots AS (SELECT vec_id, p, SUM(q*w) AS dot FROM qv JOIN planes USING(d) GROUP BY vec_id, p),
+            buckets AS (
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id),
+            e AS (SELECT b.vec_id, b.bucket, CAST(emb.embedding AS DOUBLE[]) AS emb
+                  FROM buckets b JOIN embeddings emb USING (vec_id)),
+            scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                     round(list_cosine_similarity(q.emb, c.emb), 6) AS sim
+              FROM e q JOIN e c ON q.bucket = c.bucket
+              WHERE q.vec_id < 5 AND c.vec_id >= 5),
+            r AS (SELECT q_id, c_id, sim,
+                         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
+                  FROM scored)
+            SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
         """,
         "dedup_exact": f"""
             WITH fp AS (
@@ -1075,6 +1134,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS cnt
             FROM (SELECT unnest({_TOK}) AS token FROM documents)
             GROUP BY token HAVING COUNT(*) >= 100
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            edges AS (
+              SELECT a AS u, b AS v FROM cands
+              UNION SELECT b, a FROM cands),
+            reach(u, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v)
+            SELECT u AS node, MIN(lab) AS component FROM reach GROUP BY u
+        """,
+        "dedup_simhash_cands": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS tok FROM documents),
+            h AS (SELECT doc_id, md5_number_upper(tok) >> 4 AS hv FROM toks),
+            votes AS (
+              SELECT doc_id, b.range AS bit,
+                     SUM(CASE WHEN (hv >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(60) b GROUP BY doc_id, b.range),
+            sig AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, b.range AS band,
+                     (simhash >> CAST(b.range * 15 AS INT)) & 32767 AS band_val
+              FROM sig CROSS JOIN range(4) b)
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
         """,
         "multimodal_byte_features": _MEDIA_CTE + """
             , agg AS (

@@ -97,28 +97,41 @@ SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
-    """SimHash signatures via an Arrow-batched kernel (hashing is the hot
-    loop; numpy votes per batch). 60 bits keeps the value in a signed long.
-    Near-dup candidates then join on bit-band substrings of the signature."""
+    """SimHash signatures via an Arrow-batched numpy kernel. 60 bits keeps
+    the value in a signed long; near-dup candidates then join on bit-band
+    substrings of the signature.
+
+    Per-token hash = little-endian int64 of md5(token)[:8] shifted down to
+    ``bits`` bits — exactly DuckDB's ``md5_number_upper(token) >> 4``, so the
+    signature is reproducible in the SQL oracle. Votes are a (tokens × bits)
+    numpy matrix summed per document — no per-bit Python loop.
+    """
+    import hashlib
+
+    import numpy as np
     import pandas as pd
 
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+
     def run(batches):
-        import hashlib
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                votes = [0] * bits
-                for tok in set(text.split()):
-                    h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") >> (64 - bits)
-                    for i in range(bits):
-                        votes[i] += 1 if (h >> i) & 1 else -1
-                sig = 0
-                for i in range(bits):
-                    if votes[i] > 0:
-                        sig |= 1 << i
-                out.append((int(doc_id), sig))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"]) if out else \
-                pd.DataFrame({"doc_id": [], "simhash": []})
+            tok_sets = [sorted(set(t.split())) for t in pdf["text"]]
+            all_digs = b"".join(
+                hashlib.md5(t.encode()).digest()[:8]
+                for toks in tok_sets for t in toks)
+            hashes = np.frombuffer(all_digs, dtype="<u8") >> np.uint64(64 - bits)
+            # (n_tokens, bits) sign matrix: +1 for a set bit, -1 otherwise
+            signs = (((hashes[:, None] >> shifts[None, :]) & np.uint64(1))
+                     .astype(np.int32) * 2 - 1)
+            sigs, off = [], 0
+            for toks in tok_sets:
+                votes = signs[off:off + len(toks)].sum(axis=0) if toks else \
+                    np.zeros(bits, dtype=np.int64)
+                off += len(toks)
+                sigs.append(int(weights[votes > 0].sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "simhash": pd.Series(sigs, dtype="int64")})
 
     return docs.select("doc_id", "text").mapInPandas(run, schema=SIMHASH_SCHEMA)
 
@@ -160,6 +173,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a chain-shaped cluster with diameter > max_iter would silently get
+        # partial labels — refuse to return wrong components (ADVICE r1)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch to "
+            "doubling propagation for high-diameter graphs")
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 

@@ -69,38 +69,131 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
 BUCKET_SCHEMA = "vec_id long, bucket long"
 
 
-def lsh_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 7) -> DataFrame:
-    """Random-hyperplane bucket id per vector — deterministic (md5-seeded
-    hyperplanes, pure function of (seed, plane, dim))."""
+def _plane_matrix(n_planes: int, dim: int, seed: int) -> "np.ndarray":
+    """Integer hyperplane weights, pure function of (seed, plane, dim):
+    ``(little_endian_int64(md5(f"{seed}:{p}:{d}")[:8]) >> 44) - 2^19`` —
+    exactly DuckDB's ``md5_number_upper(...) >> 44 - 524288``, range
+    [-2^19, 2^19). Integer weights + fixed-point vectors make the bucket id
+    EXACT (no float summation-order ambiguity), so the SQL oracle reproduces
+    it bit-for-bit."""
     import hashlib
 
     import numpy as np
-    import pandas as pd
 
-    def planes(dim: int) -> "np.ndarray":
-        vals = np.empty((n_planes, dim))
-        for p in range(n_planes):
-            for d in range(dim):
-                h = int.from_bytes(
-                    hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "big")
-                vals[p, d] = h / 2**63 - 1.0
-        return vals
+    vals = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "little")
+            vals[p, d] = (h >> 44) - 524288
+    return vals
+
+
+def _fixed_point(M: "np.ndarray") -> "np.ndarray":
+    """floor(x * 10^6) per dimension — the exact quantization the oracle
+    applies (float32 → float64 is exact; floor of a double is exact)."""
+    import numpy as np
+
+    return np.floor(M * 1_000_000.0).astype(np.int64)
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 12, seed: int = 7) -> DataFrame:
+    """Random-hyperplane bucket id per vector: sign bits of integer dot
+    products between the fixed-point vector and md5-derived integer
+    hyperplanes. Deterministic AND engine-exact (see _plane_matrix)."""
+    import numpy as np
+    import pandas as pd
 
     def run(batches):
         H = None
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"vec_id": [], "bucket": []})
+                yield pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                    "bucket": pd.Series(dtype="int64")})
                 continue
             M = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
             if H is None:
-                H = planes(M.shape[1])
-            bits = (M @ H.T) > 0
-            bucket = bits.dot(1 << np.arange(n_planes, dtype=np.int64))
+                H = _plane_matrix(n_planes, M.shape[1], seed)
+            dots = _fixed_point(M) @ H.T            # exact int64
+            bucket = (dots > 0).dot(1 << np.arange(n_planes, dtype=np.int64))
             yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
                                 "bucket": bucket.astype("int64")})
 
     return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=BUCKET_SCHEMA)
+
+
+TABLE_BUCKET_SCHEMA = "vec_id long, tbl int, bucket long"
+
+
+def lsh_table_buckets(embeddings: DataFrame, n_tables: int = 8,
+                      n_planes: int = 16, seed: int = 7) -> DataFrame:
+    """Multi-table LSH (OR-construction): ``n_tables`` independent bucket ids
+    per vector in ONE Arrow pass, emitted as (vec_id, tbl, bucket) rows.
+    Candidate generation is then a single self-equi-join on (tbl, bucket) —
+    not T separate joins — which is the join shape that scales: the shuffle
+    key is (tbl, bucket), hot buckets split under AQE, and the explode factor
+    is exactly n_tables."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        H = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                    "tbl": pd.Series(dtype="int32"),
+                                    "bucket": pd.Series(dtype="int64")})
+                continue
+            M = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            if H is None:
+                # one stacked matrix: table t uses plane rows [t*P, (t+1)*P)
+                H = _plane_matrix(n_tables * n_planes, M.shape[1], seed)
+            dots = _fixed_point(M) @ H.T                       # (n, T*P)
+            bits = (dots > 0).reshape(len(M), n_tables, n_planes)
+            w = 1 << np.arange(n_planes, dtype=np.int64)
+            buckets = bits.dot(w)                              # (n, T)
+            n = len(M)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(dtype="int64"), n_tables),
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema=TABLE_BUCKET_SCHEMA)
+
+
+def cosine_pairs_bucketed(embeddings: DataFrame, threshold: float = 0.99,
+                          n_tables: int = 8, n_planes: int = 16,
+                          seed: int = 7) -> DataFrame:
+    """Near-duplicate pairs at scale: multi-table LSH candidates + exact
+    cosine verify. Precision is exact (every candidate is re-scored with the
+    true cosine); recall is the LSH collision probability, tunable via
+    (n_tables, n_planes) — at near-dup thresholds (≥0.95) a handful of
+    16-bit tables gives ~certain recall while bucket sizes stay ~N/2^16.
+    The plan is: one Arrow bucketing pass → one self-equi-join on
+    (tbl, bucket) → distinct pairs → one join back to fetch vectors → exact
+    filter. No cross join, no full-table broadcast."""
+    b = lsh_table_buckets(embeddings, n_tables, n_planes, seed)
+    left = b.select(F.col("vec_id").alias("a"), "tbl", "bucket")
+    right = b.select(F.col("vec_id").alias("b"), "tbl", "bucket")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("a"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("a_emb"))
+    eb = embeddings.select(
+        F.col("vec_id").alias("b"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("b_emb"))
+    return (
+        cand.join(ea, "a").join(eb, "b")
+        .withColumn("sim", F.round(_dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
 
 
 def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,

@@ -1,0 +1,72 @@
+"""Round-2 scale paths: vectorized SimHash and bucketed cosine dedup.
+
+Pins the numpy kernels against independent pure-Python / brute-force
+references so the vectorization can never drift semantically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+
+
+def _simhash_py(text: str, bits: int = 60) -> int:
+    """Independent scalar reference for the vectorized kernel."""
+    votes = [0] * bits
+    for tok in set(re.split(r"\s+", text.strip())):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little") >> (64 - bits)
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+
+def test_simhash_matches_scalar_reference(docs):
+    from ocr_redaction_engine_spark.analytics.dedup import simhash
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    exp = {r.doc_id: _simhash_py(r.text) for r in docs.collect()}
+    assert got == exp
+
+
+def test_simhash_duckdb_parity_little_endian():
+    """The kernel's per-token hash must equal DuckDB md5_number_upper >> 4."""
+    import duckdb
+    for tok in ("alpha", "β-token", "42"):
+        duck = duckdb.connect().execute(
+            "SELECT md5_number_upper(?) >> 4", [tok]).fetchone()[0]
+        py = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little") >> 4
+        assert int(duck) == py
+
+
+def test_bucketed_cosine_equals_brute_force(spark):
+    """The scale path (multi-table LSH candidates + exact verify) must return
+    the same pairs as the O(N²) brute force on the near-dup corpus."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _embeddings_with_rerawl
+    from ocr_redaction_engine_spark.analytics.similarity import (
+        cosine_pairs, cosine_pairs_bucketed)
+
+    u = _embeddings_with_rerawl(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    brute = {(r.a, r.b, r.sim) for r in cosine_pairs(u, threshold=0.99).collect()}
+    bucketed = {(r.a, r.b, r.sim)
+                for r in cosine_pairs_bucketed(u, threshold=0.99).collect()}
+    assert brute == bucketed
+    assert len(brute) == 500  # every original pairs with exactly its re-crawl
+
+
+def test_bucketed_cosine_plan_has_no_cross_join(spark):
+    from __spark_entry__ import dedup_embedding_cosine
+    plan = dedup_embedding_cosine(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
