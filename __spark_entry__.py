@@ -1135,6 +1135,77 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({_TOK}) AS token FROM documents)
             GROUP BY token HAVING COUNT(*) >= 100
         """,
+        "ann_ivf_topk": """
+            WITH dims AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(range(len(embedding))) AS d
+              FROM embeddings),
+            fx AS (SELECT vec_id, d, CAST(floor(x*1000000) AS BIGINT) AS q FROM dims),
+            seeds AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
+                FROM embeddings) WHERE cluster < 16),
+            c0 AS (SELECT s.cluster, f.d, f.q AS c FROM seeds s JOIN fx f USING (vec_id)),
+            d1 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c0 c USING (d) GROUP BY f.vec_id, c.cluster),
+            a1 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                     FROM d1) WHERE rn = 1),
+            m1 AS (SELECT a.cluster, f.d, SUM(f.q) AS s, COUNT(*) AS n
+                   FROM a1 a JOIN fx f USING (vec_id) GROUP BY a.cluster, f.d),
+            c1 AS (SELECT c0.cluster, c0.d, COALESCE(CAST(m1.s // m1.n AS BIGINT), c0.c) AS c
+                   FROM c0 LEFT JOIN m1 ON m1.cluster = c0.cluster AND m1.d = c0.d),
+            d2 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c1 c USING (d) GROUP BY f.vec_id, c.cluster),
+            a2 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                     FROM d2) WHERE rn = 1),
+            m2 AS (SELECT a.cluster, f.d, SUM(f.q) AS s, COUNT(*) AS n
+                   FROM a2 a JOIN fx f USING (vec_id) GROUP BY a.cluster, f.d),
+            c2 AS (SELECT c1.cluster, c1.d, COALESCE(CAST(m2.s // m2.n AS BIGINT), c1.c) AS c
+                   FROM c1 LEFT JOIN m2 ON m2.cluster = c1.cluster AND m2.d = c1.d),
+            d3 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c2 c USING (d) WHERE f.vec_id >= 5
+                   GROUP BY f.vec_id, c.cluster),
+            a3 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                     FROM d3) WHERE rn = 1),
+            dq AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c2 c USING (d) WHERE f.vec_id < 5
+                   GROUP BY f.vec_id, c.cluster),
+            probes AS (SELECT vec_id AS q_id, cluster FROM (
+                         SELECT vec_id, cluster,
+                                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                         FROM dq) WHERE rn <= 4),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            scored AS (
+              SELECT p.q_id, a3.vec_id AS c_id,
+                     round(list_cosine_similarity(qe.emb, ce.emb), 6) AS sim
+              FROM probes p JOIN a3 ON a3.cluster = p.cluster
+              JOIN e qe ON qe.vec_id = p.q_id
+              JOIN e ce ON ce.vec_id = a3.vec_id),
+            r AS (SELECT q_id, c_id, sim,
+                         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
+                  FROM scored)
+            SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
+        """,
+        # Flagship pipeline goldens: the pure-Python oracle's expected output
+        # (ocr_redaction_engine_spark/oracle.py over the seed-42 150-doc
+        # corpus) materialized by tools/write_pipeline_golden.py — computed
+        # independently of the Spark pipeline under test.
+        "pipeline_spans": """
+            SELECT doc_id, "order", kind, text, media_ref
+            FROM read_parquet('/root/repo/dist/golden/pipeline_spans.parquet/*.parquet')
+        """,
+        "pipeline_redactions": """
+            SELECT doc_id, media_ref, status, field, seq, x1, y1, x2, y2,
+                   frame_id, document_id
+            FROM read_parquet('/root/repo/dist/golden/pipeline_redactions.parquet/*.parquet')
+        """,
         "dedup_components": f"""
             WITH RECURSIVE toks AS (
               SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),

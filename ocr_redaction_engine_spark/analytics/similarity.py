@@ -196,61 +196,75 @@ def cosine_pairs_bucketed(embeddings: DataFrame, threshold: float = 0.99,
     )
 
 
+def _fixed_point_col():
+    """The JVM twin of :func:`_fixed_point`: embedding → int64 fixed-point."""
+    return F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000000).cast("long"))
+
+
 def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
-                     n_iters: int = 4) -> list:
-    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+                     n_iters: int = 2) -> "np.ndarray":
+    """Deterministic Lloyd iterations for the IVF coarse quantizer, in
+    **exact int64 fixed-point** arithmetic so every engine (and every
+    partitioning) produces identical centroids.
 
-    Init: the ``n_clusters`` vectors with the smallest md5(vec_id) (a
-    seedless deterministic sample). Assignment is an Arrow-batched numpy
-    matmul against the broadcast centroid matrix; the recompute step is a
-    per-(cluster, dim) mean via posexplode + hash agg (fully distributed —
-    only the k×dim centroid matrix ever reaches the driver).
-    """
-    import hashlib
-
+    Init: the ``n_clusters`` vectors with the smallest md5(vec_id) hex (a
+    seedless deterministic sample), cluster id = rank in that md5 order.
+    Assignment is an Arrow-batched numpy int64 distance; the recompute step
+    is a per-(cluster, dim) exact SUM/COUNT hash agg (fully distributed —
+    only the k×dim centroid matrix ever reaches the driver), with
+    truncating division (DuckDB ``//`` semantics) and empty clusters keeping
+    their previous centroid."""
     import numpy as np
 
     seed_ids = embeddings.select(
         "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
     ).orderBy("h").limit(n_clusters)
     init = (
-        embeddings.join(seed_ids.select("vec_id"), "vec_id")
-        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        embeddings.join(seed_ids, "vec_id")
+        .select("h", _fixed_point_col().alias("fx")).orderBy("h").collect()
     )
-    centroids = np.array([np.asarray(r.embedding, dtype=np.float64) for r in init])
+    centroids = np.array([r.fx for r in init], dtype=np.int64)
 
+    fx = embeddings.select("vec_id", _fixed_point_col().alias("fx"))
     for _ in range(n_iters):
         assigned = assign_clusters(embeddings, centroids)
         dims = (
-            embeddings.join(assigned, "vec_id")
-            .select("cluster", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+            fx.join(assigned, "vec_id")
+            .select("cluster", F.posexplode("fx").alias("dim", "q"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
             .collect()
         )
         new = centroids.copy()
         for r in dims:
-            new[r.cluster, r.dim] = r.m
+            s, n = int(r.s), int(r.n)
+            new[r.cluster, r.dim] = (abs(s) // n) * (1 if s >= 0 else -1)
         centroids = new
-    return centroids.tolist()
+    return centroids
 
 
 ASSIGN_SCHEMA = "vec_id long, cluster int"
 
 
 def assign_clusters(embeddings: DataFrame, centroids) -> DataFrame:
-    """vec → nearest centroid (L2), numpy per Arrow batch."""
+    """vec → nearest centroid (exact int64 fixed-point L2; ties break to the
+    smallest cluster id), numpy per Arrow batch."""
     import numpy as np
 
-    C = np.asarray(centroids, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.int64)
 
     def run(batches):
         import pandas as pd
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"vec_id": [], "cluster": []})
+                yield pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                    "cluster": pd.Series(dtype="int32")})
                 continue
             M = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            Q = _fixed_point(M)
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # np.argmin returns the FIRST minimum → smallest cluster id
             yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
                                 "cluster": d2.argmin(axis=1).astype("int32")})
 
@@ -260,16 +274,16 @@ def assign_clusters(embeddings: DataFrame, centroids) -> DataFrame:
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF ANN: coarse-quantize candidates into inverted lists; each query
-    scores only the ``nprobe`` nearest lists. Same output shape as
-    cosine_topk. At warehouse scale the cluster assignment is a write-time
-    partition column, so a probe is a partition-pruned scan."""
+    scores only the ``nprobe`` nearest lists (exact-cosine scores within
+    them). Same output shape as cosine_topk. At warehouse scale the cluster
+    assignment is a write-time partition column, so a probe is a
+    partition-pruned scan."""
     import numpy as np
 
-    centroids = kmeans_centroids(embeddings, n_clusters)
-    C = np.asarray(centroids)
+    C = kmeans_centroids(embeddings, n_clusters)
 
     cand = embeddings.filter(F.col("vec_id") >= n_queries)
-    cand_assign = assign_clusters(cand, centroids)
+    cand_assign = assign_clusters(cand, C)
     cands = cand.join(cand_assign, "vec_id").select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cluster")
 
@@ -277,8 +291,9 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .select("vec_id", "embedding").collect()
     probe_rows = []
     for r in q_rows:
-        v = np.asarray(r.embedding, dtype=np.float64)
-        order = (((C - v) ** 2).sum(axis=1)).argsort()[:nprobe]
+        qv = _fixed_point(np.asarray(r.embedding, dtype=np.float64)[None, :])[0]
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        order = np.argsort(d2, kind="stable")[:nprobe]  # ties → smallest id
         for cl in order:
             probe_rows.append((int(r.vec_id), int(cl)))
     probes = embeddings.sparkSession.createDataFrame(
@@ -289,7 +304,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     scored = (
         F.broadcast(probes.join(q, "q_id")).join(cands, "cluster")
         .withColumn("sim", F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
-        .select("q_id", "c_id", "sim").distinct()
+        .select("q_id", "c_id", "sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

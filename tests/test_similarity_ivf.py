@@ -16,7 +16,8 @@ def embeddings(spark):
 def test_centroids_deterministic(spark, embeddings):
     c1 = kmeans_centroids(embeddings, n_clusters=8, n_iters=2)
     c2 = kmeans_centroids(embeddings, n_clusters=8, n_iters=2)
-    assert c1 == c2
+    assert (c1 == c2).all()
+    assert c1.dtype.kind == "i"  # exact int64 fixed-point — engine-portable
 
 
 def test_ivf_recall_vs_bruteforce(spark, embeddings):
