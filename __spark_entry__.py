@@ -245,10 +245,8 @@ def q16_name_parse(spark, sf_dir):
     ).otherwise(F.concat(F.lit("p"), F.col("doc_id").cast("string"), F.lit("_pg.jpg")))
     d = d.select("doc_id", name.alias("document_name"))
     matched = F.col("document_name").rlike("^[0-9]+F[0-9a-fA-Z_-]+")
-    first_seg = F.split("document_name", "_").getItem(0)
     frame = F.when(matched, F.split(F.split("document_name", "-").getItem(0), "F")
                    .getItem(0).cast("int") - 1).otherwise(0)
-    dash_seg = F.split(first_seg, "-").getItem(1)
     doc_part = F.when(matched, F.expr(
         "substring(split(split(document_name,'_')[0],'-')[1], 1, "
         "length(split(split(document_name,'_')[0],'-')[1]) - 1)"

@@ -43,6 +43,9 @@ HEADLINE = [
     "q13_groupagg_q1", "q14_join_broadcast_revenue", "q17_hourly_rollup",
     "dedup_exact", "dedup_minhash_bands", "ann_cosine_topk",
     "text_quality", "text_vocab",
+    # round-2 scale paths: bucketed near-dup (no cross join), vectorized
+    # SimHash band candidates, integer-exact LSH ANN
+    "dedup_embedding_cosine", "dedup_simhash_cands", "ann_lsh_topk",
 ]
 
 
@@ -78,6 +81,53 @@ def ensure_corpus(spark, n_docs: int) -> tuple[str, str]:
         write_corpus(spark, CORPUS_DIR, n_docs, seed=42, partitions=64)
         open(marker, "w").close()
     return docs, pages
+
+
+def stage_profile(spark, docs_path: str, pages_path: str, level: int = 1) -> dict:
+    """Per-stage wall times of the pipeline's independent actions (VERDICT r1
+    #8: make engine-vs-host attribution measurable). Each stage is forced as
+    its own action after one warm pass; times overlap by construction (the
+    Arrow stage re-runs the tokenize join, the sinks persist the extract
+    output first), so read them as cumulative cuts, not a partition."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from ocr_redaction_engine_spark.operators.explode import explode_spans, route_spans
+    from ocr_redaction_engine_spark.operators.extract import extract_page_rows
+    from ocr_redaction_engine_spark.operators.redactions import build_redactions, build_values
+    from ocr_redaction_engine_spark.operators.reassemble import reassemble_flat
+    from ocr_redaction_engine_spark.operators.tokenize import tokenize_fixture
+
+    documents = spark.read.parquet(docs_path)
+    media_pages = spark.read.parquet(pages_path)
+    text_spans, media_spans = route_spans(explode_spans(documents))
+    pages = tokenize_fixture(media_spans, media_pages)
+    extracted = extract_page_rows(pages, level)
+
+    def timed(df):
+        _force(df)          # warm (JIT, page cache, Python workers)
+        t0 = _t.time()
+        _force(df)
+        return round(_t.time() - t0, 3)
+
+    stages = {
+        "scan_documents": timed(documents),
+        "scan_pages": timed(media_pages),
+        "text_branch_spans": timed(reassemble_flat(text_spans, media_spans)),
+        "tokenize_join": timed(pages),
+        "arrow_extract": timed(extracted),
+    }
+    persisted = extracted.persist()
+    _force(persisted)
+    t0 = _t.time()
+    _force(build_redactions(persisted))
+    _force(build_values(persisted))
+    stages["sinks_after_extract"] = round(_t.time() - t0, 3)
+    persisted.unpersist()
+    stages["python_rows_note"] = (
+        "arrow_extract includes tokenize_join upstream; sinks timed over a "
+        "persisted extract output")
+    return stages
 
 
 def run_pipeline_once(cpus: int, n_docs: int) -> dict:
@@ -142,6 +192,7 @@ def main():
         t0 = time.time()
         _force(fn(spark, SF_DIR))
         qtimes[name] = round(time.time() - t0, 3)
+    stages = stage_profile(spark, f"{CORPUS_DIR}/documents", f"{CORPUS_DIR}/media_pages")
     spark.stop()
 
     # pipeline throughput at N / 4N / 16N parallelism, fresh JVM each
@@ -172,6 +223,7 @@ def main():
         "docs_per_sec": hi["docs_per_sec"],
         "n_docs": hi["n_docs"],
         "cpus": args.cpus,
+        "stages": stages,
     }
     if not args.no_scaling:
         result["scaling"] = {

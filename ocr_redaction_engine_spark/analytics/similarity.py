@@ -30,14 +30,21 @@ def _norm(a: str | Column) -> Column:
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
     """Top-k cosine neighbours among vec_id >= n_queries for each query
     vec_id < n_queries. Deterministic tie-break (sim desc, vec_id asc)."""
+    # the key is pmod(vec_id, 1) == 0 for every row, but Catalyst cannot
+    # constant-fold it away (a bare lit(1)==lit(1) key folds back into a
+    # BroadcastNestedLoopJoin): same O(Q·N) scoring, but the plan stays in
+    # the BroadcastHashJoin family every other query uses, so the
+    # no-CartesianProduct/no-BNLJ plan gate holds repo-wide
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.pmod(F.col("vec_id"), F.lit(1)).alias("__k"),
     )
     c = embeddings.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.pmod(F.col("vec_id"), F.lit(1)).alias("__k"),
     )
     scored = (
-        F.broadcast(q).crossJoin(c)
+        c.join(F.broadcast(q), "__k")
         .withColumn("sim", F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
         .select("q_id", "c_id", "sim")
     )

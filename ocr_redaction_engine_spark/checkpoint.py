@@ -46,6 +46,12 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, ckpt_dir: str) -> set[int]:
+    """Read the lineage table; a MISSING table means "fresh run" — any other
+    failure (corrupt files, storage errors) must RAISE, not silently restart:
+    at the 10^12-doc design point a transient read error misread as "fresh"
+    would reprocess every bucket (idempotent but catastrophic)."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.parquet(ckpt_dir)
@@ -53,8 +59,10 @@ def completed_buckets(spark: SparkSession, ckpt_dir: str) -> set[int]:
             .select("bucket").distinct().collect()
         )
         return {r.bucket for r in rows}
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return set()
+        raise
 
 
 def filter_remaining(docs_with_bucket: DataFrame, done: set[int]) -> DataFrame:

@@ -193,6 +193,11 @@ def _page_lines(seed, i, j, page_type):
         return [
             "CDSL Ventures Limited",
             f"PAN {_pan10(seed, i, j)}",
+            # isolated single-token watermark: the sparse "eng" OCR pass sees
+            # it (identification stream), the "default" block-segmentation
+            # pass CDSL extraction uses does NOT (kernel.mode_view / F34) —
+            # without the mode plumbing it would leak into the client name
+            "CVLKRA",
             f"Name : {g} {s} {title}",
             "KYC Status Not Available",
         ]

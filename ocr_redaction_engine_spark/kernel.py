@@ -209,7 +209,7 @@ def _pan_names(words, tdl):
     return _field("Pancard Names", name, [_trim(b, 0.50) for b in coords])
 
 
-def _extract_pancard(words, lines, qr_boxes, level):
+def _extract_pancard(words, lines, qr_boxes, level, places=None):
     tdl = _text_lines(lines)
     if level != 1:
         # Aggressive path bug: undefined `_extract_pancard_client_name`
@@ -308,24 +308,34 @@ def _aadhaar_gender(words, lines):
 
 
 @lru_cache(maxsize=1)
-def _places_union() -> re.Pattern:
+@lru_cache(maxsize=8)
+def _compile_places_union(places_t: tuple) -> re.Pattern:
+    return re.compile("|".join(re.escape(p) for p in places_t), re.IGNORECASE)
+
+
+def _places_union(places=None) -> re.Pattern:
     """Combined alternation over the whole places list — the broadcast
     Aho-Corasick-automaton idea (north_star): one pass rejects the ~95 % of
     tokens that match no place; only hits pay the per-place loop (which must
-    stay, because the reference appends a token once PER matching place)."""
-    return re.compile("|".join(re.escape(p) for p in PLACES_LIST), re.IGNORECASE)
+    stay, because the reference appends a token once PER matching place).
+
+    ``places`` is injectable (module default: places.PLACES_LIST); pass the
+    full reference 1,391-entry list (helper/places.py) at run time in
+    production — PipelineConfig.places threads it end-to-end."""
+    return _compile_places_union(tuple(places if places is not None else PLACES_LIST))
 
 
-def _places_address(words, key, ignore_pattern=None):
+def _places_address(words, key, ignore_pattern=None, places=None):
     """Token × places containment loop (aadhaar:274-280; e_aadhaar adds an
     ignore regex, :316-327). No inner break: a token matching several places
     is appended several times."""
     addr, coords = "", []
-    union = _places_union()
+    place_list = places if places is not None else PLACES_LIST
+    union = _places_union(place_list)
     for x1, y1, x2, y2, t in words:
         if not union.search(t):
             continue
-        for place in PLACES_LIST:
+        for place in place_list:
             if _ci(place).search(t):
                 if ignore_pattern is not None and _ci(ignore_pattern).search(t):
                     continue
@@ -358,12 +368,12 @@ def _aadhaar_mobile(words, key="Aadhaar Mobile"):
     return _field(key, value, [_trim(b, 0.54) for b in found])
 
 
-def _extract_aadhaar(words, lines, qr_boxes, level):
+def _extract_aadhaar(words, lines, qr_boxes, level, places=None):
     number = _aadhaar_number(words)
     name = _aadhaar_name(words, lines)
     dob = _aadhaar_dob(words, lines)
     gender = _aadhaar_gender(words, lines)
-    address = _places_address(words, "Aadhaar Address")
+    address = _places_address(words, "Aadhaar Address", places=places)
     pincode = _aadhaar_pincode(words)
     mobile = _aadhaar_mobile(words)
     qr = _qr_field("Aadhaar QRCodes", qr_boxes)
@@ -454,12 +464,12 @@ def _eaadhaar_gender(words, lines):
     return _field("E-Aadhaar Gender", gender, coords)
 
 
-def _extract_eaadhaar(words, lines, qr_boxes, level):
+def _extract_eaadhaar(words, lines, qr_boxes, level, places=None):
     name = _eaadhaar_name(words, lines)
     number = _aadhaar_number(words, key="E-Aadhaar Number")
     dob = _eaadhaar_dob(words)
     gender = _eaadhaar_gender(words, lines)
-    address = _places_address(words, "E-Aadhaar Address", ignore_pattern=banks.EAADHAAR_ADDR_IGNORE)
+    address = _places_address(words, "E-Aadhaar Address", ignore_pattern=banks.EAADHAAR_ADDR_IGNORE, places=places)
     mobile = _aadhaar_mobile(words, key="E-Aadhaar Mobile")
     pincode = _aadhaar_pincode(words, key="E-Aadhaar Pincode")
     qr = _qr_field("E-Aadhaar QRCodes", qr_boxes)
@@ -585,7 +595,7 @@ def _epan_father_name(words, lines):
         return _field("E-Pancard Client Father Name")
 
 
-def _extract_epancard(words, lines, qr_boxes, level):
+def _extract_epancard(words, lines, qr_boxes, level, places=None):
     number = _pan_number(words, key="E-Pancard Number", length=(10,))
     dob = _epan_dates(words)
     gender = _epan_gender(words)
@@ -680,15 +690,16 @@ def _passport_dates(words):
     return _field("Passport Dates", value, [_trim(b, 0.50) for b in found])
 
 
-def _passport_address(words):
+def _passport_address(words, places=None):
     """passport:207-243 — places pass (no dedupe) + 6-digit pincode pass
     (deduped against the places boxes)."""
     addr, coords = "", []
-    union = _places_union()
+    place_list = places if places is not None else PLACES_LIST
+    union = _places_union(place_list)
     for x1, y1, x2, y2, t in words:
         if not union.search(t):
             continue
-        for place in PLACES_LIST:
+        for place in place_list:
             if _ci(place).search(t):
                 addr += " " + t
                 coords.append([x1, y1, x2, y2])
@@ -713,12 +724,12 @@ def _passport_arrow(words):
     return _field("Passport Arrow", value, coords)
 
 
-def _extract_passport(words, lines, qr_boxes, level):
+def _extract_passport(words, lines, qr_boxes, level, places=None):
     number = _passport_number(words)
     names = _passport_names(words, lines)
     dates = _passport_dates(words)
     arrow = _passport_arrow(words)
-    address = _passport_address(words)
+    address = _passport_address(words, places=places)
     if level == 1:
         fields = [number, names, dates, arrow, address]
         if all(_is_empty_field(f) for f in fields):
@@ -792,11 +803,11 @@ def _dl_names(words, lines):
     return _field("Driving License Names", names, coords)
 
 
-def _extract_dl(words, lines, qr_boxes, level):
+def _extract_dl(words, lines, qr_boxes, level, places=None):
     number = _dl_number(words)
     dates = _dl_dates(words)
     names = _dl_names(words, lines)
-    address = _places_address(words, "Driving License Address")
+    address = _places_address(words, "Driving License Address", places=places)
     qr = _qr_field("Driving License QRCodes", qr_boxes)
     if level == 1:
         fields = [number, dates, names, address, qr]
@@ -854,7 +865,7 @@ def _cdsl_client_name(words):
     return _field("CDSL Client Name", name, [merged])
 
 
-def _extract_cdsl(words, lines, qr_boxes, level):
+def _extract_cdsl(words, lines, qr_boxes, level, places=None):
     pan = _cdsl_pan(words)
     client = _cdsl_client_name(words)
     if level == 1:
@@ -865,6 +876,66 @@ def _extract_cdsl(words, lines, qr_boxes, level):
     if not pan["boxes"] or not client["boxes"]:
         return {"status": REJECTED, "fields": []}
     return {"status": REDACTED, "fields": [pan, client]}
+
+
+# ---------------------------------------------------------------------------
+# OCR lang-mode trichotomy (helper/text_coordinates.py:11-21)
+# ---------------------------------------------------------------------------
+
+LANG_MODES = ("eng", "default", "regionalplus")
+
+# Per-document-type extraction OCR mode: only CDSL deviates —
+# documents/cdsl/document_coordinates.py:8 passes lang="default"; every other
+# documents/*/document_coordinates.py uses the None → "eng" --psm 11 call.
+# "regionalplus" exists in the reference helper but no document selects it.
+DOC_LANG_MODES = {"CDSL": "default"}
+
+
+def mode_view(words, lines, mode: str = "eng"):
+    """Deterministic stand-in for the reference's tesseract lang/psm
+    trichotomy (helper/text_coordinates.py:11-21) over precomputed word
+    boxes — the observable F34 behavior:
+
+    * ``eng`` (reference ``lang=None``: ``--oem 3 --psm 11`` sparse text) —
+      keeps every ASCII token; non-ASCII tokens are dropped (the eng-only
+      model cannot read Devanagari).
+    * ``default`` (CDSL: plain ``image_to_data``, default block
+      segmentation) — additionally misses tokens on isolated single-token
+      lines (sparse mode finds isolated text that block segmentation skips).
+    * ``regionalplus`` (``--oem 3 --psm 11 -l hin+eng``) — sparse AND keeps
+      non-ASCII tokens.
+
+    Line membership of a word box is recovered by grouping on y1 (the
+    layout gives each line a distinct y). Returns (words, lines) filtered
+    consistently; line strings are preserved verbatim when untouched.
+    """
+    if mode not in LANG_MODES:
+        raise ValueError(f"unknown lang mode {mode!r}; expected one of {LANG_MODES}")
+    keep_non_ascii = mode == "regionalplus"
+    drop_isolated = mode == "default"
+    if keep_non_ascii and not drop_isolated:
+        return list(words), list(lines)
+    counts: dict = {}
+    if drop_isolated:
+        for w in words:
+            counts[w[1]] = counts.get(w[1], 0) + 1
+    out_words = []
+    for w in words:
+        if not keep_non_ascii and not w[4].isascii():
+            continue
+        if drop_isolated and counts.get(w[1], 0) == 1:
+            continue
+        out_words.append(w)
+    out_lines = []
+    for line in lines:
+        toks = line.split()
+        if drop_isolated and len(toks) == 1:
+            continue
+        kept = toks if keep_non_ascii else [t for t in toks if t.isascii()]
+        if not kept and toks:
+            continue
+        out_lines.append(line if len(kept) == len(toks) else " ".join(kept))
+    return out_words, out_lines
 
 
 # ---------------------------------------------------------------------------
@@ -882,13 +953,23 @@ _EXTRACTORS = {
 }
 
 
-def extract_page(doc_type: str, words, lines, qr_boxes, level: int = 1) -> dict:
+def extract_page(doc_type: str, words, lines, qr_boxes, level: int = 1,
+                 places=None) -> dict:
     """Run the doc-type's field extractors + assembly. UNKNOWN → REJECTED
-    (ocrr_document/process_ocrr.py:74-77)."""
+    (ocrr_document/process_ocrr.py:74-77).
+
+    Each doc type re-tokenizes the page with its own OCR mode before
+    extracting (document_coordinates.py constructs its own
+    ImageTextCoordinates) — here that is :func:`mode_view` with
+    DOC_LANG_MODES, so CDSL extraction runs on the "default" view while
+    identification saw the sparse "eng" stream (F34).
+    ``places`` overrides the address dictionary (default places.PLACES_LIST).
+    """
     fn = _EXTRACTORS.get(doc_type)
     if fn is None:
         return {"status": REJECTED, "fields": []}
-    return fn(words, lines, qr_boxes, level)
+    words, lines = mode_view(words, lines, DOC_LANG_MODES.get(doc_type, "eng"))
+    return fn(words, lines, qr_boxes, level, places=places)
 
 
 def boxes_output_failed(fields) -> bool:

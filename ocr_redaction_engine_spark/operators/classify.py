@@ -16,8 +16,6 @@ the two implementations are differential-tested.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -30,11 +30,17 @@ from .. import kernel
 PAGE_ROWS_SCHEMA_DDL = (
     "doc_id string, offset int, media_ref string, document_name string, "
     "status string, row_kind string, field_idx int, field string, "
-    "value string, seq int, x1 int, y1 int, x2 int, y2 int"
+    "value string, seq int, x1 int, y1 int, x2 int, y2 int, "
+    "boxes_failed boolean"
 )
+# boxes_failed: page-constant marker for the None-coordinates quirk — the
+# reference's coordinate flatten THROWS (redacted.py:36-44) so the page gets
+# NO redactions XML at all, while a page whose boxes are merely empty still
+# gets a Count-0 document. The flat rows must carry the distinction.
 
 _COLS = ["doc_id", "offset", "media_ref", "document_name", "status", "row_kind",
-         "field_idx", "field", "value", "seq", "x1", "y1", "x2", "y2"]
+         "field_idx", "field", "value", "seq", "x1", "y1", "x2", "y2",
+         "boxes_failed"]
 
 
 def _word_tuples(row):
@@ -50,7 +56,8 @@ def _qr_tuples(row):
 
 
 def extract_page_rows(pages: DataFrame, level: int = 1,
-                      counters: dict | None = None) -> DataFrame:
+                      counters: dict | None = None,
+                      places: list[str] | None = None) -> DataFrame:
     """Runs kernel.identify_page + kernel.extract_page per page inside Arrow
     batches. Identification happens HERE, not as a JVM when-chain: the regex
     bank is compiled once per worker at module import (the spark-submit
@@ -76,9 +83,15 @@ def extract_page_rows(pages: DataFrame, level: int = 1,
                 c_pages.add(len(pdf))
             for row in pdf.itertuples(index=False):
                 words = _word_tuples(row)
-                doc_type = kernel.identify_page(list(row.wtext))
+                lines = list(row.lines)
+                # identification sees the sparse "eng" stream (the reference
+                # identifies from the lang=None psm-11 pass); extract_page
+                # re-views per doc type (CDSL → "default", F34)
+                id_words, _ = kernel.mode_view(words, lines, "eng")
+                doc_type = kernel.identify_page([w[4] for w in id_words])
                 res = kernel.extract_page(
-                    doc_type, words, list(row.lines), _qr_tuples(row), level
+                    doc_type, words, lines, _qr_tuples(row), level,
+                    places=places,
                 )
                 base = (row.doc_id, int(row.offset), row.media_ref, row.document_name,
                         res["status"])
@@ -86,15 +99,16 @@ def extract_page_rows(pages: DataFrame, level: int = 1,
                     if c_rejected is not None:
                         c_rejected.add(1)
                     x1, y1, x2, y2 = kernel.rejected_box(int(row.width), int(row.height))
-                    out.append(base + ("box", -1, "__PAGE__", "", 1, x1, y1, x2, y2))
+                    out.append(base + ("box", -1, "__PAGE__", "", 1, x1, y1, x2, y2, False))
                     continue
+                failed = kernel.boxes_output_failed(res["fields"])
                 for fi, f in enumerate(res["fields"]):
-                    out.append(base + ("value", fi, f["field"], f["value"], 0, 0, 0, 0, 0))
-                if kernel.boxes_output_failed(res["fields"]):
+                    out.append(base + ("value", fi, f["field"], f["value"], 0, 0, 0, 0, 0, failed))
+                if failed:
                     continue  # the None-coordinates quirk: values kept, no boxes
                 for seq, (fi, field, x1, y1, x2, y2) in enumerate(
                         kernel.flatten_boxes(res["fields"]), start=1):
-                    out.append(base + ("box", fi, field, "", seq, x1, y1, x2, y2))
+                    out.append(base + ("box", fi, field, "", seq, x1, y1, x2, y2, False))
             yield pd.DataFrame(out, columns=_COLS) if out else pd.DataFrame({c: [] for c in _COLS})
 
     return pages.mapInPandas(run, schema=PAGE_ROWS_SCHEMA_DDL)
@@ -115,4 +129,5 @@ def rejected_unknown_pages(unknown_pages: DataFrame) -> DataFrame:
         F.lit(0).alias("x1"), F.lit(0).alias("y1"),
         F.col("width").alias("x2"),
         F.floor(F.col("height") * F.lit(0.8)).cast("int").alias("y2"),
+        F.lit(False).alias("boxes_failed"),
     )

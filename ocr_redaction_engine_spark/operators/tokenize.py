@@ -112,9 +112,24 @@ def tokenize_payload(media_with_content: DataFrame) -> DataFrame:
     return media_with_content.mapInPandas(decode, schema=PAGE_SCHEMA_DDL)
 
 
-def tokenize_tesseract(media_with_content: DataFrame) -> DataFrame:
-    """Production OCR decoder. Requires pytesseract + PIL in the executor
-    image; not available in this sandbox (stubbed per the build rules)."""
+#: tesseract invocation per lang mode (helper/text_coordinates.py:11-21).
+#: In fixture/payload modes the same trichotomy is modeled by
+#: kernel.mode_view applied doc-locally in the extract stage (identification
+#: reads the sparse "eng" stream; CDSL extraction the "default" one — F34).
+TESSERACT_MODES = {
+    "eng": {"lang": "eng", "config": "--oem 3 --psm 11"},
+    "default": {"lang": "eng", "config": ""},
+    "regionalplus": {"lang": "hin+eng", "config": "--oem 3 --psm 11"},
+}
+
+
+def tokenize_tesseract(media_with_content: DataFrame, lang: str = "eng") -> DataFrame:
+    """Production OCR decoder (one ``image_to_data`` call per page with
+    ``TESSERACT_MODES[lang]`` — vs the reference's ≤9 passes). Requires
+    pytesseract + PIL in the executor image; not available in this sandbox
+    (stubbed per the build rules)."""
+    if lang not in TESSERACT_MODES:
+        raise ValueError(f"unknown lang mode {lang!r}; expected one of {sorted(TESSERACT_MODES)}")
     try:
         import pytesseract  # noqa: F401
     except ImportError as e:

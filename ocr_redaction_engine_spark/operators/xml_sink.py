@@ -72,21 +72,40 @@ def _doc_xml(element_name: str, rows_sorted: Column) -> Column:
             ),
         ),
     )
+    # ElementTree self-closes an empty element: '<DatabaseRedactions />'
+    # (the Count-0 page case — e.g. the None-coordinates quirk)
+    middle = F.when(
+        F.size(rows_sorted) == 0, F.lit(f"<{element_name} />")
+    ).otherwise(F.concat(F.lit(f"<{element_name}>"), body,
+                         F.lit(f"</{element_name}>")))
     return F.concat(
         F.lit("<?xml version='1.0' encoding='utf-8'?>\n<DataBase><Count>"),
         F.size(rows_sorted).cast("string"),
-        F.lit(f"</Count><{element_name}>"),
-        body,
-        F.lit(f"</{element_name}></DataBase>"),
+        F.lit("</Count>"),
+        middle,
+        F.lit("</DataBase>"),
     )
 
 
-def _per_page(rows: DataFrame, order_col: str) -> DataFrame:
-    return (
+def _per_page(rows: DataFrame, order_col: str,
+              page_universe: DataFrame | None = None) -> DataFrame:
+    """One row per page with its sorted XML rows. ``page_universe`` (derived
+    from ALL page rows) keeps pages whose filtered row set is EMPTY — e.g. a
+    REDACTED page under the None-coordinates quirk emits values but zero
+    boxes, and the reference's ElementTree writer still writes a Count-0
+    file (ADVICE r1)."""
+    grouped = (
         rows.groupBy("doc_id", "media_ref", "document_name")
         .agg(F.array_sort(F.collect_list(F.struct(order_col, "row"))).alias("rs"),
              F.max("status").alias("status"))
-        .withColumn("rows_sorted", F.transform("rs", lambda s: s.getField("row")))
+    )
+    if page_universe is not None:
+        grouped = page_universe.join(
+            grouped.drop("status"), ["doc_id", "media_ref", "document_name"], "left")
+    return grouped.withColumn(
+        "rows_sorted",
+        F.coalesce(F.transform("rs", lambda s: s.getField("row")),
+                   F.array().cast("array<string>")),
     )
 
 
@@ -104,7 +123,15 @@ def render_redactions_xml(page_rows: DataFrame) -> DataFrame:
         F.col("x1").cast("string"), F.col("y1").cast("string"),
         F.col("x2").cast("string"), F.col("y2").cast("string"),
     )
-    pages = _per_page(boxes.withColumn("row", _xml_escape(row)), "seq")
+    # every page EXCEPT the None-coordinates-quirk ones (whose reference
+    # writer throws → no redactions file at all, redacted.py:36-44); a page
+    # with merely zero boxes still gets its Count-0 document
+    universe = (
+        page_rows.filter(~F.col("boxes_failed"))
+        .groupBy("doc_id", "media_ref", "document_name")
+        .agg(F.max("status").alias("status"))
+    )
+    pages = _per_page(boxes.withColumn("row", _xml_escape(row)), "seq", universe)
     rejected_name = F.concat(
         F.split_part(F.col("document_name"), F.lit("."), F.lit(1)), F.lit(".xml"))
     return pages.select(

@@ -41,16 +41,19 @@ def _page_qr(page):
     return [(q["x1"], q["y1"], q["x2"], q["y2"]) for q in page["qr_boxes"]]
 
 
-def process_page(page, level: int = 1) -> dict:
-    """Identify + extract one media page; returns the full page result."""
+def process_page(page, level: int = 1, places=None) -> dict:
+    """Identify + extract one media page; returns the full page result.
+    Identification runs on the sparse "eng" token stream; extraction
+    re-views per doc type (kernel.mode_view, CDSL → "default")."""
     words = _page_words(page)
-    tokens = [w[4] for w in words]
-    doc_type = kernel.identify_page(tokens)
-    result = kernel.extract_page(doc_type, words, page["lines"], _page_qr(page), level)
+    id_words, _ = kernel.mode_view(words, page["lines"], "eng")
+    doc_type = kernel.identify_page([w[4] for w in id_words])
+    result = kernel.extract_page(doc_type, words, page["lines"], _page_qr(page),
+                                 level, places=places)
     return {"doc_type": doc_type, **result}
 
 
-def expected_page_outputs(docs, pages, level: int = 1):
+def expected_page_outputs(docs, pages, level: int = 1, places=None):
     """Returns (redaction_rows, value_rows).
 
     redaction_rows: (doc_id, media_ref, status, field, seq, x1, y1, x2, y2)
@@ -63,7 +66,7 @@ def expected_page_outputs(docs, pages, level: int = 1):
             if s["kind"] != "media":
                 continue
             page = page_by_ref[s["media_ref"]]
-            res = process_page(page, level)
+            res = process_page(page, level, places=places)
             if res["status"] == kernel.REJECTED:
                 x1, y1, x2, y2 = kernel.rejected_box(page["width"], page["height"])
                 redactions.append((d["doc_id"], page["media_ref"], "REJECTED", "__PAGE__", 1, x1, y1, x2, y2))

@@ -37,6 +37,9 @@ class PipelineConfig:
     n_buckets: int = 32            # checkpoint granularity
     bucket_group: int = 8          # buckets committed per wave
     extract_partitions: int | None = None  # explicit repartition before the Arrow stage
+    places: list[str] | None = None  # address dictionary override (default:
+    # places.PLACES_LIST; load the reference's full 1,391-entry list here in
+    # production — it ships to executors inside the Arrow UDF closure)
 
 
 def run_pipeline(documents: DataFrame, media_pages: DataFrame,
@@ -56,7 +59,7 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
     # identify + extract fused in ONE Arrow stage (kernel-side bank);
     # classify_pages (operators/classify.py) remains the JVM-side variant for
     # SQL-expressible classification workloads
-    extracted = extract_page_rows(pages, cfg.level, counters)
+    extracted = extract_page_rows(pages, cfg.level, counters, places=cfg.places)
 
     from .operators.xml_sink import render_redactions_xml, render_values_xml
 

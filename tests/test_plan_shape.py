@@ -58,3 +58,18 @@ def test_scan_pushdown_and_pruning(spark, tmp_path_factory):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
     assert "ReadSchema: struct<id:bigint,k:bigint>" in plan  # v pruned away
+
+
+def test_no_query_plans_cartesian_or_bnl_join(spark):
+    """VERDICT r1 #4: no CartesianProduct / BroadcastNestedLoopJoin in ANY
+    driver query plan — every join in the repo must be hash- or
+    sort-merge-based (the shapes that survive 100x)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -84,3 +84,18 @@ def test_accumulator_metrics_match_outputs(spark, corpus_input):
     # at-least-once semantics: equal here (no task retries in local tests)
     assert stats["acc_pages"] == n_pages
     assert stats["acc_rejected"] == n_rejected
+
+
+def test_missing_checkpoint_means_fresh_run(spark, tmp_path):
+    assert checkpoint.completed_buckets(spark, str(tmp_path / "nope")) == set()
+
+
+def test_corrupted_checkpoint_raises(spark, tmp_path):
+    """A checkpoint dir that EXISTS but cannot be read must raise — a
+    transient storage failure must not be misread as "fresh run" (VERDICT r1:
+    silently reprocessing every bucket at 10^12 docs is catastrophic)."""
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        checkpoint.completed_buckets(spark, str(ckpt))
