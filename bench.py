@@ -155,11 +155,12 @@ def run_pipeline_once(cpus: int, n_docs: int) -> dict:
     # scaling gate compares.
     for _ in range(WARM_RUNS):
         one_pass()
-    # min-of-N: the host VM shows multi-second steal spikes; the minimum is
-    # the closest observation to the engine's actual cost. High-parallelism
-    # legs are the most noise-sensitive AND the cheapest per pass — take
-    # extra passes there.
-    n_timed = TIMED_RUNS + 2 if cpus >= 16 else TIMED_RUNS
+    # min-of-N: the host VM shows multi-second steal spikes (observed 18 s vs
+    # 79 s for the SAME 32-core pass back-to-back); the minimum is the
+    # closest observation to the engine's actual cost. High-parallelism legs
+    # are the most noise-sensitive AND the cheapest per pass — take extra
+    # passes there; low-cpu legs get one extra pass as steal shelter too.
+    n_timed = TIMED_RUNS + 2 if cpus >= 16 else TIMED_RUNS + 1
     walls = sorted(one_pass() for _ in range(n_timed))
     wall = walls[0]
     spark.stop()
@@ -203,10 +204,15 @@ def main():
     levels = [args.cpus] if args.no_scaling else sorted(
         {max(args.cpus // 16, 1), max(args.cpus // 4, 1), args.cpus})
     for cpus in levels:
+        t_leg = time.time()
+        sys.stderr.write(f"[bench] scaling leg cpus={cpus} starting\n")
+        sys.stderr.flush()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline-only",
              "--cpus", str(cpus), "--ndocs", str(args.ndocs)],
             capture_output=True, text=True, env=env)
+        sys.stderr.write(f"[bench] scaling leg cpus={cpus} done in {time.time()-t_leg:.0f}s\n")
+        sys.stderr.flush()
         if out.returncode != 0:
             sys.stderr.write(f"pipeline subprocess (cpus={cpus}) failed:\n")
             sys.stderr.write("\n".join(out.stderr.splitlines()[-30:]) + "\n")

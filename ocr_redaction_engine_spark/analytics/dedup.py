@@ -114,6 +114,13 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     shifts = np.arange(bits, dtype=np.uint64)
     weights = (np.uint64(1) << shifts).astype(np.uint64)
 
+    # spread the Python hashing across cores: a small corpus arrives as ONE
+    # parquet split, which would serialize the Arrow stage (at warehouse
+    # scale the scan is already many splits and this repartition is a no-op
+    # knob — leave sizing to spark.sql.files.maxPartitionBytes there)
+    sc = docs.sparkSession.sparkContext
+    docs = docs.select("doc_id", "text").repartition(sc.defaultParallelism)
+
     def run(batches):
         for pdf in batches:
             tok_sets = [sorted(set(t.split())) for t in pdf["text"]]
@@ -133,7 +140,7 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
                                 "simhash": pd.Series(sigs, dtype="int64")})
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=SIMHASH_SCHEMA)
+    return docs.mapInPandas(run, schema=SIMHASH_SCHEMA)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -159,16 +159,81 @@ def window_energy(media: DataFrame, window: int = 64) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=ENERGY_SCHEMA)
 
 
+DECODE_SCHEMA = "media_id long, width int, height int, channels int"
+
+
 def decode_image(media: DataFrame) -> DataFrame:
-    """Image decode → (width, height, channels). Requires a codec library in
-    the executor image; stubbed in this container."""
-    raise NotImplementedError(
-        "image decode requires cv2/PIL in the executor image; byte_features "
-        "exercises the identical mapInPandas plumbing")
+    """Image decode → (media_id, width, height, channels). Requires PIL in
+    the executor image (``pip install .[ocr]``); the import guard raises in
+    this codec-less sandbox while byte_features exercises the identical
+    mapInPandas plumbing."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL in the executor image; byte_features "
+            "exercises the identical mapInPandas plumbing") from e
+
+    import io
+
+    import pandas as pd
+
+    def run(batches):
+        from PIL import Image
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = Image.open(io.BytesIO(bytes(content)))
+                out.append((int(mid), img.width, img.height, len(img.getbands())))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "channels"]) \
+                if out else pd.DataFrame({c: pd.Series(dtype="int64")
+                                          for c in ["media_id", "width", "height", "channels"]})
+
+    return media.select("media_id", "content").mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+QR_SCHEMA = "media_id long, qx1 int, qy1 int, qx2 int, qy2 int"
+
+
+def detect_qr(media: DataFrame) -> DataFrame:
+    """QR detection → one row per detected code (the reference's QReader
+    call, aadhaar/document_coordinates.py:368-401). Requires qreader + cv2
+    in the executor image; import-guarded here — the fixture corpus ships
+    precomputed qr_boxes through the same (x1, y1, x2, y2) contract."""
+    try:
+        import cv2  # noqa: F401
+        from qreader import QReader  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "QR detection requires qreader + opencv in the executor image; "
+            "fixture qr_boxes flow through the identical schema") from e
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        import cv2
+        from qreader import QReader
+        qr = QReader()
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = cv2.imdecode(np.frombuffer(bytes(content), np.uint8),
+                                   cv2.IMREAD_COLOR)
+                for det in qr.detect(image=img):
+                    x1, y1, x2, y2 = det["bbox_xyxy"]
+                    out.append((int(mid), int(x1), int(y1), int(x2), int(y2)))
+            yield pd.DataFrame(out, columns=["media_id", "qx1", "qy1", "qx2", "qy2"]) \
+                if out else pd.DataFrame({c: pd.Series(dtype="int64")
+                                          for c in ["media_id", "qx1", "qy1", "qx2", "qy2"]})
+
+    return media.select("media_id", "content").mapInPandas(run, schema=QR_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling. Same story as decode_image."""
+    """Video frame sampling. Needs a demuxer (av/ffmpeg) in the executor
+    image; sample_frames_bytes exercises the same 1→N Arrow batch shape over
+    fixed-stride payloads."""
     raise NotImplementedError(
-        "video frame sampling requires a codec; the Arrow batch shape is "
-        "identical to byte_features")
+        "video frame sampling requires a codec; sample_frames_bytes "
+        "exercises the identical 1-to-N mapInPandas shape")
