@@ -40,14 +40,24 @@ def main():
     ap.add_argument("--bucket-group", type=int, default=8, help="buckets per commit wave")
     ap.add_argument("--extract-partitions", type=int, default=None,
                     help="explicit repartition before the Arrow stage (optional)")
+    ap.add_argument("--places-file", default=None,
+                    help="newline-separated address dictionary (e.g. the "
+                         "reference's full 1,391-entry helper/places.py list "
+                         "exported to text); default: built-in PLACES_LIST")
     args = ap.parse_args()
+
+    places = None
+    if args.places_file:
+        with open(args.places_file, encoding="utf-8") as fh:
+            places = [ln.strip() for ln in fh if ln.strip()]
 
     spark = SparkSession.builder.appName("ocrr-redaction-pipeline").getOrCreate()
     stats = run_job(
         spark, args.documents, args.media_pages, args.out, args.checkpoint,
         PipelineConfig(level=args.level, n_buckets=args.buckets,
                        bucket_group=args.bucket_group,
-                       extract_partitions=args.extract_partitions),
+                       extract_partitions=args.extract_partitions,
+                       places=places),
     )
     print(json.dumps(stats))
 

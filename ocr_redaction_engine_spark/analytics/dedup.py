@@ -60,15 +60,24 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band signature (a < b)."""
+    """LSH candidate pairs: docs sharing any band signature (a < b).
+
+    The band dimension is melted to rows so candidate generation is ONE
+    self-equi-join on (band, sig) — a single shuffle regardless of band
+    count, vs one join per band; hot buckets split under AQE."""
     sigs = minhash_signatures(docs, n_bands)
-    pairs = None
-    for b in range(n_bands):
-        left = sigs.select(F.col("doc_id").alias("a"), F.col(f"sig_{b}").alias("sig"))
-        right = sigs.select(F.col("doc_id").alias("b"), F.col(f"sig_{b}").alias("sig"))
-        p = left.join(right, "sig").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    melted = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
+        .alias("band", "sig"),
+    )
+    left = melted.select(F.col("doc_id").alias("a"), "band", "sig")
+    right = melted.select(F.col("doc_id").alias("b"), "band", "sig")
+    return (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
@@ -192,14 +201,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 def simhash_candidates(docs: DataFrame, band_bits: int = 15) -> DataFrame:
     """Hamming-neighbour candidates: equal value in any of the 4 15-bit bands
-    (detects signatures within small Hamming distance)."""
+    (detects signatures within small Hamming distance). Bands melt to rows →
+    ONE self-equi-join on (band, band_val), same shape as candidate_pairs."""
     sigs = simhash(docs)
-    pairs = None
-    for b in range(4):
-        band = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
-        s = sigs.select("doc_id", band.alias("band_val"))
-        left = s.select(F.col("doc_id").alias("a"), "band_val")
-        right = s.select(F.col("doc_id").alias("b"), "band_val")
-        p = left.join(right, "band_val").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    mask = (1 << band_bits) - 1
+    melted = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(4)
+        ])).alias("band", "band_val"),
+    )
+    left = melted.select(F.col("doc_id").alias("a"), "band", "band_val")
+    right = melted.select(F.col("doc_id").alias("b"), "band", "band_val")
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
