@@ -162,7 +162,9 @@ def tokenize_tesseract(media_with_content: DataFrame, lang: str = "eng") -> Data
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"],
                 pdf["document_name"], pdf["content"],
             ):
-                img = Image.open(io.BytesIO(bytes(content)))
+                # grayscale normalize before OCR (P3 —
+                # process_documents/process_queue_documents.py:35-37)
+                img = Image.open(io.BytesIO(bytes(content))).convert("L")
                 data = pytesseract.image_to_data(
                     img, output_type=pytesseract.Output.DICT,
                     lang=mode["lang"], config=mode["config"])
