@@ -154,13 +154,14 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate-group clustering: connected components over candidate pairs
-    (columns ``a``, ``b``) by iterative min-label propagation.
+    (columns ``a``, ``b``) by min-label propagation with POINTER DOUBLING.
 
-    Each round every node adopts the minimum label among itself and its
-    neighbours; convergence takes O(component diameter) rounds (near-dup
-    components are shallow — star-ish around a template — so this converges
-    in a handful of rounds at corpus scale). ``localCheckpoint`` truncates
-    the growing lineage each round — the standard guard for iterative plans.
+    Each round every node adopts the minimum of (its label, its neighbours'
+    labels, its label's label). The last term is the doubling step: label
+    chains halve every round, so convergence takes O(log diameter) rounds
+    instead of O(diameter) — a 10^6-long chain of near-dups resolves in ~20
+    rounds, not 10^6 (ADVICE r1). ``localCheckpoint`` truncates the growing
+    lineage each round — the standard guard for iterative plans.
     Returns (node, component) with component = min node id in the component.
     """
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -178,9 +179,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u").agg(F.min("label").alias("nb_label"))
         )
+        # pointer doubling: label(label(u)) — join labels against itself
+        dbl = labels.select(
+            F.col("u").alias("du"),
+            F.col("label").alias("dlabel"),
+        )
+        doubled = (
+            labels.join(dbl, labels.label == dbl.du, "left")
+            .select("u", "label", F.col("dlabel").alias("label2"))
+        )
         new_labels = (
-            labels.join(nb_min, "u", "left")
-            .select("u", F.least("label", F.coalesce("nb_label", "label")).alias("label"))
+            doubled.join(nb_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    "label",
+                    F.coalesce("label2", "label"),
+                    F.coalesce("nb_label", "label"),
+                ).alias("label"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "u")
