@@ -1197,12 +1197,12 @@ def oracle_sql() -> dict[str, str]:
         # independently of the Spark pipeline under test.
         "pipeline_spans": """
             SELECT doc_id, "order", kind, text, media_ref
-            FROM read_parquet('/root/repo/dist/golden/pipeline_spans.parquet/*.parquet')
+            FROM read_parquet('/root/repo/tests/golden/pipeline_spans.parquet/*.parquet')
         """,
         "pipeline_redactions": """
             SELECT doc_id, media_ref, status, field, seq, x1, y1, x2, y2,
                    frame_id, document_id
-            FROM read_parquet('/root/repo/dist/golden/pipeline_redactions.parquet/*.parquet')
+            FROM read_parquet('/root/repo/tests/golden/pipeline_redactions.parquet/*.parquet')
         """,
         "dedup_components": f"""
             WITH RECURSIVE toks AS (

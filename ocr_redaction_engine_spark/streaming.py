@@ -150,6 +150,22 @@ def stateful_first_seen(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(docs: DataFrame, watermark_col: str | None = None,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of analytics.dedup.exact_dupes' suppression side:
+    keep the FIRST document per md5 text fingerprint across micro-batches
+    (``dropDuplicates`` keeps cross-batch state; with an event-time
+    watermark the state is bounded — ``dropDuplicatesWithinWatermark``
+    semantics for the unbounded-corpus regime). Works identically in batch,
+    where it is a plain fingerprint-distinct."""
+    fp = docs.withColumn(
+        "fp", F.md5(F.concat_ws(" ", F.split(F.trim("text"), r"\s+"))))
+    if watermark_col is not None:
+        return fp.withWatermark(watermark_col, watermark) \
+            .dropDuplicatesWithinWatermark(["fp"])
+    return fp.dropDuplicates(["fp"])
+
+
 def run_windowed_stream(spark: SparkSession, events_path: str, ckpt_dir: str,
                         queryName: str = "event_rollup") -> None:
     """Drain the events table through the watermarked rollup into a memory

@@ -191,3 +191,32 @@ def test_watermark_rollup_closed_windows(spark, tmp_path):
     got_rows = sorted(tuple(r[c] for c in key) + (r["n"], r["total_value"]) for r in got.collect())
     exp_rows = sorted(tuple(r[c] for c in key) + (r["n"], r["total_value"]) for r in closed.collect())
     assert got_rows == exp_rows
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Cross-batch exact dedup: duplicated documents staged over multiple
+    micro-batches must emit exactly one row per text fingerprint."""
+    docs_path = str(tmp_path / "docs")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    # write the same 60 docs twice (two files = two micro-batches)
+    for _ in range(2):
+        base.coalesce(1).write.mode("append").parquet(docs_path)
+
+    from ocr_redaction_engine_spark.streaming import streaming_exact_dedup
+    schema = spark.read.parquet(docs_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(docs_path))
+    q = (
+        streaming_exact_dedup(stream).writeStream
+        .format("memory").queryName("dedup_stream").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql("SELECT fp FROM dedup_stream").collect()
+    fps = [r.fp for r in got]
+    assert len(fps) == len(set(fps))  # no fingerprint emitted twice
+    exp_fps = {r.fp for r in streaming_exact_dedup(base).select("fp").collect()}
+    assert set(fps) == exp_fps        # and every distinct fingerprint once

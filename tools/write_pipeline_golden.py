@@ -17,7 +17,7 @@ from ocr_redaction_engine_spark import corpus, kernel, oracle
 from ocr_redaction_engine_spark.session import get_spark
 
 SEED, N_DOCS = 42, 150
-OUT = "/root/repo/dist/golden"
+OUT = "/root/repo/tests/golden"
 
 SPANS_DDL = "doc_id string, order int, kind string, text string, media_ref string"
 RED_DDL = ("doc_id string, media_ref string, status string, field string, seq int, "
