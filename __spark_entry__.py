@@ -642,6 +642,14 @@ def multimodal_window_energy(spark, sf_dir):
     return window_energy(synthesize_binary(spark, N_MEDIA))
 
 
+def multimodal_resample(spark, sf_dir):
+    """Resize-analog byte decimation (every 4th byte), one scalar row per
+    surviving byte — the pixel-grid-stride shape a real resize plugs into."""
+    from ocr_redaction_engine_spark.analytics.multimodal import (
+        resample_bytes, synthesize_binary)
+    return resample_bytes(synthesize_binary(spark, N_MEDIA), every_n=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -694,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_byte_features": multimodal_byte_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_window_energy": multimodal_window_energy,
+        "multimodal_resample": multimodal_resample,
     }
 
 
@@ -1267,6 +1276,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, i // 64 AS window_idx,
                    CAST(floor(sqrt(CAST(SUM(v*v) AS DOUBLE)/64)*1000000) AS BIGINT) AS rms_e6
             FROM bytes GROUP BY media_id, i // 64
+        """,
+        "multimodal_resample": _MEDIA_CTE + """
+            SELECT media_id, i // 4 AS out_idx, CAST(v AS BIGINT) AS v
+            FROM bytes WHERE i % 4 = 0
         """,
         "multimodal_frame_sample": _MEDIA_CTE + """
             , frames AS (

@@ -159,6 +159,38 @@ def window_energy(media: DataFrame, window: int = 64) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=ENERGY_SCHEMA)
 
 
+RESAMPLE_SCHEMA = "media_id long, out_idx long, v long"
+
+
+def resample_bytes(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Resize-analog over container-less payloads: keep every ``every_n``-th
+    byte (nearest-neighbour decimation), one scalar row per surviving byte —
+    the 1→N/n mapInPandas shape a real image resize plugs into (swap the
+    byte stride for a pixel-grid stride and nothing else changes).
+    Integer-exact and SQL-expressible, so the driver gate hash-checks it."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["media_id", "out_idx", "v"]
+
+    def run(batches):
+        for pdf in batches:
+            out_mid, out_idx, out_v = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)[::every_n]
+                out_mid.append(np.full(arr.size, int(mid), dtype=np.int64))
+                out_idx.append(np.arange(arr.size, dtype=np.int64))
+                out_v.append(arr.astype(np.int64))
+            if out_mid:
+                yield pd.DataFrame({"media_id": np.concatenate(out_mid),
+                                    "out_idx": np.concatenate(out_idx),
+                                    "v": np.concatenate(out_v)})
+            else:
+                yield pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    return media.select("media_id", "content").mapInPandas(run, schema=RESAMPLE_SCHEMA)
+
+
 DECODE_SCHEMA = "media_id long, width int, height int, channels int"
 
 
@@ -190,6 +222,38 @@ def decode_image(media: DataFrame) -> DataFrame:
                                           for c in ["media_id", "width", "height", "channels"]})
 
     return media.select("media_id", "content").mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """True image resize → (media_id, png bytes). Requires PIL in the
+    executor image; import-guarded here — resample_bytes exercises the
+    identical decimation plumbing meanwhile."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires PIL in the executor image; resample_bytes "
+            "exercises the identical mapInPandas decimation shape") from e
+
+    import io
+
+    import pandas as pd
+
+    def run(batches):
+        from PIL import Image
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = Image.open(io.BytesIO(bytes(content))).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append((int(mid), buf.getvalue()))
+            yield pd.DataFrame(out, columns=["media_id", "content"]) if out else \
+                pd.DataFrame({"media_id": pd.Series(dtype="int64"),
+                              "content": pd.Series(dtype="object")})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, content binary")
 
 
 QR_SCHEMA = "media_id long, qx1 int, qy1 int, qx2 int, qy2 int"

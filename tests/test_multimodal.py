@@ -99,3 +99,19 @@ def test_codec_stubs_raise(media):
         decode_image(media)
     with pytest.raises(NotImplementedError):
         sample_frames(media)
+
+
+def test_resample_bytes_matches_numpy(media, payloads):
+    from ocr_redaction_engine_spark.analytics.multimodal import resample_bytes
+    got = {}
+    for r in resample_bytes(media, every_n=3).collect():
+        got.setdefault(r.media_id, {})[r.out_idx] = r.v
+    for mid, buf in payloads.items():
+        arr = np.frombuffer(buf, dtype=np.uint8)[::3]
+        assert got[mid] == {i: int(v) for i, v in enumerate(arr)}
+
+
+def test_resize_image_stub_raises(media):
+    from ocr_redaction_engine_spark.analytics.multimodal import resize_image
+    with pytest.raises(NotImplementedError):
+        resize_image(media, 32, 32)
