@@ -597,6 +597,13 @@ def dedup_simhash_cands(spark, sf_dir):
     return simhash_candidates(_t(spark, sf_dir, "documents"))
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash candidates verified by exact Hamming distance (bit_count of
+    the signature XOR, JVM-side, only on band collisions)."""
+    from ocr_redaction_engine_spark.analytics.dedup import simhash_pairs
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
 def ann_lsh_topk(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.similarity import lsh_bucketed_topk
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
@@ -696,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_components": dedup_components,
@@ -1255,6 +1263,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS tok FROM documents),
+            h AS (SELECT doc_id, md5_number_upper(tok) >> 4 AS hv FROM toks),
+            votes AS (
+              SELECT doc_id, b.range AS bit,
+                     SUM(CASE WHEN (hv >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(60) b GROUP BY doc_id, b.range),
+            sig AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, b.range AS band,
+                     (simhash >> CAST(b.range * 15 AS INT)) & 32767 AS band_val
+              FROM sig CROSS JOIN range(4) b),
+            cands AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+            SELECT c.a, c.b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+            FROM cands c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
         """,
         "multimodal_byte_features": _MEDIA_CTE + """
             , agg AS (

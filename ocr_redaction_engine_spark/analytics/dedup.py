@@ -152,6 +152,38 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     return docs.mapInPandas(run, schema=SIMHASH_SCHEMA)
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+                  band_bits: int = 15) -> DataFrame:
+    """SimHash near-dup pairs: band candidates VERIFIED by exact Hamming
+    distance ``bit_count(sig_a XOR sig_b) <= max_hamming`` — the JVM
+    bit_count runs only on band collisions, completing the
+    candidates→verify shape of the MinHash/Jaccard family."""
+    sigs = simhash(docs)
+    mask = (1 << band_bits) - 1
+    melted = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(4)
+        ])).alias("band", "band_val"),
+    )
+    left = melted.select(F.col("doc_id").alias("a"), "band", "band_val")
+    right = melted.select(F.col("doc_id").alias("b"), "band", "band_val")
+    cands = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    return (
+        cands.join(sa, "a").join(sb, "b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate-group clustering: connected components over candidate pairs
     (columns ``a``, ``b``) by min-label propagation with POINTER DOUBLING.
