@@ -553,6 +553,13 @@ def text_langid(spark, sf_dir):
     return langid(_t(spark, sf_dir, "documents"))
 
 
+def text_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints — k-gram md5 mins per
+    sliding window, pure Catalyst HOFs."""
+    from ocr_redaction_engine_spark.analytics.text import winnow_fingerprints
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+
+
 def text_vocab(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.text import vocab_stats
     return vocab_stats(_t(spark, sf_dir, "documents"), min_count=100)
@@ -700,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_vocab": text_vocab,
+        "text_winnow_fp": text_winnow_fp,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
@@ -1144,6 +1152,19 @@ def oracle_sql() -> dict[str, str]:
                               / len({_TOK}) >= 5.0 THEN 'compounding'
                         ELSE 'analytic' END AS lang_guess
             FROM documents
+        """,
+        "text_winnow_fp": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(length(text) - 8 + 1, 0) + 1),
+                                    i -> md5(substring(text, CAST(i AS INT), 8))) AS grams
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(grams) - 4 + 1, 0) + 1),
+                                    j -> list_min(list_slice(grams, j, j + 3))) AS mins
+              FROM g)
+            SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
         """,
         "text_vocab": f"""
             SELECT token, COUNT(*) AS cnt

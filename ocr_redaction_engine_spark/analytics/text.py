@@ -67,6 +67,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): hash every character k-gram, slide a w-window over the hash
+    sequence, keep each window's minimum — a rolling-hash fingerprint set
+    that survives insertions/deletions outside the changed region (the
+    local-dedup primitive whole-document md5 cannot provide).
+
+    Pure Catalyst higher-order functions — sequence/transform/slice/
+    array_min — so the same plan scales from the sf gate to 100 TB with
+    zero Python. Output: one row per distinct fingerprint (doc_id, fp).
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k} + 1, 0)),"
+        f" i -> md5(substring(text, i, {k})))"
+    )
+    d = docs.withColumn("grams", grams)
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(grams) - {w} + 1, 0)),"
+        f" j -> array_min(slice(grams, j, {w})))"
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
 def vocab_stats(docs: DataFrame, min_count: int = 100) -> DataFrame:
     """Corpus vocabulary: token → frequency, thresholded (HAVING beats LIMIT
     for engine-parity: no tie-break ambiguity)."""

@@ -70,3 +70,29 @@ def test_bucketed_cosine_plan_has_no_cross_join(spark):
     plan = dedup_embedding_cosine(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fingerprints_reference_and_locality(spark):
+    """Winnowing (MOSS): (a) the Catalyst HOF plan equals a pure-Python
+    reference; (b) locality — an edit at the END of a document preserves the
+    fingerprints drawn from its untouched beginning (whole-doc md5 cannot)."""
+    import hashlib
+    from ocr_redaction_engine_spark.analytics.text import winnow_fingerprints
+
+    k, w = 8, 4
+    texts = {1: "the quick brown fox jumps over the lazy dog again and again",
+             2: "the quick brown fox jumps over the lazy dog EDITED TAIL"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+
+    def ref(s):
+        grams = [hashlib.md5(s[i:i + k].encode()).hexdigest()
+                 for i in range(len(s) - k + 1)]
+        return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+    for d, s in texts.items():
+        assert got[d] == ref(s), d
+    # shared prefix => substantially overlapping fingerprint sets
+    assert len(got[1] & got[2]) >= 3
