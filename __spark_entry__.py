@@ -428,9 +428,11 @@ def q28_salted_agg(spark, sf_dir):
 def q29_shingles(spark, sf_dir):
     """Dedup primitive: 3-gram shingling via sequence+slice HOFs."""
     d = _t(spark, sf_dir, "documents").withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    # sequence(1, 0) is descending [1, 0] — CASE guard for sub-3-token docs
     sh = F.expr(
-        "transform(sequence(1, greatest(size(tokens) - 2, 0)),"
-        " i -> concat_ws(' ', slice(tokens, i, 3)))"
+        "CASE WHEN size(tokens) < 3 THEN array()"
+        " ELSE transform(sequence(1, size(tokens) - 2),"
+        "                i -> concat_ws(' ', slice(tokens, i, 3))) END"
     )
     return d.select(
         "doc_id",
@@ -563,6 +565,35 @@ def text_winnow_fp(spark, sf_dir):
 def text_vocab(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.text import vocab_stats
     return vocab_stats(_t(spark, sf_dir, "documents"), min_count=100)
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher repetition signals: dup-token / top-token / top-bigram
+    fractions per document (explode → two-level hash-agg, no skew)."""
+    from ocr_redaction_engine_spark.analytics.text import repetition
+    return repetition(_t(spark, sf_dir, "documents"))
+
+
+# Mixed list: generic English + corpus-frequent "domain stopwords" so the
+# ratios are non-degenerate on the synthetic vocabulary (stopword lists are
+# injectable per language/domain — analytics/text.py:stopword_stats).
+_QUERY_STOPWORDS = ("the a an and of to in is row table value join hash scan").split()
+
+
+def text_stopwords(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.text import stopword_stats
+    return stopword_stats(_t(spark, sf_dir, "documents"), stopwords=_QUERY_STOPWORDS)
+
+
+def text_contamination(spark, sf_dir):
+    """Cross-document 5-gram overlap (decontamination primitive)."""
+    from ocr_redaction_engine_spark.analytics.text import ngram_contamination
+    return ngram_contamination(_t(spark, sf_dir, "documents"), n=5, min_docs=2)
+
+
+def text_length_pcts(spark, sf_dir):
+    from ocr_redaction_engine_spark.analytics.text import length_percentiles
+    return length_percentiles(_t(spark, sf_dir, "documents"))
 
 
 # --- rows-only (non-SQL-expressible; oracled by the pure-Python reference
@@ -708,6 +739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_vocab": text_vocab,
         "text_winnow_fp": text_winnow_fp,
+        "text_repetition": text_repetition,
+        "text_stopwords": text_stopwords,
+        "text_contamination": text_contamination,
+        "text_length_pcts": text_length_pcts,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
@@ -1170,6 +1205,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS cnt
             FROM (SELECT unnest({_TOK}) AS token FROM documents)
             GROUP BY token HAVING COUNT(*) >= 100
+        """,
+        "text_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            uni AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok),
+            uni_s AS (
+              SELECT doc_id,
+                     round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac,
+                     round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_token_frac
+              FROM uni GROUP BY doc_id),
+            big AS (
+              SELECT doc_id, bg, COUNT(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(2, len(t) + 1),
+                                                 i -> t[CAST(i - 1 AS INT)] || ' ' || t[CAST(i AS INT)])) AS bg
+                    FROM toks)
+              GROUP BY doc_id, bg),
+            big_s AS (
+              SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+              FROM big GROUP BY doc_id)
+            SELECT u.doc_id, u.top_token_frac, u.dup_token_frac,
+                   COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM uni_s u LEFT JOIN big_s b ON b.doc_id = u.doc_id
+        """,
+        "text_stopwords": f"""
+            SELECT doc_id,
+                   round(CAST(len(list_filter({_TOK},
+                         t -> list_contains(['the','a','an','and','of','to','in','is',
+                                             'row','table','value','join','hash','scan'], t))) AS DOUBLE)
+                         / len({_TOK}), 6) AS stopword_ratio,
+                   round(CAST(len(list_filter({_TOK}, t -> regexp_matches(t, '^[a-z]+$'))) AS DOUBLE)
+                         / len({_TOK}), 6) AS alpha_ratio,
+                   list_max(list_transform({_TOK}, t -> length(t))) AS max_token_len
+            FROM documents
+        """,
+        "text_contamination": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, greatest(len(t) - 5 + 1, 0) + 1),
+                            i -> md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')))) AS gr
+              FROM toks),
+            dfreq AS (SELECT gr, COUNT(*) AS ndocs FROM g GROUP BY gr)
+            SELECT g.doc_id,
+                   COUNT(*) AS n_grams,
+                   SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared,
+                   round(CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS shared_frac
+            FROM g JOIN dfreq d ON d.gr = g.gr
+            GROUP BY g.doc_id
+        """,
+        "text_length_pcts": """
+            SELECT round(quantile_cont(n_chars, 0.1), 6) AS p10,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90
+            FROM documents
         """,
         "ann_ivf_topk": """
             WITH dims AS (

@@ -78,14 +78,19 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     array_min — so the same plan scales from the sf gate to 100 TB with
     zero Python. Output: one row per distinct fingerprint (doc_id, fp).
     """
+    # sequence(1, 0) is descending [1, 0] in Spark — CASE-guard the empty case
+    # so sub-k-length texts fingerprint to nothing (matching the SQL oracle's
+    # empty range()) instead of a spurious 2-element gram list.
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {k} + 1, 0)),"
-        f" i -> md5(substring(text, i, {k})))"
+        f"CASE WHEN length(text) < {k} THEN array()"
+        f" ELSE transform(sequence(1, length(text) - {k} + 1),"
+        f"                i -> md5(substring(text, i, {k}))) END"
     )
     d = docs.withColumn("grams", grams)
     mins = F.expr(
-        f"transform(sequence(1, greatest(size(grams) - {w} + 1, 0)),"
-        f" j -> array_min(slice(grams, j, {w})))"
+        f"CASE WHEN size(grams) < {w} THEN array()"
+        f" ELSE transform(sequence(1, size(grams) - {w} + 1),"
+        f"                j -> array_min(slice(grams, j, {w}))) END"
     )
     return (
         d.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
@@ -100,4 +105,131 @@ def vocab_stats(docs: DataFrame, min_count: int = 100) -> DataFrame:
         d.select(F.explode("tokens").alias("token"))
         .groupBy("token").agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
+    )
+
+
+def repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per document,
+    the fraction of token occurrences that are repeats (``dup_token_frac``),
+    the share of the most frequent token (``top_token_frac``), and the share
+    of the most frequent bigram (``top_bigram_frac``).
+
+    Shape: explode → per-(doc, gram) hash-agg → per-doc hash-agg. Partial
+    (map-side) aggregation applies at both levels, and the shuffle key is
+    (doc_id, gram) then doc_id — no skew beyond document size, so the same
+    plan holds at 100 TB. Single-token documents have no bigrams; their
+    ``top_bigram_frac`` is 0.
+    """
+    d = with_tokens(docs)
+    uni = (
+        d.select("doc_id", F.explode("tokens").alias("t"))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.col("n"), 6).alias("top_token_frac"),
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n"), 6).alias("dup_token_frac"),
+        )
+    )
+    # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, so an empty gram list
+    # needs an explicit CASE guard, not greatest(..., 0).
+    bigrams = F.expr(
+        "CASE WHEN size(tokens) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(tokens) - 1),"
+        "                i -> concat(tokens[i-1], ' ', tokens[i])) END"
+    )
+    big = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("n"))
+        .select("doc_id", F.round(F.col("top_c") / F.col("n"), 6).alias("top_bigram_frac"))
+    )
+    return (
+        uni.join(big, "doc_id", "left")
+        .select(
+            "doc_id", "top_token_frac", "dup_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+# C4/Gopher-flavoured default; stopword lists are language- and
+# domain-specific, so callers inject their own (the driver query mixes in
+# corpus-frequent "domain stopwords" so the ratios are non-degenerate on the
+# synthetic vocabulary).
+DEFAULT_STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at it this that"
+).split()
+
+
+def stopword_stats(docs: DataFrame, stopwords: list[str] = DEFAULT_STOPWORDS) -> DataFrame:
+    """C4-style lexical quality filters: stopword ratio (garbage text has
+    ~none; natural text ~0.3-0.5), all-alpha token ratio, and max token
+    length (boilerplate/URLs produce very long 'words'). The stopword list
+    is a broadcast literal array — tiny, so it rides the task closure; no
+    join, no shuffle, pure codegen per row."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    d = with_tokens(docs)
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+            / F.size("tokens"), 6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.filter("tokens", lambda t: t.rlike("^[a-z]+$")))
+            / F.size("tokens"), 6,
+        ).alias("alpha_ratio"),
+        F.array_max(F.transform("tokens", F.length)).alias("max_token_len"),
+    )
+
+
+def ngram_contamination(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataFrame:
+    """Cross-document n-gram overlap — the decontamination / cross-dup
+    primitive (per-doc fraction of its distinct token n-grams that appear in
+    ≥ ``min_docs`` documents). The train/test-leak check in every LLM data
+    pipeline is this exact query with the eval set as the second corpus.
+
+    Shape at scale: explode distinct grams per doc (md5 so the shuffle key is
+    a fixed-width string), hash-agg by gram for document frequency, then an
+    equi-join gram→df that Spark co-partitions with the agg (one shuffle
+    feeds both), and a final per-doc hash-agg. No broadcast of anything
+    corpus-sized; skew is bounded because per-doc grams are distinct."""
+    grams = F.expr(
+        f"CASE WHEN size(tokens) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
+        f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+    )
+    d = with_tokens(docs)
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    df_counts = g.groupBy("g").agg(F.count("*").alias("ndocs"))
+    return (
+        g.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") >= min_docs, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("shared_frac"),
+        )
+    )
+
+
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """Corpus length distribution: exact p10/p50/p90 of ``n_chars`` — the
+    numbers a length-filter threshold is read off of. Spark's exact
+    ``percentile`` (linear interpolation) matches DuckDB's ``quantile_cont``
+    bit-for-bit at these scales; at 100 TB swap in ``percentile_approx``
+    (t-digest, one pass, mergeable) and accept the documented error bound."""
+    p = F.expr("percentile(n_chars, array(0.1, 0.5, 0.9))")
+    return docs.agg(
+        F.round(p[0], 6).alias("p10"),
+        F.round(p[1], 6).alias("p50"),
+        F.round(p[2], 6).alias("p90"),
     )

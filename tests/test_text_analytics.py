@@ -1,0 +1,65 @@
+"""Unit oracles for the round-2 text-analysis additions: Gopher repetition
+signals, C4 stopword stats, cross-doc n-gram contamination, exact length
+percentiles. Hand-computed expectations on a tiny corpus; DuckDB hash
+parity at sf0.01 is additionally enforced by the driver gate
+(__spark_entry__.oracle_sql) and tools/selfcheck.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_redaction_engine_spark.analytics.text import (
+    length_percentiles,
+    ngram_contamination,
+    repetition,
+    stopword_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b a b a", "en", "s", 9),       # top token a(3)/5, bigrams: ab,ba,ab,ba → top 2/4
+        (1, "x y z", "en", "s", 5),            # all distinct
+        (2, "solo", "en", "s", 4),             # single token, no bigrams
+        (3, "a b a b a", "en", "s", 9),        # exact dup of doc 0 (contamination)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_repetition(docs):
+    got = {r["doc_id"]: r for r in repetition(docs).collect()}
+    assert got[0]["top_token_frac"] == pytest.approx(3 / 5)
+    assert got[0]["dup_token_frac"] == pytest.approx(1 - 2 / 5)
+    assert got[0]["top_bigram_frac"] == pytest.approx(2 / 4)
+    assert got[1]["top_token_frac"] == pytest.approx(1 / 3)
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0  # no bigrams → coalesced 0
+
+
+def test_stopword_stats(docs):
+    got = {r["doc_id"]: r for r in
+           stopword_stats(docs, stopwords=["a", "b"]).collect()}
+    assert got[0]["stopword_ratio"] == pytest.approx(1.0)
+    assert got[1]["stopword_ratio"] == 0.0
+    assert got[0]["alpha_ratio"] == pytest.approx(1.0)
+    assert got[2]["max_token_len"] == 4
+
+
+def test_ngram_contamination(docs):
+    # 2-grams: doc0/doc3 share {a b, b a}; doc1 {x y, y z} unique; doc2 none.
+    got = {r["doc_id"]: r for r in
+           ngram_contamination(docs, n=2, min_docs=2).collect()}
+    assert got[0]["n_grams"] == 2 and got[0]["shared_frac"] == pytest.approx(1.0)
+    assert got[3]["n_grams"] == 2 and got[3]["shared_frac"] == pytest.approx(1.0)
+    assert got[1]["n_grams"] == 2 and got[1]["shared_frac"] == 0.0
+    assert 2 not in got  # no n-grams → no row (doc shorter than n)
+
+
+def test_length_percentiles(docs):
+    row = length_percentiles(docs).collect()[0]
+    # n_chars sorted: [4, 5, 9, 9]; linear interpolation at (n-1)*p
+    assert row["p50"] == pytest.approx(7.0)
+    assert row["p10"] == pytest.approx(4.3)
+    assert row["p90"] == pytest.approx(9.0)
