@@ -567,6 +567,20 @@ def text_vocab(spark, sf_dir):
     return vocab_stats(_t(spark, sf_dir, "documents"), min_count=100)
 
 
+def q32_asof_join(spark, sf_dir):
+    """As-of join (merge formulation): latest same-user 'error' at/before
+    each 'click' — one window pass, one shuffle on user_id."""
+    from ocr_redaction_engine_spark.analytics.temporal import asof_last_event
+    return asof_last_event(_t(spark, sf_dir, "events"))
+
+
+def q33_range_join(spark, sf_dir):
+    """Keyless range join via time-bin bucketing: prior-5-minute event count
+    per event, equi-join on bins instead of a nested-loop range predicate."""
+    from ocr_redaction_engine_spark.analytics.temporal import range_join_count
+    return range_join_count(_t(spark, sf_dir, "events"), minutes=5)
+
+
 def text_repetition(spark, sf_dir):
     """Gopher repetition signals: dup-token / top-token / top-bigram
     fractions per document (explode → two-level hash-agg, no skew)."""
@@ -728,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_shingles": q29_shingles,
         "q30_topk_orders": q30_topk_orders,
         "q31_session_windows": q31_session_windows,
+        "q32_asof_join": q32_asof_join,
+        "q33_range_join": q33_range_join,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1057,6 +1073,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "q32_asof_join": """
+            SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts, last_ref_id
+            FROM (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ref_id
+              FROM events)
+            WHERE event_type = 'click'
+        """,
+        "q33_range_join": """
+            SELECT a.event_id,
+                   COUNT(b.event_id) AS n_prior
+            FROM events a LEFT JOIN events b
+              ON b.ts >= a.ts - INTERVAL 5 MINUTES AND b.ts < a.ts
+            GROUP BY a.event_id
         """,
         "embed_norms": """
             SELECT vec_id,
