@@ -581,6 +581,27 @@ def q33_range_join(spark, sf_dir):
     return range_join_count(_t(spark, sf_dir, "events"), minutes=5)
 
 
+def sample_bernoulli(spark, sf_dir):
+    """Deterministic hash-Bernoulli 10% sample — rerun-stable, filter-pushdown."""
+    from ocr_redaction_engine_spark.analytics.sampling import bernoulli_sample
+    return bernoulli_sample(_t(spark, sf_dir, "documents"), pct=10).select(
+        "doc_id", "lang", "source")
+
+
+def sample_stratified(spark, sf_dir):
+    """Per-(lang, source) deterministic top-5 by hash rank (data mixing)."""
+    from ocr_redaction_engine_spark.analytics.sampling import stratified_sample
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), strata=["lang", "source"], n_per_stratum=5)
+
+
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-token sketch per source — deterministic mergeable
+    sketch with exact cross-engine parity (HLL has neither)."""
+    from ocr_redaction_engine_spark.analytics.sampling import kmv_distinct
+    return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
+
+
 def text_repetition(spark, sf_dir):
     """Gopher repetition signals: dup-token / top-token / top-bigram
     fractions per document (explode → two-level hash-agg, no skew)."""
@@ -755,6 +776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_vocab": text_vocab,
         "text_winnow_fp": text_winnow_fp,
+        "sample_bernoulli": sample_bernoulli,
+        "sample_stratified": sample_stratified,
+        "sketch_kmv_distinct": sketch_kmv_distinct,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1238,6 +1262,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS cnt
             FROM (SELECT unnest({_TOK}) AS token FROM documents)
             GROUP BY token HAVING COUNT(*) >= 100
+        """,
+        "sample_bernoulli": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source, rank FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                doc_id) AS rank
+              FROM documents) WHERE rank <= 5
+        """,
+        "sketch_kmv_distinct": f"""
+            WITH toks AS (
+              SELECT DISTINCT source, unnest({_TOK}) AS token FROM documents),
+            h AS (SELECT source, token,
+                         CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+                  FROM toks),
+            r AS (SELECT source, h,
+                         row_number() OVER (PARTITION BY source ORDER BY h, token) AS rk
+                  FROM h),
+            g AS (SELECT source, COUNT(*) AS n_distinct,
+                         MAX(CASE WHEN rk = 64 THEN h END) AS h_k
+                  FROM r GROUP BY source)
+            SELECT source,
+                   CASE WHEN h_k IS NOT NULL
+                        THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
+                        ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
+            FROM g
         """,
         "text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -1,0 +1,78 @@
+"""Deterministic sampling + sketching primitives for corpus curation:
+hash-based Bernoulli/stratified sampling and a KMV (k-minimum-values)
+distinct-count sketch.
+
+Hash-based determinism is the point: the same row samples the same way on
+every executor, every rerun, every engine — no RNG state to coordinate —
+which is what makes 100 TB sampling reproducible and what lets the DuckDB
+oracle hash-match bit-for-bit (HLL/approx_count_distinct cannot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX15 = 16 ** 15  # 15 hex digits fit a signed 64-bit long exactly
+
+
+def _hash_frac(col) -> F.Column:
+    """md5 → first 15 hex digits as a long — a uniform draw in [0, 16^15).
+    Kept as an exact integer until the final division so every engine
+    computes the identical double."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def bernoulli_sample(docs: DataFrame, pct: int, key: str = "doc_id") -> DataFrame:
+    """Keep ~pct% of rows by hash threshold: md5(key) mod 100 < pct.
+    Deterministic, rerun-stable, and pushes down as a plain filter."""
+    return docs.filter((_hash_frac(F.col(key).cast("string")) % 100) < pct)
+
+
+def stratified_sample(docs: DataFrame, strata: list[str], n_per_stratum: int,
+                      key: str = "doc_id") -> DataFrame:
+    """Per-stratum deterministic top-n by hash rank — the data-mixing
+    primitive (equal-size draws per (lang, source) cell regardless of cell
+    skew). One shuffle on the strata key; rank ties are impossible because
+    the order key includes the unique ``key`` column."""
+    h = _hash_frac(F.col(key).cast("string"))
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(key).asc())
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_per_stratum)
+        .select(key, *strata, "rank")
+    )
+
+
+def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:
+    """KMV distinct-token estimate per group: hash every distinct token,
+    keep the k smallest hashes, estimate distinct = (k-1) / u_k where u_k is
+    the k-th smallest hash scaled to [0,1) (Bar-Yossef et al. 2002).
+
+    Unlike HLL, the estimator is a pure function of the k smallest hashes,
+    so it is deterministic and engine-portable — the DuckDB oracle
+    hash-matches exactly. The sketch is mergeable (union = k smallest of
+    the concatenation), which is what makes it a *distributed* sketch: at
+    100 TB you fold the per-partition top-k before the final merge (the
+    explode→distinct shuffle here is the small-cluster formulation; swap in
+    a partial ``mapPartitions`` top-k when tokens-per-group outgrows a
+    shuffle). Groups with fewer than k distinct tokens report the exact
+    count. Ordering ties are broken by the token itself, so rank k is
+    well-defined even under md5-prefix collisions.
+    """
+    toks = (
+        docs.select(group, F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .distinct()
+    )
+    h = _hash_frac("token")
+    w = Window.partitionBy(group).orderBy(h.asc(), F.col("token").asc())
+    ranked = toks.withColumn("h", h).withColumn("rk", F.row_number().over(w))
+    per_group = ranked.groupBy(group).agg(
+        F.count("*").alias("n_distinct"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("h_k").isNotNull(),
+        F.round((k - 1) / (F.col("h_k") / F.lit(float(_HEX15))), 6),
+    ).otherwise(F.col("n_distinct").cast("double"))
+    return per_group.select(group, est.alias("est_distinct"))

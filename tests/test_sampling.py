@@ -1,0 +1,56 @@
+"""Unit oracles for deterministic sampling + KMV sketching. DuckDB hash
+parity at sf0.01 is additionally enforced by the driver gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_redaction_engine_spark.analytics.sampling import (
+    bernoulli_sample,
+    kmv_distinct,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 97}" for j in range(20)),
+         "en" if i % 2 == 0 else "de", f"s{i % 3}", 0)
+        for i in range(120)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_bernoulli_deterministic_and_plausible(docs):
+    a = sorted(r["doc_id"] for r in bernoulli_sample(docs, 20).collect())
+    b = sorted(r["doc_id"] for r in bernoulli_sample(docs, 20).collect())
+    assert a == b                      # rerun-stable
+    assert 5 <= len(a) <= 45           # ~20% of 120, wide tolerance
+    sub = set(r["doc_id"] for r in bernoulli_sample(docs, 10).collect())
+    assert sub <= set(a)               # thresholds nest: 10% ⊂ 20%
+
+
+def test_stratified_exact_n_per_cell(docs):
+    out = stratified_sample(docs, ["lang", "source"], n_per_stratum=4).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault((r["lang"], r["source"]), []).append(r["rank"])
+    assert len(by_cell) == 6           # 2 langs × 3 sources
+    for ranks in by_cell.values():
+        assert sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_kmv_small_group_exact(spark):
+    rows = [(0, "a b c a", "en", "tiny", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = kmv_distinct(docs, "source", k=64).collect()
+    assert got[0]["est_distinct"] == 3.0  # < k distinct → exact count
+
+
+def test_kmv_estimate_in_range(docs):
+    # true distinct tokens per source ≈ 97 shared vocabulary words
+    for r in kmv_distinct(docs, "source", k=64).collect():
+        assert 50 <= r["est_distinct"] <= 200
