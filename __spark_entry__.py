@@ -631,6 +631,37 @@ def text_length_pcts(spark, sf_dir):
     return length_percentiles(_t(spark, sf_dir, "documents"))
 
 
+def text_tfidf_topk(spark, sf_dir):
+    """Integer-exact TF-IDF-ranked top-3 terms per doc (tf DESC, df ASC)."""
+    from ocr_redaction_engine_spark.analytics.text import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def dedup_sparse_cosine(spark, sf_dir):
+    """Inverted-index sparse cosine over trigram counts, df-capped postings
+    — the no-embedding near-dup scale path (one postings self-join)."""
+    from ocr_redaction_engine_spark.analytics.dedup import sparse_cosine_pairs
+    return sparse_cosine_pairs(_t(spark, sf_dir, "documents"), n=3, max_df=200, min_dot=2)
+
+
+def dedup_representatives(spark, sf_dir):
+    """Per duplicate-cluster representative selection (keep-longest rule) —
+    the dedup action over connected components."""
+    from ocr_redaction_engine_spark.analytics.dedup import duplicate_representatives
+    return duplicate_representatives(_t(spark, sf_dir, "documents"))
+
+
+_MIX_BOOSTED = ("src0", "src1", "src2", "src3")
+
+
+def mix_char_budget(spark, sf_dir):
+    """Source-weighted corpus mixing under a 60k-char budget: deterministic
+    hash-rank cumsum per source, boosted sources get 2x share."""
+    from ocr_redaction_engine_spark.analytics.sampling import char_budget_mix
+    return char_budget_mix(_t(spark, sf_dir, "documents"), budget_chars=60000,
+                           boosted=_MIX_BOOSTED, boost=2.0)
+
+
 # --- rows-only (non-SQL-expressible; oracled by the pure-Python reference
 # oracle in tests/test_pipeline_golden.py instead) -------------------------
 
@@ -783,6 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
         "text_length_pcts": text_length_pcts,
+        "text_tfidf_topk": text_tfidf_topk,
+        "dedup_sparse_cosine": dedup_sparse_cosine,
+        "dedup_representatives": dedup_representatives,
+        "mix_char_budget": mix_char_budget,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
@@ -1351,6 +1386,91 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.5), 6) AS p50,
                    round(quantile_cont(n_chars, 0.9), 6) AS p90
             FROM documents
+        """,
+        "text_tfidf_topk": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+            dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            r AS (SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+                         row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, dfc.df ASC, tf.token ASC) AS rank
+                  FROM tf JOIN dfc USING (token))
+            SELECT doc_id, token, tf, df, rank FROM r WHERE rank <= 3
+        """,
+        "dedup_sparse_cosine": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                                i -> md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS gr
+                  FROM toks),
+            tf AS (SELECT doc_id, gr, COUNT(*) AS tf FROM g GROUP BY doc_id, gr),
+            norms AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM tf GROUP BY doc_id),
+            dfc AS (SELECT gr, COUNT(*) AS df FROM tf GROUP BY gr),
+            kept AS (SELECT tf.doc_id, tf.gr, tf.tf
+                     FROM tf JOIN dfc USING (gr) WHERE dfc.df <= 200),
+            dots AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                            CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+                     FROM kept x JOIN kept y ON x.gr = y.gr AND x.doc_id < y.doc_id
+                     GROUP BY x.doc_id, y.doc_id
+                     HAVING SUM(x.tf * y.tf) >= 2)
+            SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2,
+                   round(d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos_lb
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.a
+            JOIN norms nb ON nb.doc_id = d.b
+        """,
+        "dedup_representatives": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            edges AS (
+              SELECT a AS u, b AS v FROM cands
+              UNION SELECT b, a FROM cands),
+            reach(u, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v),
+            comp AS (SELECT u AS node, MIN(lab) AS component FROM reach GROUP BY u),
+            j AS (SELECT c.component, c.node, d.n_chars
+                  FROM comp c JOIN documents d ON d.doc_id = c.node),
+            reps AS (SELECT component, node AS rep_doc_id, n_chars AS rep_n_chars
+                     FROM (SELECT *, row_number() OVER (
+                             PARTITION BY component
+                             ORDER BY n_chars DESC, node ASC) AS rn FROM j)
+                     WHERE rn = 1),
+            sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+            SELECT r.component, r.rep_doc_id, r.rep_n_chars, s.n_members
+            FROM reps r JOIN sizes s USING (component)
+        """,
+        "mix_char_budget": """
+            WITH tw AS (
+              SELECT SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+                              THEN 2.0 ELSE 1.0 END) AS total_w
+              FROM (SELECT DISTINCT source FROM documents)),
+            h AS (SELECT doc_id, source, n_chars,
+                         CASE WHEN source IN ('src0','src1','src2','src3')
+                              THEN 2.0 ELSE 1.0 END AS w,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                  FROM documents),
+            c AS (SELECT doc_id, source, n_chars, w,
+                         CAST(SUM(n_chars) OVER (
+                           PARTITION BY source ORDER BY hv ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+                  FROM h)
+            SELECT doc_id, source, n_chars, cum_chars
+            FROM c, tw
+            WHERE cum_chars <= 60000.0 * w / tw.total_w
         """,
         "ann_ivf_topk": """
             WITH dims AS (

@@ -46,6 +46,12 @@ HEADLINE = [
     # round-2 scale paths: bucketed near-dup (no cross join), vectorized
     # SimHash band candidates, integer-exact LSH ANN
     "dedup_embedding_cosine", "dedup_simhash_cands", "ann_lsh_topk",
+    # round-2 additions: temporal joins, repetition/contamination text ops,
+    # KMV sketch
+    "q32_asof_join", "q33_range_join", "text_repetition",
+    "text_contamination", "sketch_kmv_distinct",
+    # round-2b: inverted-index near-dup, budgeted mixing
+    "dedup_sparse_cosine", "mix_char_budget",
 ]
 
 

@@ -184,6 +184,80 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
     )
 
 
+def sparse_cosine_pairs(docs: DataFrame, n: int = 3, max_df: int = 200,
+                        min_dot: int = 1) -> DataFrame:
+    """Inverted-index sparse cosine similarity over token n-gram counts —
+    the no-embedding near-dup scale path (classic TF postings-join shape).
+
+    Build per-doc n-gram counts (md5 grams: fixed-width shuffle keys), drop
+    grams with document frequency > ``max_df`` (the postings for a
+    boilerplate gram grow O(df²) pairs — capping df is THE skew control that
+    makes the self-join survive 100 TB), then ONE self-equi-join on the gram
+    accumulates integer-exact dot products; norms join in afterwards.
+    Because dropped grams only remove numerator terms while the norms stay
+    full, ``cos_lb`` is a lower bound on true cosine — candidates lost to
+    the cap are exactly the ones sharing only corpus-wide boilerplate.
+
+    Output: (a, b, dot, na2, nb2, cos_lb), integers except the final ratio.
+    """
+    grams = F.expr(
+        f"CASE WHEN size(tokens) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
+        f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+    )
+    g = with_tokens(docs).select("doc_id", F.explode(grams).alias("g"))
+    tf = g.groupBy("doc_id", "g").agg(F.count("*").alias("tf"))
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    dfc = tf.groupBy("g").agg(F.count("*").alias("df"))
+    kept = tf.join(dfc.filter(F.col("df") <= max_df), "g").select("doc_id", "g", "tf")
+    ta = kept.select(F.col("doc_id").alias("a"), "g", F.col("tf").alias("tfa"))
+    tb = kept.select(F.col("doc_id").alias("b"), "g", F.col("tf").alias("tfb"))
+    dots = (
+        ta.join(tb, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+        .filter(F.col("dot") >= min_dot)
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "a").join(nb, "b")
+        .select(
+            "a", "b", "dot", "na2", "nb2",
+            # double BEFORE the product: na2*nb2 as int64 overflows for
+            # ~10^5-gram documents; the doubles are exact below 2^53 so the
+            # DuckDB oracle (same cast order) matches bit-for-bit
+            F.round(F.col("dot") / F.sqrt(F.col("na2").cast("double") * F.col("nb2")), 6).alias("cos_lb"),
+        )
+    )
+
+
+def duplicate_representatives(docs: DataFrame) -> DataFrame:
+    """The dedup *action*: per duplicate cluster (connected components over
+    LSH candidate pairs), pick the document to KEEP — longest text, ties to
+    the smallest doc_id — and report cluster size. Downstream an anti-join
+    of the corpus against (members − representatives) materializes the
+    deduplicated corpus; both sides are doc_id-keyed so the join
+    co-partitions with the component shuffle.
+
+    Output: (component, rep_doc_id, rep_n_chars, n_members)."""
+    from pyspark.sql import Window
+
+    comps = connected_components(candidate_pairs(docs))
+    joined = comps.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc())
+    reps = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("node").alias("rep_doc_id"),
+                F.col("n_chars").alias("rep_n_chars"))
+    )
+    sizes = comps.groupBy("component").agg(F.count("*").alias("n_members"))
+    return reps.join(sizes, "component")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate-group clustering: connected components over candidate pairs
     (columns ``a``, ``b``) by min-label propagation with POINTER DOUBLING.

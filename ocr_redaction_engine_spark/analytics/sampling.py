@@ -44,6 +44,42 @@ def stratified_sample(docs: DataFrame, strata: list[str], n_per_stratum: int,
     )
 
 
+def char_budget_mix(docs: DataFrame, budget_chars: int,
+                    boosted: tuple[str, ...] = (), boost: float = 2.0,
+                    key: str = "doc_id") -> DataFrame:
+    """Data-mixing under a corpus budget: split ``budget_chars`` across
+    sources proportionally to per-source weights (``boost`` for sources in
+    ``boosted``, 1.0 otherwise), then within each source keep documents in
+    deterministic hash-rank order while the running char total stays within
+    that source's share. This is the up-sample/down-sample step every
+    pretraining mix applies after filtering, made rerun-stable: hash order
+    means adding documents to the corpus never reshuffles which earlier
+    documents are kept.
+
+    One scalar subquery (total weight over distinct sources — bytes, not
+    rows, reach the driver) broadcast to every row, then a single
+    window-cumsum shuffled on source. Output:
+    (doc_id, source, n_chars, cum_chars)."""
+    w_col = F.when(F.col("source").isin(*boosted) if boosted else F.lit(False),
+                   F.lit(float(boost))).otherwise(F.lit(1.0))
+    total_w = (
+        docs.select("source").distinct()
+        .agg(F.sum(w_col).alias("total_w"))
+    )
+    h = _hash_frac(F.col(key).cast("string"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy(h.asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.crossJoin(F.broadcast(total_w))
+        .withColumn("cum_chars", F.sum("n_chars").over(win))
+        .filter(F.col("cum_chars") <= F.lit(float(budget_chars)) * w_col / F.col("total_w"))
+        .select(key, "source", "n_chars", "cum_chars")
+    )
+
+
 def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:
     """KMV distinct-token estimate per group: hash every distinct token,
     keep the k smallest hashes, estimate distinct = (k-1) / u_k where u_k is

@@ -221,6 +221,30 @@ def ngram_contamination(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataF
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Integer-exact TF-IDF-ranked top-k terms per document: rank by
+    (tf DESC, document-frequency ASC, token ASC) — the same ordering
+    tf·log(N/df) induces for fixed tf, with no floating-point log to drift
+    between engines. Shape: explode → (doc, token) hash-agg → token
+    hash-agg for df → join (co-partitioned with the agg) → per-doc window
+    top-k. The window partitions by doc_id, so no skew beyond document size.
+
+    Output: (doc_id, token, tf, df, rank)."""
+    from pyspark.sql import Window
+
+    t = with_tokens(docs).select("doc_id", F.explode("tokens").alias("token"))
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
+    return (
+        tf.join(dfc, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )
+
+
 def length_percentiles(docs: DataFrame) -> DataFrame:
     """Corpus length distribution: exact p10/p50/p90 of ``n_chars`` — the
     numbers a length-filter threshold is read off of. Spark's exact

@@ -96,3 +96,42 @@ def test_winnow_fingerprints_reference_and_locality(spark):
         assert got[d] == ref(s), d
     # shared prefix => substantially overlapping fingerprint sets
     assert len(got[1] & got[2]) >= 3
+
+
+def test_sparse_cosine_pairs_semantics(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import sparse_cosine_pairs
+    rows = [
+        (1, "p q r s t u v w", 0),      # near-dup of 2 (7 shared tokens)
+        (2, "p q r s t u v x", 0),
+        (3, "m n o m n o m n", 0),      # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {(r["a"], r["b"]): r for r in
+           sparse_cosine_pairs(docs, n=3, max_df=10, min_dot=1).collect()}
+    # docs 1/2 share trigrams from the 7-token common prefix: p q r .. u v
+    # (5 shared trigrams of 6 each) → dot=5, norms 6 → cos 5/6
+    r12 = out[(1, 2)]
+    assert r12["dot"] == 5 and r12["na2"] == 6 and r12["nb2"] == 6
+    assert r12["cos_lb"] == round(5 / 6, 6)
+    assert (1, 3) not in out and (2, 3) not in out
+    # df cap drops the shared trigrams → pair disappears (lower-bound semantics)
+    capped = sparse_cosine_pairs(docs, n=3, max_df=1, min_dot=1).collect()
+    assert not [r for r in capped if (r["a"], r["b"]) == (1, 2)]
+
+
+def test_duplicate_representatives(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import duplicate_representatives
+    rows = [
+        (1, "alpha beta gamma delta", 22),
+        (2, "alpha beta gamma delta", 22),       # exact dup of 1
+        (3, "alpha beta gamma delta epsilon", 30),  # near-dup, longest
+        (4, "zeta eta theta iota", 19),          # singleton: no candidate pair
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    reps = duplicate_representatives(docs).collect()
+    comp = {r["component"]: r for r in reps}
+    assert 1 in comp
+    assert comp[1]["rep_doc_id"] == 3            # longest text wins
+    assert comp[1]["rep_n_chars"] == 30
+    assert comp[1]["n_members"] == 3
+    assert all(r["component"] != 4 for r in reps)  # singletons form no cluster

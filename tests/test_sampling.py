@@ -54,3 +54,31 @@ def test_kmv_estimate_in_range(docs):
     # true distinct tokens per source ≈ 97 shared vocabulary words
     for r in kmv_distinct(docs, "source", k=64).collect():
         assert 50 <= r["est_distinct"] <= 200
+
+
+def test_char_budget_mix_weights_and_determinism(spark):
+    from ocr_redaction_engine_spark.analytics.sampling import char_budget_mix
+    rows = [(i, "x", "en", f"s{i % 4}", 100) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    # budget 8000 chars, s0 boosted 3x: shares = 3/6, 1/6, 1/6, 1/6 of 8000
+    out = char_budget_mix(docs, budget_chars=8000, boosted=("s0",), boost=3.0)
+    rows1 = sorted((r["doc_id"], r["cum_chars"]) for r in out.collect())
+    per_src = {}
+    for r in out.collect():
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_chars"]
+    assert per_src["s0"] == 4000       # 3/6 * 8000, docs are 100 chars each
+    assert per_src["s1"] == per_src["s2"] == per_src["s3"] == 1300  # floor(8000/6 /100)*100
+    # rerun-stable (hash order, no RNG)
+    rows2 = sorted((r["doc_id"], r["cum_chars"]) for r in out.collect())
+    assert rows1 == rows2
+    # growing the corpus never evicts earlier-kept docs of an unchanged source
+    more = docs.union(spark.createDataFrame(
+        [(1000 + i, "x", "en", "s9", 100) for i in range(50)],
+        docs.schema))
+    out2 = char_budget_mix(more, budget_chars=8000, boosted=("s0",), boost=3.0)
+    kept1 = {r["doc_id"] for r in out.collect() if r["source"] == "s1"}
+    # s1's share shrinks (total weight grew), but survivors are a hash-order
+    # prefix of the original kept set
+    kept2 = {r["doc_id"] for r in out2.collect() if r["source"] == "s1"}
+    assert kept2 <= kept1

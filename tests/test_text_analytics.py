@@ -63,3 +63,18 @@ def test_length_percentiles(docs):
     assert row["p50"] == pytest.approx(7.0)
     assert row["p10"] == pytest.approx(4.3)
     assert row["p90"] == pytest.approx(9.0)
+
+
+def test_tfidf_top_terms(docs):
+    from ocr_redaction_engine_spark.analytics.text import tfidf_top_terms
+    got = {}
+    for r in tfidf_top_terms(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tf"], r["df"]))
+    for v in got.values():
+        v.sort()
+    # doc0: a(tf 3) then b(tf 2); both df=2 (docs 0 and 3)
+    assert got[0] == [(1, "a", 3, 2), (2, "b", 2, 2)]
+    # doc1: tf all 1, df all 1 → alphabetical tie-break
+    assert got[1] == [(1, "x", 1, 1), (2, "y", 1, 1)]
+    # doc2: single token
+    assert got[2] == [(1, "solo", 1, 1)]
