@@ -56,15 +56,14 @@ def char_budget_mix(docs: DataFrame, budget_chars: int,
     means adding documents to the corpus never reshuffles which earlier
     documents are kept.
 
-    One scalar subquery (total weight over distinct sources — bytes, not
-    rows, reach the driver) broadcast to every row, then a single
-    window-cumsum shuffled on source. Output:
-    (doc_id, source, n_chars, cum_chars)."""
+    The total weight over distinct sources is a single driver-side scalar
+    (same pattern as the IVF centroids: bytes, not rows, reach the driver)
+    inlined as a literal, so the main pass is one window-cumsum shuffled on
+    source — no join at all. Output: (doc_id, source, n_chars, cum_chars)."""
     w_col = F.when(F.col("source").isin(*boosted) if boosted else F.lit(False),
                    F.lit(float(boost))).otherwise(F.lit(1.0))
-    total_w = (
-        docs.select("source").distinct()
-        .agg(F.sum(w_col).alias("total_w"))
+    total_w = float(
+        docs.select("source").distinct().agg(F.sum(w_col)).collect()[0][0]
     )
     h = _hash_frac(F.col(key).cast("string"))
     win = (
@@ -73,9 +72,8 @@ def char_budget_mix(docs: DataFrame, budget_chars: int,
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        docs.crossJoin(F.broadcast(total_w))
-        .withColumn("cum_chars", F.sum("n_chars").over(win))
-        .filter(F.col("cum_chars") <= F.lit(float(budget_chars)) * w_col / F.col("total_w"))
+        docs.withColumn("cum_chars", F.sum("n_chars").over(win))
+        .filter(F.col("cum_chars") <= F.lit(float(budget_chars)) * w_col / F.lit(total_w))
         .select(key, "source", "n_chars", "cum_chars")
     )
 
