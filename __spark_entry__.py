@@ -651,6 +651,23 @@ def dedup_representatives(spark, sf_dir):
     return duplicate_representatives(_t(spark, sf_dir, "documents"))
 
 
+def dedup_apply(spark, sf_dir):
+    """The dedup action applied: anti-join the corpus against
+    (cluster members − representatives) → the deduplicated corpus."""
+    from ocr_redaction_engine_spark.analytics.dedup import apply_dedup
+    return apply_dedup(_t(spark, sf_dir, "documents"))
+
+
+def text_quality_filter(spark, sf_dir):
+    """Composite Gopher/C4 keep/drop verdict with sorted reason strings."""
+    from ocr_redaction_engine_spark.analytics.text import quality_filter
+    return quality_filter(_t(spark, sf_dir, "documents"),
+                          stopwords=_QUERY_STOPWORDS,
+                          min_tokens=25, max_top_token_frac=0.12,
+                          min_alpha_ratio=0.8, max_token_len=20,
+                          min_stopword_ratio=0.1)
+
+
 _MIX_BOOSTED = ("src0", "src1", "src2", "src3")
 
 
@@ -817,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": text_tfidf_topk,
         "dedup_sparse_cosine": dedup_sparse_cosine,
         "dedup_representatives": dedup_representatives,
+        "dedup_apply": dedup_apply,
+        "text_quality_filter": text_quality_filter,
         "mix_char_budget": mix_char_budget,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
@@ -1452,6 +1471,77 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
             SELECT r.component, r.rep_doc_id, r.rep_n_chars, s.n_members
             FROM reps r JOIN sizes s USING (component)
+        """,
+        "dedup_apply": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            edges AS (
+              SELECT a AS u, b AS v FROM cands
+              UNION SELECT b, a FROM cands),
+            reach(u, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v),
+            comp AS (SELECT u AS node, MIN(lab) AS component FROM reach GROUP BY u),
+            j AS (SELECT c.component, c.node, d.n_chars
+                  FROM comp c JOIN documents d ON d.doc_id = c.node),
+            reps AS (SELECT component, node AS rep_doc_id
+                     FROM (SELECT *, row_number() OVER (
+                             PARTITION BY component
+                             ORDER BY n_chars DESC, node ASC) AS rn FROM j)
+                     WHERE rn = 1),
+            dropped AS (SELECT c.node AS doc_id
+                        FROM comp c JOIN reps r USING (component)
+                        WHERE c.node <> r.rep_doc_id)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+        """,
+        "text_quality_filter": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            lex AS (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(t,
+                           tok -> list_contains(['the','a','an','and','of','to','in','is',
+                                                 'row','table','value','join','hash','scan'], tok))) AS DOUBLE)
+                           / len(t), 6) AS stopword_ratio,
+                     round(CAST(len(list_filter(t, tok -> regexp_matches(tok, '^[a-z]+$'))) AS DOUBLE)
+                           / len(t), 6) AS alpha_ratio,
+                     list_max(list_transform(t, tok -> length(tok))) AS max_token_len,
+                     len(t) AS n_tokens
+              FROM toks),
+            uni AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok),
+            uni_s AS (
+              SELECT doc_id,
+                     round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac
+              FROM uni GROUP BY doc_id),
+            r AS (
+              SELECT l.doc_id,
+                     list_sort(list_filter([
+                       CASE WHEN l.n_tokens < 25 THEN 'too_short' END,
+                       CASE WHEN u.top_token_frac > 0.12 THEN 'repetitive' END,
+                       CASE WHEN l.alpha_ratio < 0.8 THEN 'non_alpha' END,
+                       CASE WHEN l.max_token_len > 20 THEN 'long_token' END,
+                       CASE WHEN l.stopword_ratio < 0.1 THEN 'no_stopwords' END
+                     ], x -> x IS NOT NULL)) AS rs
+              FROM lex l JOIN uni_s u USING (doc_id))
+            SELECT doc_id, len(rs) = 0 AS keep,
+                   COALESCE(array_to_string(rs, ','), '') AS reasons
+            FROM r
         """,
         "mix_char_budget": """
             WITH tw AS (

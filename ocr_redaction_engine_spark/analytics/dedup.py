@@ -258,6 +258,26 @@ def duplicate_representatives(docs: DataFrame) -> DataFrame:
     return reps.join(sizes, "component")
 
 
+def apply_dedup(docs: DataFrame) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus: drop every clustered document
+    except its representative (keep-longest), keep all singletons. This is
+    the left-anti join that actually shrinks the training set — clusters
+    and representatives decide, this applies.
+
+    Scale shape: the drop list is (cluster members − representatives),
+    doc_id-keyed, usually ≪ corpus size; the anti-join hash-partitions on
+    doc_id and AQE turns it into a broadcast anti-join whenever the drop
+    list fits. Output: (doc_id, source, n_chars) of survivors."""
+    reps = duplicate_representatives(docs)
+    comps = connected_components(candidate_pairs(docs))
+    drop = (
+        comps.join(reps.select("component", "rep_doc_id"), "component")
+        .filter(F.col("node") != F.col("rep_doc_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate-group clustering: connected components over candidate pairs
     (columns ``a``, ``b``) by min-label propagation with POINTER DOUBLING.

@@ -245,6 +245,42 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def quality_filter(docs: DataFrame,
+                   stopwords: list[str] = DEFAULT_STOPWORDS,
+                   min_tokens: int = 10,
+                   max_top_token_frac: float = 0.2,
+                   min_alpha_ratio: float = 0.8,
+                   max_token_len: int = 20,
+                   min_stopword_ratio: float = 0.0) -> DataFrame:
+    """Composite Gopher/C4-style keep/drop decision per document, with
+    machine-readable reasons — the curation step that actually gates a
+    training set (RefinedWeb/Dolma shape: many cheap signals, one verdict).
+
+    All signals are computed in ONE pass over the corpus: the repetition
+    branch is a two-level hash-agg, the lexical branch is per-row codegen,
+    joined back on doc_id (co-partitioned). ``reasons`` is a sorted
+    comma-joined string (scalar, oracle-hashable)."""
+    lex = stopword_stats(docs, stopwords)
+    rep = repetition(docs)
+    ntok = with_tokens(docs).select("doc_id", F.size("tokens").alias("n_tokens"))
+    j = ntok.join(lex, "doc_id").join(rep, "doc_id")
+    checks = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("repetitive", F.col("top_token_frac") > max_top_token_frac),
+        ("non_alpha", F.col("alpha_ratio") < min_alpha_ratio),
+        ("long_token", F.col("max_token_len") > max_token_len),
+        ("no_stopwords", F.col("stopword_ratio") < min_stopword_ratio),
+    ]
+    reasons = F.array_compact(F.array(*[
+        F.when(cond, F.lit(name)) for name, cond in checks
+    ]))
+    return j.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", F.array_sort(reasons)).alias("reasons"),
+    )
+
+
 def length_percentiles(docs: DataFrame) -> DataFrame:
     """Corpus length distribution: exact p10/p50/p90 of ``n_chars`` — the
     numbers a length-filter threshold is read off of. Spark's exact

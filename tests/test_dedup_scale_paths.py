@@ -135,3 +135,16 @@ def test_duplicate_representatives(spark):
     assert comp[1]["rep_n_chars"] == 30
     assert comp[1]["n_members"] == 3
     assert all(r["component"] != 4 for r in reps)  # singletons form no cluster
+
+
+def test_apply_dedup_keeps_reps_and_singletons(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import apply_dedup
+    rows = [
+        (1, "alpha beta gamma delta", "s", 22),
+        (2, "alpha beta gamma delta", "s", 22),        # dup of 1
+        (3, "alpha beta gamma delta epsilon", "s", 30),  # near-dup, longest → representative
+        (4, "zeta eta theta iota", "s", 19),           # singleton survives untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    kept = sorted(r["doc_id"] for r in apply_dedup(docs).collect())
+    assert kept == [3, 4]

@@ -78,3 +78,23 @@ def test_tfidf_top_terms(docs):
     assert got[1] == [(1, "x", 1, 1), (2, "y", 1, 1)]
     # doc2: single token
     assert got[2] == [(1, "solo", 1, 1)]
+
+
+def test_quality_filter_reasons(spark):
+    from ocr_redaction_engine_spark.analytics.text import quality_filter
+    rows = [
+        (0, "the cat sat on the mat quietly watching birds fly", "en", "s", 0),  # clean
+        (1, "spam spam spam spam spam", "en", "s", 0),      # repetitive + short
+        (2, "a b supercalifragilisticexpialidocious9 c d e f g h i j", "en", "s", 0),  # long+nonalpha token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["doc_id"]: r for r in quality_filter(
+        docs, stopwords=["the", "on"], min_tokens=6,
+        max_top_token_frac=0.5, min_alpha_ratio=0.95,
+        max_token_len=20, min_stopword_ratio=0.0).collect()}
+    assert got[0]["keep"] and got[0]["reasons"] == ""
+    assert not got[1]["keep"] and "repetitive" in got[1]["reasons"]
+    assert "too_short" in got[1]["reasons"]
+    r2 = got[2]["reasons"].split(",")
+    assert "long_token" in r2 and "non_alpha" in r2
+    assert r2 == sorted(r2)            # reasons are sorted (stable hash key)
