@@ -581,6 +581,22 @@ def q33_range_join(spark, sf_dir):
     return range_join_count(_t(spark, sf_dir, "events"), minutes=5)
 
 
+def q34_skew_join(spark, sf_dir):
+    """Skew-safe split-union join: events × per-user profile; users with
+    ≥80 events ride the broadcast path, the cold tail shuffles. Result is
+    identical to the plain join — the oracle checks exactly that."""
+    from ocr_redaction_engine_spark.operators.joins import skew_safe_join
+    ev = _t(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.count("*").alias("user_n"),
+        F.round(F.sum("value"), 6).alias("user_sum"),
+    )
+    return skew_safe_join(
+        ev.select("event_id", "user_id", "event_type"), profile,
+        "user_id", hot_threshold=80,
+    )
+
+
 def sample_bernoulli(spark, sf_dir):
     """Deterministic hash-Bernoulli 10% sample — rerun-stable, filter-pushdown."""
     from ocr_redaction_engine_spark.analytics.sampling import bernoulli_sample
@@ -813,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_session_windows": q31_session_windows,
         "q32_asof_join": q32_asof_join,
         "q33_range_join": q33_range_join,
+        "q34_skew_join": q34_skew_join,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1471,6 +1488,14 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
             SELECT r.component, r.rep_doc_id, r.rep_n_chars, s.n_members
             FROM reps r JOIN sizes s USING (component)
+        """,
+        "q34_skew_join": """
+            WITH profile AS (
+              SELECT user_id, COUNT(*) AS user_n,
+                     round(SUM(value), 6) AS user_sum
+              FROM events GROUP BY user_id)
+            SELECT e.user_id, e.event_id, e.event_type, p.user_n, p.user_sum
+            FROM events e JOIN profile p USING (user_id)
         """,
         "dedup_apply": f"""
             WITH RECURSIVE toks AS (
