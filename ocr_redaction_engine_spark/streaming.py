@@ -166,6 +166,66 @@ def streaming_exact_dedup(docs: DataFrame, watermark_col: str | None = None,
     return fp.dropDuplicates(["fp"])
 
 
+NEAR_DUP_SCHEMA = "a long, b long, band int"
+_ANCHOR_STATE = "anchor long"
+N_STREAM_BANDS = 4
+
+
+def minhash_band_sigs(docs: DataFrame, n_bands: int = N_STREAM_BANDS) -> DataFrame:
+    """Per-row MinHash band signatures as pure codegen (no shuffle, no
+    Python): min over distinct tokens of md5(band || ':' || token) — the
+    same signature analytics.dedup.minhash_signatures computes with a
+    hash-agg, expressed as a higher-order function so it runs stateless
+    inside a streaming micro-batch. Output: (doc_id, band, sig) melted."""
+    toks = F.array_distinct(F.split(F.trim("text"), r"\s+"))
+    sigs = F.array(*[
+        F.array_min(F.transform(toks, lambda t, b=b: F.md5(F.concat(F.lit(f"{b}:"), t))))
+        for b in range(n_bands)
+    ])
+    return docs.select(
+        "doc_id", F.posexplode(sigs).alias("band", "sig"))
+
+
+def streaming_near_dup_candidates(docs: DataFrame) -> DataFrame:
+    """Streaming LSH near-dup candidates via ``applyInPandasWithState``:
+    state per (band, sig) bucket remembers the FIRST document that claimed
+    the bucket (the anchor); every later arrival — same micro-batch or any
+    later one — emits a candidate pair (anchor, doc, band). The streaming
+    twin of analytics.dedup.candidate_pairs with star-shaped output: a
+    bucket of n docs emits n−1 anchor pairs instead of C(n,2), which is
+    exactly what an online dedupe wants (compare the newcomer against one
+    representative, O(n) state and output per bucket at 10^12-doc scale).
+
+    Deterministic: within a batch, arrivals are ordered by doc_id."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter(())
+        ids = sorted(int(i) for c in chunks for i in c["doc_id"])
+        if state.exists:
+            (anchor,) = state.get
+        else:
+            anchor, ids = ids[0], ids[1:]
+            state.update((anchor,))
+        if not ids:
+            return iter(())
+        return iter([pd.DataFrame({
+            "a": [anchor] * len(ids), "b": ids,
+            "band": [int(key[0])] * len(ids),
+        })])
+
+    return (
+        minhash_band_sigs(docs)
+        .groupBy("band", "sig")
+        .applyInPandasWithState(
+            fn, outputStructType=NEAR_DUP_SCHEMA, stateStructType=_ANCHOR_STATE,
+            outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_windowed_stream(spark: SparkSession, events_path: str, ckpt_dir: str,
                         queryName: str = "event_rollup") -> None:
     """Drain the events table through the watermarked rollup into a memory

@@ -220,3 +220,52 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert len(fps) == len(set(fps))  # no fingerprint emitted twice
     exp_fps = {r.fp for r in streaming_exact_dedup(base).select("fp").collect()}
     assert set(fps) == exp_fps        # and every distinct fingerprint once
+
+def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
+    """Stateful LSH anchors: a doc arriving in a LATER micro-batch that
+    band-matches an earlier doc pairs with the stored anchor; every streamed
+    pair is a true band collision (validated against the batch
+    candidate_pairs twin) and every batch-side collision bucket is covered."""
+    import time as _time
+    docs_path = str(tmp_path / "docs")
+    batch1 = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),      # dup of 1, same batch
+        (3, "completely different tokens here now"),
+    ]
+    batch2 = [
+        (4, "alpha beta gamma delta epsilon"),      # dup arriving later
+        (5, "unrelated fresh content entirely new"),
+    ]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(docs_path)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(docs_path)
+
+    from ocr_redaction_engine_spark.streaming import streaming_near_dup_candidates
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(docs_path))
+    q = (
+        streaming_near_dup_candidates(stream).writeStream
+        .format("memory").queryName("near_dup").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1       # state crossed batches
+
+    got = {(r["a"], r["b"]) for r in
+           spark.sql("SELECT a, b FROM near_dup").collect()}
+    # doc 2 (same batch) and doc 4 (later batch) both anchor to doc 1
+    assert (1, 2) in got and (1, 4) in got
+    # streamed pairs are exactly the star of each collision bucket: all are
+    # true band collisions per the batch twin
+    from ocr_redaction_engine_spark.analytics.dedup import candidate_pairs
+    all_docs = spark.createDataFrame(batch1 + batch2, schema) \
+        .withColumn("n_chars", F.length("text"))
+    batch_pairs = {(r["a"], r["b"]) for r in candidate_pairs(all_docs).collect()}
+    assert got <= batch_pairs
+    # every doc that collides at all is reachable through its anchor
+    covered = {d for p in got for d in p}
+    assert {d for p in batch_pairs for d in p} == covered
