@@ -642,6 +642,16 @@ def text_contamination(spark, sf_dir):
     return ngram_contamination(_t(spark, sf_dir, "documents"), n=5, min_docs=2)
 
 
+def text_eval_contamination(spark, sf_dir):
+    """Train-vs-eval 5-gram leakage: src19 plays the held-out eval split;
+    fraction of each train doc's distinct grams present in eval."""
+    from ocr_redaction_engine_spark.analytics.text import ngram_cross_contamination
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_cross_contamination(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"), n=5)
+
+
 def text_length_pcts(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.text import length_percentiles
     return length_percentiles(_t(spark, sf_dir, "documents"))
@@ -848,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
         "text_length_pcts": text_length_pcts,
+        "text_eval_contamination": text_eval_contamination,
         "text_tfidf_topk": text_tfidf_topk,
         "dedup_sparse_cosine": dedup_sparse_cosine,
         "dedup_representatives": dedup_representatives,
@@ -1422,6 +1433,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.5), 6) AS p50,
                    round(quantile_cont(n_chars, 0.9), 6) AS p90
             FROM documents
+        """,
+        "text_eval_contamination": f"""
+            WITH toks AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, source,
+                     unnest(list_transform(range(1, greatest(len(t) - 5 + 1, 0) + 1),
+                            i -> md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')))) AS gr
+              FROM toks),
+            ev AS (SELECT DISTINCT gr FROM g WHERE source = 'src19')
+            SELECT tr.doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+                   round(CAST(SUM(CASE WHEN ev.gr IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS leak_frac
+            FROM (SELECT * FROM g WHERE source <> 'src19') tr
+            LEFT JOIN ev ON ev.gr = tr.gr
+            GROUP BY tr.doc_id
         """,
         "text_tfidf_topk": f"""
             WITH t AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),

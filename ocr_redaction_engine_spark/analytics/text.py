@@ -281,6 +281,43 @@ def quality_filter(docs: DataFrame,
     )
 
 
+def ngram_cross_contamination(train: DataFrame, eval_docs: DataFrame,
+                              n: int = 5) -> DataFrame:
+    """Train-vs-eval n-gram leakage — the actual decontamination check
+    (``ngram_contamination`` measures intra-corpus overlap; THIS is the one
+    that gates a training set against its benchmark suite): per train
+    document, the fraction of its distinct token n-grams that occur
+    anywhere in the eval corpus.
+
+    Scale shape: the eval side reduces to a DISTINCT gram set (typically
+    ≪ train: benchmarks are small) — Spark broadcasts it when it fits,
+    falls back to a shuffled semi-join when it doesn't; either way the
+    train side streams through once. Left-join + conditional count keeps
+    zero-leak documents in the output (a dropped row would read as
+    "not checked")."""
+    def grams(d: DataFrame) -> DataFrame:
+        g = F.expr(
+            f"CASE WHEN size(tokens) < {n} THEN array()"
+            f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
+            f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+        )
+        return with_tokens(d).select("doc_id", F.explode(F.array_distinct(g)).alias("g"))
+
+    eval_grams = grams(eval_docs).select("g").distinct().withColumn("hit", F.lit(1))
+    return (
+        grams(train).join(eval_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_leaked"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_leaked",
+            F.round(F.col("n_leaked") / F.col("n_grams"), 6).alias("leak_frac"),
+        )
+    )
+
+
 def length_percentiles(docs: DataFrame) -> DataFrame:
     """Corpus length distribution: exact p10/p50/p90 of ``n_chars`` — the
     numbers a length-filter threshold is read off of. Spark's exact

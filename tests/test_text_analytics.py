@@ -98,3 +98,18 @@ def test_quality_filter_reasons(spark):
     r2 = got[2]["reasons"].split(",")
     assert "long_token" in r2 and "non_alpha" in r2
     assert r2 == sorted(r2)            # reasons are sorted (stable hash key)
+
+
+def test_ngram_cross_contamination(spark):
+    from ocr_redaction_engine_spark.analytics.text import ngram_cross_contamination
+    train = spark.createDataFrame(
+        [(0, "a b c d"), (1, "x y z w")], "doc_id long, text string")
+    evald = spark.createDataFrame(
+        [(100, "a b q r"), (101, "m n o p")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           ngram_cross_contamination(train, evald, n=2).collect()}
+    # train doc 0 grams {ab, bc, cd}; eval has {ab, bq, qr, mn, no, op}
+    assert got[0]["n_grams"] == 3 and got[0]["n_leaked"] == 1
+    assert got[0]["leak_frac"] == round(1 / 3, 6)
+    # zero-leak doc stays in the output
+    assert got[1]["n_leaked"] == 0 and got[1]["leak_frac"] == 0.0
