@@ -148,3 +148,41 @@ def test_apply_dedup_keeps_reps_and_singletons(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
     kept = sorted(r["doc_id"] for r in apply_dedup(docs).collect())
     assert kept == [3, 4]
+
+
+def test_sparse_cosine_matches_pure_python_reference(spark):
+    """Randomized differential: uncapped sparse_cosine_pairs equals a pure
+    numpy trigram-count cosine over all pairs (fixed seed, 30 docs)."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+            for i in range(30)]
+
+    def tri_counts(text):
+        toks = text.split()
+        out = {}
+        for j in range(len(toks) - 2):
+            g = " ".join(toks[j:j + 3])
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    expected = {}
+    cs = {i: tri_counts(t) for i, t in docs}
+    for a, b in itertools.combinations(sorted(cs), 2):
+        dot = sum(v * cs[b].get(g, 0) for g, v in cs[a].items())
+        if dot >= 1:
+            na2 = sum(v * v for v in cs[a].values())
+            nb2 = sum(v * v for v in cs[b].values())
+            expected[(a, b)] = (dot, na2, nb2,
+                                round(dot / np.sqrt(float(na2) * nb2), 6))
+
+    from ocr_redaction_engine_spark.analytics.dedup import sparse_cosine_pairs
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]): (r["dot"], r["na2"], r["nb2"], r["cos_lb"])
+           for r in sparse_cosine_pairs(df, n=3, max_df=10**6, min_dot=1).collect()}
+    assert got == expected
