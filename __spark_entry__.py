@@ -705,6 +705,63 @@ def mix_char_budget(spark, sf_dir):
                            boosted=_MIX_BOOSTED, boost=2.0)
 
 
+def dedup_bloom_probe(spark, sf_dir):
+    """Incremental-crawl dedup: 80% of documents (by split hash) build a
+    Bloom bitmap (≤1024 long words, one bit_or agg), the 20% 'new batch'
+    probes it via a broadcast join — no big-big join, no false negatives."""
+    from ocr_redaction_engine_spark.analytics.dedup import bloom_probe
+    docs = _t(spark, sf_dir, "documents")
+    split = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":split"))), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return bloom_probe(docs.filter(split < 80), docs.filter(split >= 80))
+
+
+def pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing: global token offsets via a
+    two-pass distributed prefix sum (range partition → per-partition totals
+    → broadcast prefix map → parallel within-partition cumsum), then
+    512-token training-window ids + boundary-straddle flags."""
+    from ocr_redaction_engine_spark.analytics.packing import pack_offsets
+    return pack_offsets(_t(spark, sf_dir, "documents"), budget_tokens=512)
+
+
+def text_pii_density(spark, sf_dir):
+    """PII exposure scoring over a deterministically PII-augmented corpus
+    (emails/phones/SSNs/PANs injected by doc_id residue — the base word-soup
+    corpus is digit-free, so densities would be trivially zero without it)."""
+    from ocr_redaction_engine_spark.analytics.text import pii_density
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.org"))
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" call 9"),
+            F.lpad((did * 7919 % 1000000000).cast("string"), 9, "0"))
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0"))
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" ref ABCDE"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit("F"))
+        ).otherwise(F.lit("")),
+    )
+    return pii_density(docs.withColumn("text", aug))
+
+
+def embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding table: per-dim min/max agg
+    broadcast onto posexploded values; codes bit-identical to the oracle."""
+    from ocr_redaction_engine_spark.analytics.similarity import quantize_int8
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 # --- rows-only (non-SQL-expressible; oracled by the pure-Python reference
 # oracle in tests/test_pipeline_golden.py instead) -------------------------
 
@@ -865,6 +922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": dedup_apply,
         "text_quality_filter": text_quality_filter,
         "mix_char_budget": mix_char_budget,
+        "dedup_bloom_probe": dedup_bloom_probe,
+        "pack_sequences": pack_sequences,
+        "text_pii_density": text_pii_density,
+        "embed_quantize": embed_quantize,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
@@ -1614,6 +1675,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars, cum_chars
             FROM c, tw
             WHERE cum_chars <= 60000.0 * w / tw.total_w
+        """,
+        "dedup_bloom_probe": f"""
+            WITH fps AS (
+              SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS sh
+              FROM documents),
+            base_pos AS (
+              SELECT DISTINCT
+                CAST(('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) % 65536 AS pos
+              FROM fps, range(5) t(i) WHERE sh < 80),
+            probe_pos AS (
+              SELECT doc_id,
+                CAST(('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) % 65536 AS pos
+              FROM fps, range(5) t(i) WHERE sh >= 80)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                   bool_and(b.pos IS NOT NULL) AS maybe_seen
+            FROM probe_pos p LEFT JOIN base_pos b USING (pos)
+            GROUP BY doc_id
+        """,
+        "pack_sequences": f"""
+            WITH d AS (
+              SELECT doc_id, len({_TOK}) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              FROM d)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS bin_id,
+                   CASE WHEN n_tokens > 0
+                        THEN ((start_offset + n_tokens - 1) // 512) > (start_offset // 512)
+                        ELSE FALSE END AS straddle
+            FROM c
+        """,
+        "text_pii_density": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                text ||
+                CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0 THEN ' call 9' || lpad(CAST(doc_id * 7919 % 1000000000 AS VARCHAR), 9, '0') ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN ' ref ABCDE' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || 'F' ELSE '' END
+                AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                len(regexp_extract_all(text, '\b[6-9][0-9]{9}\b')) AS n_phone,
+                len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+                len(regexp_extract_all(text, '\b[A-Z]{5}[0-9]{4}[A-Z]\b')) AS n_pan
+              FROM aug)
+            SELECT doc_id, n_email, n_phone, n_ssn, n_pan,
+                   (n_email + n_phone + n_ssn + n_pan) AS n_pii,
+                   round((n_email + n_phone + n_ssn + n_pan) * 100.0 / len(text), 6) AS pii_per_100c
+            FROM c
+        """,
+        "embed_quantize": """
+            WITH vals AS (
+              SELECT vec_id,
+                     CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS val
+              FROM embeddings),
+            stats AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM vals GROUP BY dim)
+            SELECT vec_id, dim,
+                   CAST(CASE WHEN mx > mn
+                             THEN LEAST(FLOOR((val - mn) * 255.0 / (mx - mn)), 255)
+                             ELSE 0 END AS INT) AS code
+            FROM vals JOIN stats USING (dim)
         """,
         "ann_ivf_topk": """
             WITH dims AS (

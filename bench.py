@@ -52,6 +52,9 @@ HEADLINE = [
     "text_contamination", "sketch_kmv_distinct",
     # round-2b: inverted-index near-dup, budgeted mixing
     "dedup_sparse_cosine", "mix_char_budget",
+    # round-2c: Bloom probe dedup, prefix-sum packing, PII density, int8
+    # quantization
+    "dedup_bloom_probe", "pack_sequences", "text_pii_density", "embed_quantize",
 ]
 
 

@@ -342,6 +342,79 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 
+BLOOM_K = 5
+BLOOM_M = 1 << 16  # 65536 bits = 1024 64-bit words
+
+
+def _bloom_pos(fp, i: int, m_bits: int):
+    """i-th Bloom position of a fingerprint: md5("{i}:" || fp) first 15 hex
+    digits as a long, mod m. Integer-exact in both Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), fp)), 1, 15), 16, 10)
+        .cast("long") % m_bits
+    )
+
+
+def bloom_bitmap(docs: DataFrame, n_hashes: int = BLOOM_K,
+                 m_bits: int = BLOOM_M) -> DataFrame:
+    """Build a Bloom filter over document fingerprints as a TINY DataFrame of
+    64-bit words: (word, bits) with at most m/64 rows.
+
+    This is the incremental-crawl dedup primitive: the already-ingested
+    corpus — arbitrarily large — collapses through ONE map-side-combined
+    bit_or aggregation into a bitmap measured in kilobytes, which then
+    broadcasts to every executor probing a new batch. No big-big join ever
+    happens. At the 10^12-doc design point m scales up (e.g. 2^34 bits ≈
+    2 GiB for ~1% FPR) and the bitmap is sharded by word-range instead of
+    broadcast whole; the aggregation shape is unchanged.
+    """
+    fp = with_tokens(docs).select(
+        F.md5(F.concat_ws(" ", "tokens")).alias("fp"))
+    pos = fp.select(
+        F.explode(F.array(*[_bloom_pos(F.col("fp"), i, m_bits)
+                            for i in range(n_hashes)])).alias("pos"))
+    return (
+        pos.withColumn("word", (F.col("pos") / 64).cast("long"))
+        .withColumn("bit", (F.col("pos") % 64).cast("int"))
+        .groupBy("word")
+        # shiftleft via expr: the Python wrapper only takes a literal count
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+
+
+def bloom_probe(base_docs: DataFrame, probe_docs: DataFrame,
+                n_hashes: int = BLOOM_K, m_bits: int = BLOOM_M) -> DataFrame:
+    """Probe a new document batch against the Bloom bitmap of an existing
+    corpus: (doc_id, hits, maybe_seen). ``maybe_seen`` has Bloom semantics —
+    no false negatives (an exact duplicate of a base doc is ALWAYS flagged),
+    tunable false positives (~(1-e^{-kn/m})^k).
+
+    The probe is a broadcast left-join of the probe batch's k positions
+    against the ≤m/64-row bitmap, then a per-doc bool_and — map-only from
+    the probe side's perspective, so a 100 TB daily crawl probes at scan
+    speed."""
+    bitmap = bloom_bitmap(base_docs, n_hashes, m_bits)
+    fp = with_tokens(probe_docs).select(
+        "doc_id", F.md5(F.concat_ws(" ", "tokens")).alias("fp"))
+    pos = fp.select(
+        "doc_id",
+        F.explode(F.array(*[_bloom_pos(F.col("fp"), i, m_bits)
+                            for i in range(n_hashes)])).alias("pos"))
+    probed = (
+        pos.withColumn("word", (F.col("pos") / 64).cast("long"))
+        .withColumn("bit", (F.col("pos") % 64).cast("int"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+            .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")) != 0)
+    )
+    return probed.groupBy("doc_id").agg(
+        F.sum(F.col("hit").cast("int")).alias("hits"),
+        F.bool_and("hit").alias("maybe_seen"),
+    )
+
+
 def simhash_candidates(docs: DataFrame, band_bits: int = 15) -> DataFrame:
     """Hamming-neighbour candidates: equal value in any of the 4 15-bit bands
     (detects signatures within small Hamming distance). Bands melt to rows →

@@ -1,0 +1,74 @@
+"""Sequence packing for LM pretraining: lay documents end-to-end in a
+deterministic global order and chunk the token stream into fixed-budget
+training windows (the concat-then-chunk packing every large pretraining run
+applies after filtering/dedup).
+
+The hard part at scale is the GLOBAL running offset. A naive
+``Window.orderBy(...)`` with no partition key collapses the whole corpus
+into one reducer — the classic single-task bottleneck. This module instead
+uses the textbook two-pass distributed prefix sum:
+
+1. range-partition by the deterministic order key (global order is then
+   preserved ACROSS partitions, whatever boundaries the sampler picks);
+2. per-partition token totals — one tiny aggregate, ≤P rows — prefix-summed
+   on the driver and broadcast back as a literal map (bytes to the driver,
+   same pattern as the IVF centroids);
+3. a within-partition cumulative sum (window PARTITIONED by the physical
+   partition id, so every partition scans in parallel).
+
+start_offset is boundary-independent: the order key (md5(doc_id), doc_id)
+is a total order, so any contiguous split yields the same global cumsum —
+rerun-stable even though RangePartitioner samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import with_tokens
+
+
+def pack_offsets(docs: DataFrame, budget_tokens: int = 512,
+                 num_partitions: int | None = None) -> DataFrame:
+    """Assign every document its start offset in the concatenated token
+    stream, the training-window id that offset falls in, and whether the
+    document straddles a window boundary (straddlers get split across two
+    samples downstream; packers track the rate as a quality metric).
+
+    Output: (doc_id, n_tokens, start_offset, bin_id, straddle).
+    """
+    sc = docs.sparkSession.sparkContext
+    parts = num_partitions or sc.defaultParallelism
+    d = with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.repartitionByRange(parts, "h", "doc_id").withColumn(
+        "pid", F.spark_partition_id())
+    # pass 1: per-partition totals; only ≤`parts` (pid, total) rows leave the
+    # executors, and only the prefix map rides back in the plan
+    totals = {r["pid"]: r["tot"] for r in
+              d.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()}
+    prefix, run = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = run
+        run += totals[pid]
+    omap = F.create_map(
+        *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])])
+    # pass 2: parallel within-partition cumsum
+    w = Window.partitionBy("pid").orderBy("h", "doc_id")
+    cum = F.sum("n_tokens").over(w)
+    start = (omap[F.col("pid")] + cum - F.col("n_tokens")).cast("long")
+    b = int(budget_tokens)
+    # integer DIV, not floor(double /): a 100 TB token stream overflows the
+    # 2^53 exact-double range long before it overflows int64
+    return d.select("doc_id", "n_tokens", start.alias("start_offset")).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        f"start_offset DIV {b} AS bin_id",
+        f"CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) DIV {b}"
+        f" > start_offset DIV {b} ELSE false END AS straddle",
+    )

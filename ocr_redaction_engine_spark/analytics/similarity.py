@@ -384,3 +384,34 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension scalar quantization of the embedding column to 8-bit
+    codes — the storage/bandwidth step before ANN serving (a 64-dim float32
+    table shrinks 4x; IVF/LSH probing then scans codes, not floats).
+
+    Dimension stats (min/max) are a 2-row-per-dim aggregate that BROADCASTS
+    back onto the posexploded values — the only shuffle is the tiny stats
+    agg, the code assignment itself is map-side. All arithmetic is
+    double-precision with one fixed operation order, so the DuckDB oracle
+    reproduces every code bit-for-bit.
+
+    Output: (vec_id, dim, code) with code in [0, 255].
+    """
+    vals = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = vals.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx"))
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.floor((F.col("val") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))),
+            F.lit(255),
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    return (
+        vals.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", code.alias("code"))
+    )

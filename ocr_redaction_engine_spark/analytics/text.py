@@ -330,3 +330,37 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
         F.round(p[1], 6).alias("p50"),
         F.round(p[2], 6).alias("p90"),
     )
+
+
+# RE2-compatible (no lookaround/backrefs) so Java regex and the DuckDB
+# oracle agree character-for-character; \b is the ASCII word boundary in both
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[6-9][0-9]{9}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "pan": r"\b[A-Z]{5}[0-9]{4}[A-Z]\b",
+}
+
+
+def pii_density(docs: DataFrame) -> DataFrame:
+    """Per-document PII exposure scoring — the privacy gate a pretraining
+    corpus passes before release: count matches of each PII class (email,
+    10-digit mobile, SSN-style, PAN-style — the same classes the redaction
+    kernel's banks target) and report a per-100-chars density.
+
+    Pure Catalyst: ``regexp_extract_all`` + ``size`` per class, one
+    projection, no shuffle — scans at parquet speed and the filter
+    ``pii_per_100c > t`` pushes down on top of it.
+    Output: (doc_id, n_email, n_phone, n_ssn, n_pan, n_pii, pii_per_100c)."""
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))).alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    d = docs.select("doc_id", "text", *counts)
+    total = sum((F.col(f"n_{k}") for k in PII_PATTERNS), F.lit(0))
+    return d.select(
+        "doc_id",
+        *[f"n_{k}" for k in PII_PATTERNS],
+        total.alias("n_pii"),
+        F.round(total * 100.0 / F.length("text"), 6).alias("pii_per_100c"),
+    )

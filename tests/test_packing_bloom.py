@@ -1,0 +1,135 @@
+"""Unit tests for the round-2 curation additions: Bloom-filter probe
+dedup, distributed-prefix-sum sequence packing, PII density scoring, and
+int8 embedding quantization."""
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ocr_redaction_engine_spark.analytics.dedup import (
+    BLOOM_M,
+    bloom_bitmap,
+    bloom_probe,
+)
+from ocr_redaction_engine_spark.analytics.packing import pack_offsets
+from ocr_redaction_engine_spark.analytics.similarity import quantize_int8
+from ocr_redaction_engine_spark.analytics.text import pii_density
+
+
+def _docs(spark, texts, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+# --------------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_bitmap_tiny(spark):
+    base_texts = [f"alpha beta gamma {i} delta" for i in range(50)]
+    base = _docs(spark, base_texts)
+    # probe: 10 exact duplicates of base docs + 10 novel docs
+    probe = _docs(spark, base_texts[:10] + [f"nu xi omicron {i}" for i in range(10)],
+                  start_id=1000)
+    out = {r["doc_id"]: (r["hits"], r["maybe_seen"])
+           for r in bloom_probe(base, probe).collect()}
+    assert len(out) == 20
+    for i in range(10):  # duplicates: Bloom guarantees every hash position set
+        assert out[1000 + i] == (5, True)
+    for i in range(10):  # novel docs: not flagged at this fill factor (~0.4%)
+        assert not out[1010 + i][1]
+    assert bloom_bitmap(base).count() <= BLOOM_M // 64
+
+
+def test_bloom_whitespace_normalized_duplicate_still_flagged(spark):
+    base = _docs(spark, ["hello   world  foo"])
+    probe = _docs(spark, ["  hello world foo "], start_id=9)
+    [r] = bloom_probe(base, probe).collect()
+    assert r["maybe_seen"] is True
+
+
+# ------------------------------------------------------------------- packing
+
+def _expected_offsets(texts):
+    """Pure-Python oracle: global order by (md5(doc_id), doc_id), cumsum."""
+    rows = []
+    for i, t in enumerate(texts):
+        n = len(t.strip().split())
+        rows.append((hashlib.md5(str(i).encode()).hexdigest(), i, n))
+    rows.sort()
+    out, run = {}, 0
+    for _h, i, n in rows:
+        out[i] = (n, run)
+        run += n
+    return out
+
+
+def test_pack_offsets_matches_python_oracle_and_is_contiguous(spark):
+    texts = [" ".join(["tok"] * (3 + (i * 7) % 40)) for i in range(120)]
+    docs = _docs(spark, texts)
+    got = {r["doc_id"]: r for r in pack_offsets(docs, budget_tokens=64).collect()}
+    exp = _expected_offsets(texts)
+    assert len(got) == len(exp)
+    for i, (n, start) in exp.items():
+        r = got[i]
+        assert (r["n_tokens"], r["start_offset"]) == (n, start)
+        assert r["bin_id"] == start // 64
+        assert r["straddle"] == ((start + n - 1) // 64 > start // 64)
+    # the concatenated stream has no gaps or overlaps
+    ordered = sorted(got.values(), key=lambda r: r["start_offset"])
+    pos = 0
+    for r in ordered:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
+
+
+def test_pack_offsets_partition_count_invariant(spark):
+    """start_offset must not depend on where RangePartitioner cuts."""
+    texts = [" ".join(["w"] * (1 + i % 9)) for i in range(80)]
+    docs = _docs(spark, texts)
+    a = sorted(map(tuple, pack_offsets(docs, 32, num_partitions=2).collect()))
+    b = sorted(map(tuple, pack_offsets(docs, 32, num_partitions=13).collect()))
+    assert a == b
+
+
+# --------------------------------------------------------------- pii density
+
+def test_pii_density_counts(spark):
+    docs = _docs(spark, [
+        "write to a@b.io or c.d+x@e-f.org today",          # 2 emails
+        "call 9876543210 not 5876543210 or 98765432100",   # 1 valid phone
+        "ssn 123-45-6789 and 987-65-4321; pan ABCDE1234F", # 2 ssn + 1 pan
+        "nothing here",
+    ])
+    out = {r["doc_id"]: r for r in pii_density(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_pii"]) == (2, 2)
+    # 5-prefixed number fails [6-9]; 11-digit run fails the \b boundary
+    assert (out[1]["n_phone"], out[1]["n_pii"]) == (1, 1)
+    assert (out[2]["n_ssn"], out[2]["n_pan"], out[2]["n_pii"]) == (2, 1, 3)
+    assert out[3]["n_pii"] == 0 and out[3]["pii_per_100c"] == 0.0
+    assert out[2]["pii_per_100c"] == round(3 * 100.0 / len(
+        "ssn 123-45-6789 and 987-65-4321; pan ABCDE1234F"), 6)
+
+
+# -------------------------------------------------------------- quantization
+
+def test_quantize_int8_range_endpoints_and_numpy_differential(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.rand(40, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    got = {(r["vec_id"], r["dim"]): r["code"]
+           for r in quantize_int8(emb).collect()}
+    m = mat.astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    exp = np.minimum(np.floor((m - mn) * 255.0 / (mx - mn)), 255).astype(int)
+    for i in range(40):
+        for d in range(8):
+            assert got[(i, d)] == exp[i, d]
+    codes = np.array([[got[(i, d)] for d in range(8)] for i in range(40)])
+    assert codes.min() == 0 and codes.max() == 255
+    # per-dimension endpoints: the min maps to 0 and the max to 255
+    assert (codes.min(axis=0) == 0).all() and (codes.max(axis=0) == 255).all()
