@@ -762,6 +762,21 @@ def embed_quantize(spark, sf_dir):
     return quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
+def sample_temperature(spark, sf_dir):
+    """Temperature rebalancing across languages (q ∝ p^0.5): rare langs keep
+    everything, common langs downsample by sqrt of their size ratio —
+    deterministic hash draw, sqrt-exact across engines."""
+    from ocr_redaction_engine_spark.analytics.sampling import temperature_rebalance
+    return temperature_rebalance(_t(spark, sf_dir, "documents"), group="lang")
+
+
+def text_repeated_spans(spark, sf_dir):
+    """Span-level exact substring dedup: merged token ranges covered by
+    3-grams repeated across ≥2 documents (inverted-index + islands merge)."""
+    from ocr_redaction_engine_spark.analytics.text import repeated_substring_spans
+    return repeated_substring_spans(_t(spark, sf_dir, "documents"), n=3, min_docs=2)
+
+
 # --- rows-only (non-SQL-expressible; oracled by the pure-Python reference
 # oracle in tests/test_pipeline_golden.py instead) -------------------------
 
@@ -926,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "text_pii_density": text_pii_density,
         "embed_quantize": embed_quantize,
+        "sample_temperature": sample_temperature,
+        "text_repeated_spans": text_repeated_spans,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
@@ -1734,6 +1751,47 @@ def oracle_sql() -> dict[str, str]:
                    (n_email + n_phone + n_ssn + n_pan) AS n_pii,
                    round((n_email + n_phone + n_ssn + n_pan) * 100.0 / len(text), 6) AS pii_per_100c
             FROM c
+        """,
+        "sample_temperature": """
+            WITH sizes AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n_g) AS n_min FROM sizes)
+            SELECT doc_id, lang,
+                   round(sqrt(CAST(n_min AS DOUBLE) / n_g), 9) AS keep_rate
+            FROM documents JOIN sizes USING (lang), m
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0
+                  < sqrt(CAST(n_min AS DOUBLE) / n_g)
+        """,
+        "text_repeated_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(CAST(len(t) AS BIGINT) - 1, 1))) AS i
+              FROM toks),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos0,
+                     md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS g
+              FROM idx),
+            dfc AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g),
+            rep AS (
+              SELECT doc_id, pos0 AS s, pos0 + 3 AS e
+              FROM g JOIN dfc USING (g) WHERE df >= 2),
+            flagged AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS new_span
+              FROM rep),
+            spans AS (
+              SELECT doc_id, s, e,
+                     SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              FROM flagged)
+            SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+                   COUNT(*) AS n_occ
+            FROM spans GROUP BY doc_id, span_id
         """,
         "embed_quantize": """
             WITH vals AS (

@@ -110,3 +110,29 @@ def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:
         F.round((k - 1) / (F.col("h_k") / F.lit(float(_HEX15))), 6),
     ).otherwise(F.col("n_distinct").cast("double"))
     return per_group.select(group, est.alias("est_distinct"))
+
+
+def temperature_rebalance(docs: DataFrame, group: str = "lang",
+                          key: str = "doc_id") -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual-LM sampling
+    rule q_g ∝ p_g^α at α = 0.5): per-group keep rate
+    ``sqrt(n_min / n_g)`` — the rarest group keeps everything, a group 100x
+    its size keeps 10% — applied as a deterministic hash draw per document.
+
+    α is pinned to 0.5 on purpose: the rate is then one IEEE division and
+    one sqrt, BOTH correctly-rounded operations, so every engine computes
+    the bit-identical rate and the hash-threshold comparison can never flip
+    (a general pow() is not correctly rounded and could disagree in the last
+    ulp). Group sizes come from one tiny agg joined back by broadcast; the
+    draw itself is the same md5 uniform used across this module.
+
+    Output: kept rows (doc_id, group, keep_rate rounded to 9)."""
+    sizes = docs.groupBy(group).agg(F.count("*").alias("n_g"))
+    n_min = sizes.agg(F.min("n_g")).collect()[0][0]
+    rate = F.sqrt(F.lit(float(n_min)) / F.col("n_g"))
+    rated = docs.join(F.broadcast(sizes), group).withColumn("keep_rate", rate)
+    u = _hash_frac(F.col(key).cast("string")) / F.lit(float(_HEX15))
+    return (
+        rated.filter(u < F.col("keep_rate"))
+        .select(key, group, F.round("keep_rate", 9).alias("keep_rate"))
+    )

@@ -364,3 +364,52 @@ def pii_density(docs: DataFrame) -> DataFrame:
         total.alias("n_pii"),
         F.round(total * 100.0 / F.length("text"), 6).alias("pii_per_100c"),
     )
+
+
+def repeated_substring_spans(docs: DataFrame, n: int = 8,
+                             min_docs: int = 2) -> DataFrame:
+    """Exact repeated-substring detection in token space — the span-level
+    dedup step (à la "Deduplicating Training Data Makes Language Models
+    Better"): find every n-token gram occurring in ≥ ``min_docs`` documents,
+    map each occurrence back to its token positions, and merge overlapping
+    occurrences into maximal spans to trim.
+
+    Shape at scale: gram fingerprints are md5 (fixed-width shuffle keys);
+    document frequency is one hash-agg; the join back to positions is
+    gram-keyed (the same inverted-index shape as sparse_cosine_pairs); span
+    merging is the gaps-and-islands window per document — all JVM, no
+    Python. A suffix-array build would find arbitrary-length repeats but
+    doesn't distribute; fixed-n grams + merging recovers long repeats as
+    merged islands, which is the standard large-scale approximation.
+
+    Output: (doc_id, span_start, span_end, n_occ) — token index ranges,
+    end exclusive; n_occ = repeated-gram occurrences merged into the span.
+    """
+    from pyspark.sql import Window
+
+    grams = F.expr(
+        f"CASE WHEN size(tokens) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
+        f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+    )
+    g = with_tokens(docs).select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g"))
+    # pos0 is 0-based; occurrence covers tokens [pos0, pos0 + n)
+    dfc = g.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    rep = g.join(dfc.filter(F.col("df") >= min_docs), "g").select(
+        "doc_id", F.col("pos0").alias("s"), (F.col("pos0") + n).alias("e"))
+    # gaps-and-islands: a new span starts when this occurrence begins after
+    # every previous occurrence's end
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = rep.withColumn(
+        "new_span", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1)
+        .otherwise(0))
+    spans = flagged.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"),
+             F.count("*").alias("n_occ"))
+        .select("doc_id", "span_start", "span_end", "n_occ")
+    )

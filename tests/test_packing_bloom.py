@@ -133,3 +133,58 @@ def test_quantize_int8_range_endpoints_and_numpy_differential(spark):
     assert codes.min() == 0 and codes.max() == 255
     # per-dimension endpoints: the min maps to 0 and the max to 255
     assert (codes.min(axis=0) == 0).all() and (codes.max(axis=0) == 255).all()
+
+
+# ------------------------------------------------------- temperature sampling
+
+def test_temperature_rebalance_rates_and_determinism(spark):
+    from ocr_redaction_engine_spark.analytics.sampling import temperature_rebalance
+    # 3 groups with sizes 10 / 40 / 90 → rates 1.0 / 0.5 / 1/3
+    rows = ([(i, "rare") for i in range(10)]
+            + [(100 + i, "mid") for i in range(40)]
+            + [(1000 + i, "big") for i in range(90)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_rebalance(docs, group="lang").collect()
+    rates = {r["lang"]: r["keep_rate"] for r in out}
+    assert rates["rare"] == 1.0
+    assert abs(rates["mid"] - 0.5) < 1e-9
+    assert abs(rates["big"] - (1 / 3) ** 0.5 * (30 / 90) ** 0) < 1  # sanity
+    assert abs(rates["big"] - (10 / 90) ** 0.5) < 1e-9
+    kept = {r["lang"]: 0 for r in out}
+    for r in out:
+        kept[r["lang"]] += 1
+    assert kept["rare"] == 10                 # rate 1.0 keeps everything
+    assert 0 < kept["mid"] < 40               # downsampled
+    assert 0 < kept["big"] < 90
+    # deterministic: rerun yields the identical kept set
+    again = {(r["doc_id"]) for r in temperature_rebalance(docs, group="lang").collect()}
+    assert {r["doc_id"] for r in out} == again
+
+
+# --------------------------------------------------- repeated substring spans
+
+def test_repeated_substring_spans_merging(spark):
+    from ocr_redaction_engine_spark.analytics.text import repeated_substring_spans
+    shared = "the quick brown fox jumps over"          # 6 shared tokens
+    docs = spark.createDataFrame([
+        (0, f"{shared} unique zero tail here"),
+        (1, f"prefix one {shared} suffix one"),
+        (2, "totally different words without repeats at all"),
+    ], "doc_id long, text string")
+    out = {}
+    for r in repeated_substring_spans(docs, n=3, min_docs=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_occ"]))
+    # doc 0: shared block at tokens [0, 6) — four 3-gram occurrences merged
+    assert out[0] == [(0, 6, 4)]
+    # doc 1: shared block at tokens [2, 8)
+    assert out[1] == [(2, 8, 4)]
+    # doc 2: nothing repeated
+    assert 2 not in out
+
+
+def test_repeated_substring_spans_short_docs_empty(spark):
+    from ocr_redaction_engine_spark.analytics.text import repeated_substring_spans
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b")], "doc_id long, text string")
+    assert repeated_substring_spans(docs, n=3, min_docs=2).count() == 0
