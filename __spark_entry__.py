@@ -777,6 +777,13 @@ def text_repeated_spans(spark, sf_dir):
     return repeated_substring_spans(_t(spark, sf_dir, "documents"), n=3, min_docs=2)
 
 
+def sketch_cm_heavy_hitters(spark, sf_dir):
+    """Count-min sketch point queries for the exact top-20 tokens:
+    (token, exact_cnt, cm_estimate) with estimate >= exact guaranteed."""
+    from ocr_redaction_engine_spark.analytics.sampling import heavy_hitters_cm
+    return heavy_hitters_cm(_t(spark, sf_dir, "documents"), k=20)
+
+
 # --- rows-only (non-SQL-expressible; oracled by the pure-Python reference
 # oracle in tests/test_pipeline_golden.py instead) -------------------------
 
@@ -943,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": embed_quantize,
         "sample_temperature": sample_temperature,
         "text_repeated_spans": text_repeated_spans,
+        "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
         "dedup_simhash_cands": dedup_simhash_cands,
@@ -1761,6 +1769,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                   / 1152921504606846976.0
                   < sqrt(CAST(n_min AS DOUBLE) / n_g)
+        """,
+        "sketch_cm_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({_TOK}) AS token FROM documents),
+            exact AS (SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token),
+            topk AS (
+              SELECT token, exact_cnt FROM (
+                SELECT token, exact_cnt,
+                       row_number() OVER (ORDER BY exact_cnt DESC, token ASC) AS rn
+                FROM exact) WHERE rn <= 20),
+            pos AS (
+              SELECT token,
+                     CAST(t.i AS INT) AS row,
+                     CAST(('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 256 AS col
+              FROM toks, range(4) t(i)),
+            sketch AS (SELECT row, col, COUNT(*) AS cnt FROM pos GROUP BY row, col),
+            probes AS (
+              SELECT k.token, k.exact_cnt,
+                     CAST(t.i AS INT) AS row,
+                     CAST(('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || k.token), 1, 15)) AS BIGINT) % 256 AS col
+              FROM topk k, range(4) t(i))
+            SELECT p.token, p.exact_cnt, MIN(s.cnt) AS cm_estimate
+            FROM probes p JOIN sketch s USING (row, col)
+            GROUP BY p.token, p.exact_cnt
         """,
         "text_repeated_spans": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

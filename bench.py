@@ -55,7 +55,7 @@ HEADLINE = [
     # round-2c: Bloom probe dedup, prefix-sum packing, PII density, int8
     # quantization
     "dedup_bloom_probe", "pack_sequences", "text_pii_density", "embed_quantize",
-    "sample_temperature", "text_repeated_spans",
+    "sample_temperature", "text_repeated_spans", "sketch_cm_heavy_hitters",
 ]
 
 

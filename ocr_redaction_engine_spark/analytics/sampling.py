@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import with_tokens
+
 _HEX15 = 16 ** 15  # 15 hex digits fit a signed 64-bit long exactly
 
 
@@ -135,4 +137,52 @@ def temperature_rebalance(docs: DataFrame, group: str = "lang",
     return (
         rated.filter(u < F.col("keep_rate"))
         .select(key, group, F.round("keep_rate", 9).alias("keep_rate"))
+    )
+
+
+def _cm_col(token, i: int, w: int) -> F.Column:
+    """Row-i count-min column of a token: md5("{i}:" || token) mod w."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), token)), 1, 15), 16, 10)
+        .cast("long") % w
+    )
+
+
+def countmin_sketch(tokens: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
+    """Count-min sketch over a token-occurrence stream (column ``token``):
+    a d×w grid of counters as (row, col, cnt) — at most d·w rows however
+    large the corpus, built by ONE map-side-combined hash-agg. Mergeable by
+    construction (cell-wise sum), so per-partition / per-day sketches union
+    and re-agg — the streaming/incremental path at 100 TB."""
+    melted = tokens.select(
+        F.posexplode(F.array(*[_cm_col(F.col("token"), i, w)
+                               for i in range(d)])).alias("row", "col"))
+    return melted.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def heavy_hitters_cm(docs: DataFrame, k: int = 20, d: int = 4,
+                     w: int = 256) -> DataFrame:
+    """Frequent-token estimation: exact top-k tokens (ties to the smaller
+    token) with their count-min estimates alongside the true counts. The
+    count-min guarantee ``estimate >= exact`` holds per row; the gap
+    measures collision pressure at the chosen (d, w).
+
+    At scale the exact side is the expensive one (full token groupBy); the
+    sketch answers the same point queries from d·w counters and is what a
+    dashboard or per-shard merge would use. Output: (token, exact_cnt,
+    cm_estimate)."""
+    toks = with_tokens(docs).select(F.explode("tokens").alias("token"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    # partial top-k, NOT the single-reducer global-window row_number
+    topk = exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(k)
+    sketch = countmin_sketch(toks, d, w)
+    probes = topk.select(
+        "token", "exact_cnt",
+        F.posexplode(F.array(*[_cm_col(F.col("token"), i, w)
+                               for i in range(d)])).alias("row", "col"))
+    return (
+        probes.join(sketch, ["row", "col"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
     )

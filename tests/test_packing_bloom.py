@@ -188,3 +188,27 @@ def test_repeated_substring_spans_short_docs_empty(spark):
     docs = spark.createDataFrame(
         [(0, "a b"), (1, "a b")], "doc_id long, text string")
     assert repeated_substring_spans(docs, n=3, min_docs=2).count() == 0
+
+
+# ------------------------------------------------------------ count-min sketch
+
+def test_countmin_overestimates_only_and_sketch_bounded(spark):
+    from ocr_redaction_engine_spark.analytics.sampling import (
+        countmin_sketch, heavy_hitters_cm)
+    docs = _docs(spark, ["apple banana " * 30, "cherry apple " * 20,
+                         "durian " * 5, "elderberry fig grape"])
+    out = {r["token"]: (r["exact_cnt"], r["cm_estimate"])
+           for r in heavy_hitters_cm(docs, k=5, d=4, w=256).collect()}
+    assert len(out) == 5
+    assert out["apple"][0] == 50
+    for exact, est in out.values():
+        assert est >= exact                       # the count-min guarantee
+    # wide sketch, tiny vocab: no collisions, estimates exact
+    assert all(est == exact for exact, est in out.values())
+    # forced collisions: w=2 → every cell aggregates ~half the vocab
+    tight = {r["token"]: (r["exact_cnt"], r["cm_estimate"])
+             for r in heavy_hitters_cm(docs, k=5, d=2, w=2).collect()}
+    assert all(est >= exact for exact, est in tight.values())
+    assert any(est > exact for exact, est in tight.values())
+    toks = spark.createDataFrame([("x",), ("y",)], "token string")
+    assert countmin_sketch(toks, d=4, w=256).count() <= 4 * 256
