@@ -883,6 +883,40 @@ def multimodal_resample(spark, sf_dir):
     return resample_bytes(synthesize_binary(spark, N_MEDIA), every_n=4)
 
 
+def extract_block_stats(spark, sf_dir):
+    """HTML boilerplate strip, block level: segment deterministic markup
+    around each document into DOM blocks and score text length / link
+    count / link density per block (jusText/Readability heuristic inputs).
+    Pure Catalyst regex + posexplode."""
+    from ocr_redaction_engine_spark.analytics.extraction import as_html, html_blocks
+    return html_blocks(as_html(_t(spark, sf_dir, "documents"))).select(
+        "doc_id", "pos", "text_len", "n_links", "anchor_chars", "link_density")
+
+
+def extract_main_text(spark, sf_dir):
+    """Main-content extraction: drop link-dense/short DOM blocks, reassemble
+    surviving blocks in original order — the boilerplate-strip operator of
+    the north rule."""
+    from ocr_redaction_engine_spark.analytics.extraction import as_html, strip_boilerplate
+    return strip_boilerplate(as_html(_t(spark, sf_dir, "documents")))
+
+
+def extract_dom_main(spark, sf_dir):
+    """DOM heuristic: per-document argmax content block by text-mass ×
+    (1 − link-density) score (Readability candidate selection), as a
+    window top-1."""
+    from ocr_redaction_engine_spark.analytics.extraction import as_html, dom_main_block
+    return dom_main_block(as_html(_t(spark, sf_dir, "documents")))
+
+
+def layout_reading_order(spark, sf_dir):
+    """PDF/layout parse: recover column-major reading order of a two-column
+    page from synthesized word boxes (deterministic layout; real PDF decode
+    is environment-gated). Split + posexplode + one window."""
+    from ocr_redaction_engine_spark.analytics.extraction import reading_order
+    return reading_order(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -962,6 +996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_window_energy": multimodal_window_energy,
         "multimodal_resample": multimodal_resample,
+        "extract_block_stats": extract_block_stats,
+        "extract_main_text": extract_main_text,
+        "extract_dom_main": extract_dom_main,
+        "layout_reading_order": layout_reading_order,
     }
 
 
@@ -970,6 +1008,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+
+# Deterministic markup + DOM block segmentation/scoring mirror of
+# analytics/extraction.py (as_html → html_blocks). DuckDB's list_transform
+# index lambda is 1-based; Spark's posexplode pos is 0-based, hence i-1.
+_HTML_CTE = r"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>' || CAST(doc_id AS VARCHAR) || '</title>'
+             || '<script type="text/javascript">var t="' || substring(md5(text), 1, 8) || '";trk();</script>'
+             || '<style>.m{margin:0}</style></head><body>'
+             || '<nav><a href="/">Home</a><a href="/a">About</a><a href="/c">Contact</a></nav>'
+             || '<div id="main"><p>' || substring(text, 1, greatest(CAST(floor(length(text) / 2) AS INT), 1)) || '</p>'
+             || '<p>' || substring(text, greatest(CAST(floor(length(text) / 2) AS INT), 1) + 1) || '</p></div>'
+             || '<div class="side"><a href="/x">' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+             || '</a><a href="/y">' || substring(md5(CAST(doc_id AS VARCHAR)), 7, 6)
+             || '</a><a href="/z">' || substring(md5(CAST(doc_id AS VARCHAR)), 13, 6) || '</a></div>'
+             || '<footer>Copyright Example Site - <a href="/p">Privacy</a><a href="/t">Terms</a></footer>'
+             || '</body></html>' AS html
+      FROM documents
+    ),
+    rawblocks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               regexp_split_to_array(
+                 regexp_replace(regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                                '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '</p>|</div>|</nav>|</footer>'),
+               (x, i) -> struct_pack(i := i, b := x))) AS s
+      FROM pages
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(s.i - 1 AS INT) AS pos,
+             trim(regexp_replace(regexp_replace(s.b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS btext,
+             CAST(len(regexp_extract_all(s.b, '<a ')) AS INT) AS n_links,
+             CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(s.b, '<a [^>]*>([^<]*)</a>', 1),
+                 x -> length(x))), 0) AS BIGINT) AS anchor_chars
+      FROM rawblocks
+    ),
+    scored AS (
+      SELECT doc_id, pos, btext, n_links, anchor_chars,
+             CAST(length(btext) AS INT) AS text_len,
+             round(CAST(anchor_chars AS DOUBLE) / greatest(length(btext), 1), 6) AS link_density
+      FROM blocks
+    )
+"""
 
 # Synthetic media payload as a recursive CTE — the exact md5-hex-chain of
 # analytics/multimodal.py:_payload (seed 42, N_MEDIA rows). `bytes` is one
@@ -2013,5 +2097,47 @@ def oracle_sql() -> dict[str, str]:
               FROM bytes WHERE i < (ln // 128) * 128 GROUP BY media_id, i // 128)
             SELECT f.fmid AS media_id, f.frame_idx, md5(f.fhx) AS frame_fp, m.mean_b1e6
             FROM frames f JOIN fmeans m ON m.mmid = f.fmid AND m.fidx = f.frame_idx
+        """,
+        "extract_block_stats": _HTML_CTE + """
+            SELECT doc_id, pos, text_len, n_links, anchor_chars, link_density
+            FROM scored
+        """,
+        "extract_main_text": _HTML_CTE + """
+            SELECT doc_id,
+                   string_agg(btext, ' ' ORDER BY pos) AS main_text,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(text_len) AS BIGINT) AS content_chars
+            FROM scored
+            WHERE text_len >= 40 AND link_density <= 0.2
+            GROUP BY doc_id
+        """,
+        "extract_dom_main": _HTML_CTE + """
+            , ranked AS (
+              SELECT doc_id, pos, btext,
+                     round(text_len * (1 - link_density), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(text_len * (1 - link_density), 6) DESC, pos ASC) AS rk
+              FROM scored)
+            SELECT doc_id, pos AS best_pos, score, substring(btext, 1, 40) AS preview
+            FROM ranked WHERE rk = 1
+        """,
+        "layout_reading_order": r"""
+            WITH toks AS (
+              SELECT doc_id, CAST(s.i AS INT) AS orig_pos, s.t AS token,
+                     CAST((s.i - 1) % 2 AS INT) AS col_id,
+                     CAST(((s.i - 1) // 2) * 12 + 5 AS BIGINT) AS y,
+                     CAST(((s.i - 1) % 2) * 300 + (length(s.t) % 7) * 3 AS BIGINT) AS x
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         list_slice(string_split_regex(trim(text), '\s+'), 1, 24),
+                         (x, i) -> struct_pack(i := i, t := x))) AS s
+                FROM documents)
+            )
+            SELECT doc_id, orig_pos, token, col_id, y, x,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY col_id, y, x, orig_pos) AS INT) AS read_pos
+            FROM toks
         """,
     }

@@ -1,0 +1,184 @@
+"""Main-content extraction over interleaved web/PDF documents: HTML
+boilerplate strip, DOM block heuristics, and PDF-layout reading-order
+recovery (the north-rule extraction triad).
+
+The reference engine extracts per-document content with per-page OCR +
+rule kernels (/root/reference/documents/*/document_coordinates.py); this
+module is the web-corpus generalization of that *extraction* stage: given
+a raw marked-up page, segment it into DOM blocks, score each block by
+text mass vs link density (the jusText/Readability family of heuristics,
+Kohlschütter et al. boilerplate detection), keep content blocks, and
+reassemble the main text in original order.
+
+Everything is pure Catalyst — regexp_replace / split / posexplode /
+higher-order functions / one hash-agg per doc — so the same plan scales
+from the sf0.01 oracle gate to a 100 TB crawl with zero Python in the
+hot path. The markup materializer (``as_html``) builds a deterministic
+page around each ``documents.text`` row (nav + sidebar + footer + script
+junk) so the stripper has real boilerplate to remove and the DuckDB
+oracle can rebuild byte-identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# closing tags that end a DOM block (block-level segmentation points)
+BLOCK_SPLIT = r"</p>|</div>|</nav>|</footer>"
+# anchors: capture the link text for link-density scoring
+ANCHOR_TEXT = r"<a [^>]*>([^<]*)</a>"
+
+
+def as_html(docs: DataFrame) -> DataFrame:
+    """Deterministically wrap each document's text in a web page with the
+    classic boilerplate furniture: head script/style junk, a nav link bar,
+    the content split over two <p> blocks inside <div id=main>, a
+    link-only sidebar, and a footer with legal links. Pure concat/substr/
+    md5 so the DuckDB oracle reproduces the bytes exactly."""
+    half = "greatest(cast(floor(length(text) / 2) as int), 1)"
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat("
+            "'<html><head><title>', cast(doc_id as string), '</title>',"
+            "'<script type=\"text/javascript\">var t=\"', substring(md5(text), 1, 8), '\";trk();</script>',"
+            "'<style>.m{margin:0}</style></head><body>',"
+            "'<nav><a href=\"/\">Home</a><a href=\"/a\">About</a><a href=\"/c\">Contact</a></nav>',"
+            f"'<div id=\"main\"><p>', substring(text, 1, {half}), '</p>',"
+            f"'<p>', substring(text, {half} + 1), '</p></div>',"
+            "'<div class=\"side\"><a href=\"/x\">', substring(md5(cast(doc_id as string)), 1, 6),"
+            "'</a><a href=\"/y\">', substring(md5(cast(doc_id as string)), 7, 6),"
+            "'</a><a href=\"/z\">', substring(md5(cast(doc_id as string)), 13, 6), '</a></div>',"
+            "'<footer>Copyright Example Site - <a href=\"/p\">Privacy</a><a href=\"/t\">Terms</a></footer>',"
+            "'</body></html>')"
+        ).alias("html"),
+    )
+
+
+def html_blocks(pages: DataFrame) -> DataFrame:
+    """Segment ``(doc_id, html)`` into DOM blocks and score each one.
+
+    1. drop <script>/<style> *with their contents* (their text is never
+       content);
+    2. split on closing block-level tags, posexplode to keep document
+       order;
+    3. per block: visible text (tags stripped, whitespace collapsed),
+       anchor-text mass, link density = anchor chars / text chars.
+
+    One narrow projection + one generate — no shuffle; block scoring is
+    embarrassingly parallel at any scale."""
+    stripped = pages.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("html", r"(?s)<script[^>]*>.*?</script>", " "),
+            r"(?s)<style[^>]*>.*?</style>", " ",
+        ).alias("clean"),
+    )
+    blocks = stripped.select(
+        "doc_id", F.posexplode(F.split("clean", BLOCK_SPLIT)).alias("pos", "block")
+    )
+    btext = F.trim(
+        F.regexp_replace(F.regexp_replace("block", r"<[^>]*>", " "), r"\s+", " ")
+    )
+    anchor_chars = F.expr(
+        f"aggregate(regexp_extract_all(block, '{ANCHOR_TEXT}', 1), "
+        "0L, (a, x) -> a + length(x))"
+    )
+    n_links = F.expr("size(regexp_extract_all(block, '<a ', 0))")
+    out = blocks.select(
+        "doc_id",
+        "pos",
+        btext.alias("btext"),
+        n_links.alias("n_links"),
+        anchor_chars.alias("anchor_chars"),
+    )
+    return out.withColumn(
+        "text_len", F.length("btext")
+    ).withColumn(
+        "link_density",
+        F.round(F.col("anchor_chars") / F.greatest(F.col("text_len"), F.lit(1)), 6),
+    )
+
+
+def strip_boilerplate(
+    pages: DataFrame, min_len: int = 40, max_link_density: float = 0.2
+) -> DataFrame:
+    """Keep content blocks (long enough, link-sparse) and reassemble the
+    main text in original DOM order — the boilerplate-strip operator.
+
+    The nav/sidebar/footer die on link density (their text is mostly
+    anchors), head junk dies on length; the two content paragraphs
+    survive. Per-doc reassembly is a single hash-agg with an in-memory
+    ``sort_array`` over (pos, text) structs — the only shuffle, on the
+    natural key."""
+    b = html_blocks(pages)
+    kept = b.filter(
+        (F.col("text_len") >= min_len) & (F.col("link_density") <= max_link_density)
+    )
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "btext"))),
+                lambda s: s["btext"],
+            ),
+        ).alias("main_text"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("text_len").cast("long").alias("content_chars"),
+    )
+
+
+def dom_main_block(pages: DataFrame) -> DataFrame:
+    """Readability-style candidate selection: score every DOM block by
+    text mass discounted by link density, pick the per-document argmax —
+    the 'main content container' heuristic, as a window top-1 (shuffle on
+    doc_id only)."""
+    b = html_blocks(pages).withColumn(
+        "score", F.round(F.col("text_len") * (1 - F.col("link_density")), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("pos"))
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("pos").alias("best_pos"),
+            "score",
+            F.substring("btext", 1, 40).alias("preview"),
+        )
+    )
+
+
+def reading_order(docs: DataFrame, max_tokens: int = 24) -> DataFrame:
+    """PDF/layout reading-order recovery for a two-column page.
+
+    Real PDF parsing is environment-gated here (no pdf libs in the
+    sandbox; cf. the OCR word-box tokenizer's fixture/payload modes in
+    operators/tokenize.py), so the word boxes are synthesized
+    deterministically: token i of each document lands in column i%2 at
+    row (i-1)//2 — i.e. the ORIGINAL token order interleaves the two
+    columns, exactly what a naive y-then-x scan of a two-column PDF
+    produces. The operator recovers the true reading order by sorting
+    (column, y, x) per page — column-major — which is the layout-parse
+    step a crawler runs on every PDF page at 100 TB.
+
+    Pure Catalyst: split + slice + posexplode + one window; the shuffle
+    key is doc_id."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, max_tokens)
+        ).alias("pos0", "token"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("orig_pos"),
+        "token",
+        (F.col("pos0") % 2).alias("col_id"),
+        (F.floor(F.col("pos0") / 2) * 12 + 5).cast("long").alias("y"),
+        ((F.col("pos0") % 2) * 300 + (F.length("token") % 7) * 3).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("col_id", "y", "x", "orig_pos")
+    return toks.withColumn("read_pos", F.row_number().over(w)).select(
+        "doc_id", "orig_pos", "token", "col_id", "y", "x", "read_pos"
+    )

@@ -1,0 +1,88 @@
+"""Unit oracles for the main-content extraction triad (north rule: HTML
+boilerplate strip, DOM heuristics, PDF/layout reading order). Tiny
+hand-checked corpus here; DuckDB hash parity at sf0.01 is additionally
+enforced by the driver gate (__spark_entry__.oracle_sql) and
+tools/selfcheck.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_redaction_engine_spark.analytics.extraction import (
+    as_html,
+    dom_main_block,
+    html_blocks,
+    reading_order,
+    strip_boilerplate,
+)
+
+LONG_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+SHORT = "tiny"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [("d0", LONG_A.strip()), ("d1", SHORT)]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_as_html_wraps_deterministically(docs):
+    got = {r["doc_id"]: r["html"] for r in as_html(docs).collect()}
+    h = got["d0"]
+    assert h.startswith("<html><head><title>d0</title><script")
+    assert "<nav><a href=\"/\">Home</a>" in h
+    assert h.endswith("</body></html>")
+    # the two content paragraphs partition the text (modulo the split point)
+    assert "alpha beta gamma" in h
+    # script junk derives from md5(text) → stable across calls
+    assert got["d0"] == {r["doc_id"]: r["html"] for r in as_html(docs).collect()}["d0"]
+
+
+def test_block_scoring_separates_content_from_chrome(docs):
+    b = html_blocks(as_html(docs)).filter("doc_id = 'd0'").orderBy("pos").collect()
+    # block 0 = head junk + nav: link-dense
+    assert b[0]["n_links"] == 3
+    assert b[0]["link_density"] > 0.2
+    # blocks 1-2 = the two content paragraphs: long, zero links
+    for blk in (b[1], b[2]):
+        assert blk["n_links"] == 0
+        assert blk["link_density"] == 0.0
+        assert blk["text_len"] >= 40
+    # sidebar: 18 chars of anchor text in a 20-char visible string (the two
+    # inter-anchor spaces come from tag stripping) → density 0.9
+    side = next(x for x in b if x["n_links"] == 3 and x["pos"] > 2)
+    assert side["link_density"] == pytest.approx(0.9)
+
+
+def test_strip_boilerplate_keeps_exactly_the_paragraphs(docs):
+    got = {r["doc_id"]: r for r in strip_boilerplate(as_html(docs)).collect()}
+    d0 = got["d0"]
+    assert d0["n_kept"] == 2
+    # reassembled main text is the document text with one extra space
+    # inserted at the half-way paragraph cut (which may land mid-token),
+    # so compare modulo whitespace
+    assert d0["main_text"].replace(" ", "") == LONG_A.strip().replace(" ", "")
+    # the short doc has no block passing min_len → no row at all
+    assert "d1" not in got
+
+
+def test_dom_main_block_picks_a_content_paragraph(docs):
+    got = {r["doc_id"]: r for r in dom_main_block(as_html(docs)).collect()}
+    d0 = got["d0"]
+    assert d0["best_pos"] in (1, 2)  # one of the two <p> blocks
+    assert d0["preview"].startswith(("alpha", "beta", "gamma", "delta", "epsilon",
+                                     "zeta", "eta", "theta", "iota", "kappa"))
+    assert d0["score"] >= 80  # ~85-char paragraph, zero links → score ≈ len
+
+
+def test_reading_order_recovers_column_major_scan(spark):
+    docs = spark.createDataFrame(
+        [("p", "t0 t1 t2 t3 t4 t5")], "doc_id string, text string")
+    rows = reading_order(docs).orderBy("read_pos").collect()
+    # layout: col 0 holds t0,t2,t4 (rows 0,1,2), col 1 holds t1,t3,t5 —
+    # column-major reading order is exactly that sequence
+    assert [r["token"] for r in rows] == ["t0", "t2", "t4", "t1", "t3", "t5"]
+    assert [r["orig_pos"] for r in rows] == [1, 3, 5, 2, 4, 6]
+    assert [r["col_id"] for r in rows] == [0, 0, 0, 1, 1, 1]
+    # y advances by row within a column
+    assert [r["y"] for r in rows[:3]] == [5, 17, 29]
