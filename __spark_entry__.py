@@ -818,6 +818,27 @@ def pipeline_redactions(spark, sf_dir):
     return run_pipeline(docs_df, pages_df)["redactions"]
 
 
+def extract_pipeline_spans(spark, sf_dir):
+    """Main-content extraction pipeline end-to-end (north rule): html spans →
+    DOM-block boilerplate strip, pdf spans → two-column reading-order
+    recovery, text passthrough, media spans → OCR full text via the
+    media_pages join; span-sequence output. Golden-tested vs the independent
+    pure-Python oracle (oracle.expected_extracted_spans)."""
+    from ocr_redaction_engine_spark import corpus
+    from ocr_redaction_engine_spark.extraction_pipeline import extract_spans
+    docs, pages = corpus.build_web_corpus_local(42, 150)
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs], schema=corpus.DOCUMENTS_DDL)
+    pages_df = spark.createDataFrame(
+        [(p["media_ref"], p["document_name"], p["width"], p["height"], p["doc_type"],
+          [(w["x1"], w["y1"], w["x2"], w["y2"], w["text"]) for w in p["words"]],
+          p["lines"],
+          [(q["x1"], q["y1"], q["x2"], q["y2"]) for q in p["qr_boxes"]])
+         for p in pages], schema=corpus.MEDIA_PAGES_DDL)
+    return extract_spans(docs_df, pages_df)
+
+
 def dedup_simhash_cands(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.dedup import simhash_candidates
     return simhash_candidates(_t(spark, sf_dir, "documents"))
@@ -1000,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": extract_main_text,
         "extract_dom_main": extract_dom_main,
         "layout_reading_order": layout_reading_order,
+        "extract_pipeline_spans": extract_pipeline_spans,
     }
 
 
@@ -1991,6 +2013,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, media_ref, status, field, seq, x1, y1, x2, y2,
                    frame_id, document_id
             FROM read_parquet('/root/repo/tests/golden/pipeline_redactions.parquet/*.parquet')
+        """,
+        "extract_pipeline_spans": """
+            SELECT doc_id, "order", kind, text, media_ref
+            FROM read_parquet('/root/repo/tests/golden/extract_spans.parquet/*.parquet')
         """,
         "dedup_components": f"""
             WITH RECURSIVE toks AS (

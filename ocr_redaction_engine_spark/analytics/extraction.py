@@ -56,8 +56,8 @@ def as_html(docs: DataFrame) -> DataFrame:
     )
 
 
-def html_blocks(pages: DataFrame) -> DataFrame:
-    """Segment ``(doc_id, html)`` into DOM blocks and score each one.
+def html_blocks(pages: DataFrame, keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Segment ``(*keys, html)`` into DOM blocks and score each one.
 
     1. drop <script>/<style> *with their contents* (their text is never
        content);
@@ -67,16 +67,19 @@ def html_blocks(pages: DataFrame) -> DataFrame:
        anchor-text mass, link density = anchor chars / text chars.
 
     One narrow projection + one generate — no shuffle; block scoring is
-    embarrassingly parallel at any scale."""
+    embarrassingly parallel at any scale. ``keys`` defaults to per-document
+    pages; the extraction pipeline passes ("doc_id", "offset") to strip
+    per-span."""
+    keys = list(keys)
     stripped = pages.select(
-        "doc_id",
+        *keys,
         F.regexp_replace(
             F.regexp_replace("html", r"(?s)<script[^>]*>.*?</script>", " "),
             r"(?s)<style[^>]*>.*?</style>", " ",
         ).alias("clean"),
     )
     blocks = stripped.select(
-        "doc_id", F.posexplode(F.split("clean", BLOCK_SPLIT)).alias("pos", "block")
+        *keys, F.posexplode(F.split("clean", BLOCK_SPLIT)).alias("pos", "block")
     )
     btext = F.trim(
         F.regexp_replace(F.regexp_replace("block", r"<[^>]*>", " "), r"\s+", " ")
@@ -87,7 +90,7 @@ def html_blocks(pages: DataFrame) -> DataFrame:
     )
     n_links = F.expr("size(regexp_extract_all(block, '<a ', 0))")
     out = blocks.select(
-        "doc_id",
+        *keys,
         "pos",
         btext.alias("btext"),
         n_links.alias("n_links"),
@@ -102,7 +105,8 @@ def html_blocks(pages: DataFrame) -> DataFrame:
 
 
 def strip_boilerplate(
-    pages: DataFrame, min_len: int = 40, max_link_density: float = 0.2
+    pages: DataFrame, min_len: int = 40, max_link_density: float = 0.2,
+    keys: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Keep content blocks (long enough, link-sparse) and reassemble the
     main text in original DOM order — the boilerplate-strip operator.
@@ -112,11 +116,11 @@ def strip_boilerplate(
     survive. Per-doc reassembly is a single hash-agg with an in-memory
     ``sort_array`` over (pos, text) structs — the only shuffle, on the
     natural key."""
-    b = html_blocks(pages)
+    b = html_blocks(pages, keys=keys)
     kept = b.filter(
         (F.col("text_len") >= min_len) & (F.col("link_density") <= max_link_density)
     )
-    return kept.groupBy("doc_id").agg(
+    return kept.groupBy(*keys).agg(
         F.concat_ws(
             " ",
             F.transform(

@@ -247,6 +247,28 @@ def _document_name(seed, i, j, media_ref):
     return f"p{hexs}_{media_ref}.jpg"
 
 
+def _media_span(seed: int, i: int, j: int):
+    """One media span + its backing OCR page — shared by both corpus
+    flavors; pure function of (seed, i, j) so the redaction corpus's bytes
+    are untouched by the web-corpus addition."""
+    media_ref = f"pg-{i:08d}-{j:02d}"
+    page_type = _pick(PAGE_TYPES, seed, i, j, "ptype")
+    lines = _page_lines(seed, i, j, page_type)
+    words, width, height = _layout_words(lines)
+    page = {
+        "media_ref": media_ref,
+        "document_name": _document_name(seed, i, j, media_ref),
+        "width": width,
+        "height": height,
+        "doc_type": page_type,   # generation ground truth — engine must NOT read it
+        "words": [{"x1": a, "y1": b, "x2": c, "y2": d, "text": t} for a, b, c, d, t in words],
+        "lines": lines,
+        "qr_boxes": [{"x1": a, "y1": b, "x2": c, "y2": d} for a, b, c, d in _qr_boxes(seed, i, j, width, height)],
+    }
+    span = {"kind": "media", "text": "", "media_ref": media_ref, "offset": j}
+    return span, page
+
+
 def gen_document(seed: int, i: int):
     """Generate one interleaved document. Returns
     (doc_row, [media_page_rows]) — each a plain dict."""
@@ -256,34 +278,97 @@ def gen_document(seed: int, i: int):
     for j in range(n):
         is_media = _u(seed, i, j, "kind") < MEDIA_SHARE
         if is_media:
-            media_ref = f"pg-{i:08d}-{j:02d}"
-            page_type = _pick(PAGE_TYPES, seed, i, j, "ptype")
-            lines = _page_lines(seed, i, j, page_type)
-            words, width, height = _layout_words(lines)
-            pages.append({
-                "media_ref": media_ref,
-                "document_name": _document_name(seed, i, j, media_ref),
-                "width": width,
-                "height": height,
-                "doc_type": page_type,   # generation ground truth — engine must NOT read it
-                "words": [{"x1": a, "y1": b, "x2": c, "y2": d, "text": t} for a, b, c, d, t in words],
-                "lines": lines,
-                "qr_boxes": [{"x1": a, "y1": b, "x2": c, "y2": d} for a, b, c, d in _qr_boxes(seed, i, j, width, height)],
-            })
-            spans.append({"kind": "media", "text": "", "media_ref": media_ref, "offset": j})
+            span, page = _media_span(seed, i, j)
+            pages.append(page)
+            spans.append(span)
         else:
             spans.append({"kind": "text", "text": _text_span(seed, i, j), "media_ref": "", "offset": j})
     return {"doc_id": doc_id, "spans": spans}, pages
 
 
-def build_corpus_local(seed: int, n_docs: int):
+# ---------------------------------------------------------------------------
+# Web-corpus flavor: interleaved html / pdf / text / media spans — the input
+# of the main-content extraction pipeline (north rule: HTML boilerplate
+# strip, PDF/layout parse, DOM heuristics). Same documents schema; only the
+# ``kind`` vocabulary widens.
+# ---------------------------------------------------------------------------
+
+def _markup(doc_id: str, text: str) -> str:
+    """Deterministic boilerplate furniture around ``text``: head script/style
+    junk, a nav bar, the content split at a TOKEN boundary into two <p>
+    blocks (so block-ordered reassembly is byte-exact), a link-only sidebar,
+    and a footer with legal links. Text spans never contain '<', so tag
+    stripping cannot eat content."""
+    toks = text.split(" ")
+    h = (len(toks) + 1) // 2
+    p1, p2 = " ".join(toks[:h]), " ".join(toks[h:])
+    sid = hashlib.md5(f"{doc_id}:{text}".encode()).hexdigest()
+    return (
+        f'<html><head><title>{doc_id}</title>'
+        f'<script type="text/javascript">var t="{sid[:8]}";trk();</script>'
+        '<style>.m{margin:0}</style></head><body>'
+        '<nav><a href="/">Home</a><a href="/a">About</a><a href="/c">Contact</a></nav>'
+        f'<div id="main"><p>{p1}</p><p>{p2}</p></div>'
+        f'<div class="side"><a href="/x">{sid[8:14]}</a><a href="/y">{sid[14:20]}</a></div>'
+        '<footer>Copyright Example Site - <a href="/p">Privacy</a><a href="/t">Terms</a></footer>'
+        '</body></html>'
+    )
+
+
+def _pdf_scan(text: str) -> str:
+    """Naive y-then-x scan of a two-column page whose true reading order is
+    ``text``: column 0 holds the first ceil(n/2) tokens, column 1 the rest;
+    the scan interleaves the columns row by row. The extractor must undo
+    this (column-major re-sort) to recover ``text`` exactly."""
+    toks = text.split(" ")
+    h = (len(toks) + 1) // 2
+    col0, col1 = toks[:h], toks[h:]
+    out = []
+    for r in range(h):
+        out.append(col0[r])
+        if r < len(col1):
+            out.append(col1[r])
+    return " ".join(out)
+
+
+def gen_web_document(seed: int, i: int):
+    """One interleaved web document: html (boilerplate-wrapped), pdf
+    (two-column scan order), plain text, and media spans. Pure function of
+    (seed, i); the underlying content of html/pdf/text spans is the same
+    ``_text_span`` generator, so ground truth is recoverable exactly."""
+    n = _span_count(seed, i)
+    doc_id = f"doc-{i:08d}"
+    spans, pages = [], []
+    for j in range(n):
+        u = _u(seed, i, j, "wkind")
+        if u < 0.35:
+            spans.append({"kind": "html", "text": _markup(doc_id, _text_span(seed, i, j)),
+                          "media_ref": "", "offset": j})
+        elif u < 0.60:
+            spans.append({"kind": "pdf", "text": _pdf_scan(_text_span(seed, i, j)),
+                          "media_ref": "", "offset": j})
+        elif u < 0.80:
+            spans.append({"kind": "text", "text": _text_span(seed, i, j),
+                          "media_ref": "", "offset": j})
+        else:
+            span, page = _media_span(seed, i, j)
+            pages.append(page)
+            spans.append(span)
+    return {"doc_id": doc_id, "spans": spans}, pages
+
+
+def build_corpus_local(seed: int, n_docs: int, gen=gen_document):
     """Driver-side corpus for the oracle / unit tests."""
     docs, pages = [], []
     for i in range(n_docs):
-        d, p = gen_document(seed, i)
+        d, p = gen(seed, i)
         docs.append(d)
         pages.extend(p)
     return docs, pages
+
+
+def build_web_corpus_local(seed: int, n_docs: int):
+    return build_corpus_local(seed, n_docs, gen=gen_web_document)
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +386,8 @@ MEDIA_PAGES_DDL = (
 )
 
 
-def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: int = 32):
+def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: int = 32,
+                 gen=gen_document):
     """Distributed, deterministic corpus materialization: documents +
     media_pages parquet under ``out_dir``. Pure function of (seed, id) per
     row, so any partitioning/retry yields identical data."""
@@ -309,7 +395,7 @@ def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: i
 
     def gen_docs(iterator):
         for pdf in iterator:
-            rows = [gen_document(seed, int(i))[0] for i in pdf["id"]]
+            rows = [gen(seed, int(i))[0] for i in pdf["id"]]
             yield pd.DataFrame({
                 "doc_id": [r["doc_id"] for r in rows],
                 "spans": [[(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]] for r in rows],
@@ -319,7 +405,7 @@ def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: i
         for pdf in iterator:
             out = []
             for i in pdf["id"]:
-                for p in gen_document(seed, int(i))[1]:
+                for p in gen(seed, int(i))[1]:
                     out.append((
                         p["media_ref"], p["document_name"], p["width"], p["height"], p["doc_type"],
                         [(w["x1"], w["y1"], w["x2"], w["y2"], w["text"]) for w in p["words"]],
@@ -337,3 +423,9 @@ def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: i
     ids.mapInPandas(gen_docs, schema=DOCUMENTS_DDL).write.mode("overwrite").parquet(f"{out_dir}/documents")
     ids.mapInPandas(gen_pages, schema=MEDIA_PAGES_DDL).write.mode("overwrite").parquet(f"{out_dir}/media_pages")
     return f"{out_dir}/documents", f"{out_dir}/media_pages"
+
+
+def write_web_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: int = 32):
+    """Distributed web-corpus materialization (html/pdf/text/media spans) —
+    the extraction pipeline's input tables."""
+    return write_corpus(spark, out_dir, n_docs, seed, partitions, gen=gen_web_document)

@@ -33,6 +33,44 @@ def expected_spans(docs) -> list[tuple]:
     return rows
 
 
+def expected_extracted_spans(docs, pages, min_len: int = 15,
+                             max_link_density: float = 0.2) -> list[tuple]:
+    """Pure-Python oracle for the main-content extraction pipeline
+    (extraction_pipeline.extract_spans): per span, recover the main content —
+    html → DOM-block boilerplate strip (re module, independent of Catalyst
+    regex), pdf → column-major de-interleave, text → passthrough, media →
+    the backing page's full OCR text. Returns
+    (doc_id, order, kind, text, media_ref) rows in span order."""
+    import re
+
+    page_text = {p["media_ref"]: "\n".join(p["lines"]) for p in pages}
+    rows = []
+    for d in docs:
+        for s in sorted(d["spans"], key=lambda s: s["offset"]):
+            k = s["kind"]
+            if k == "html":
+                clean = re.sub(r"(?s)<script[^>]*>.*?</script>", " ", s["text"])
+                clean = re.sub(r"(?s)<style[^>]*>.*?</style>", " ", clean)
+                kept = []
+                for b in re.split(r"</p>|</div>|</nav>|</footer>", clean):
+                    btext = re.sub(r"\s+", " ", re.sub(r"<[^>]*>", " ", b)).strip()
+                    anchor = sum(len(a) for a in re.findall(r"<a [^>]*>([^<]*)</a>", b))
+                    if len(btext) >= min_len and anchor / max(len(btext), 1) <= max_link_density:
+                        kept.append(btext)
+                if kept:
+                    rows.append((d["doc_id"], s["offset"], "html", " ".join(kept), ""))
+            elif k == "pdf":
+                toks = s["text"].split(" ")
+                rows.append((d["doc_id"], s["offset"], "pdf",
+                             " ".join(toks[0::2] + toks[1::2]), ""))
+            elif k == "text":
+                rows.append((d["doc_id"], s["offset"], "text", s["text"], ""))
+            else:
+                rows.append((d["doc_id"], s["offset"], "media",
+                             page_text[s["media_ref"]], s["media_ref"]))
+    return rows
+
+
 def _page_words(page):
     return [(w["x1"], w["y1"], w["x2"], w["y2"], w["text"]) for w in page["words"]]
 

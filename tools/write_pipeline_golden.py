@@ -27,6 +27,8 @@ RED_DDL = ("doc_id string, media_ref string, status string, field string, seq in
 def main():
     docs, pages = corpus.build_corpus_local(SEED, N_DOCS)
     spans = oracle.expected_spans(docs)
+    wdocs, wpages = corpus.build_web_corpus_local(SEED, N_DOCS)
+    xspans = oracle.expected_extracted_spans(wdocs, wpages)
     red, _vals = oracle.expected_page_outputs(docs, pages, level=1)
     names = {p["media_ref"]: p["document_name"] for p in pages}
     red_full = []
@@ -40,7 +42,10 @@ def main():
         .write.mode("overwrite").parquet(f"{OUT}/pipeline_spans.parquet")
     spark.createDataFrame(red_full, RED_DDL).coalesce(1) \
         .write.mode("overwrite").parquet(f"{OUT}/pipeline_redactions.parquet")
-    print(f"wrote {len(spans)} span rows, {len(red_full)} redaction rows to {OUT}")
+    spark.createDataFrame(xspans, SPANS_DDL).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{OUT}/extract_spans.parquet")
+    print(f"wrote {len(spans)} span rows, {len(red_full)} redaction rows, "
+          f"{len(xspans)} extracted span rows to {OUT}")
 
 
 if __name__ == "__main__":
