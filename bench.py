@@ -93,6 +93,19 @@ def ensure_corpus(spark, n_docs: int) -> tuple[str, str]:
     return docs, pages
 
 
+def ensure_web_corpus(spark, n_docs: int) -> tuple[str, str]:
+    """Web-corpus flavor (html/pdf/text/media spans) for the extraction
+    pipeline's legs."""
+    from ocr_redaction_engine_spark.corpus import write_web_corpus
+    base = CORPUS_DIR + "_web"
+    marker = os.path.join(base, f".ok_{n_docs}")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        write_web_corpus(spark, base, n_docs, seed=42, partitions=64)
+        open(marker, "w").close()
+    return f"{base}/documents", f"{base}/media_pages"
+
+
 def stage_profile(spark, docs_path: str, pages_path: str, level: int = 1) -> dict:
     """Per-stage wall times of the pipeline's independent actions (VERDICT r1
     #8: make engine-vs-host attribution measurable). Each stage is forced as
@@ -197,9 +210,38 @@ def run_pipeline_once(cpus: int, n_docs: int, single: bool = False) -> dict:
             "docs_per_sec": round(n_docs / wall, 2)}
 
 
+def run_extraction_once(cpus: int, n_docs: int, single: bool = False) -> dict:
+    """One fresh-JVM throughput pass of the main-content extraction pipeline
+    (extraction_pipeline.extract_spans forced via a noop sink — engine cost,
+    not parquet-write cost)."""
+    from ocr_redaction_engine_spark.extraction_pipeline import extract_spans
+
+    spark = _session(cpus)
+    docs_path, pages_path = ensure_web_corpus(spark, n_docs)
+    documents = spark.read.parquet(docs_path)
+    media_pages = spark.read.parquet(pages_path)
+
+    def one_pass():
+        t0 = time.time()
+        _force(extract_spans(documents, media_pages))
+        return time.time() - t0
+
+    for _ in range(WARM_RUNS):
+        one_pass()
+    n_timed = 1 if single else TIMED_RUNS + 2
+    probe = host_probe()
+    walls = sorted(one_pass() for _ in range(n_timed))
+    spark.stop()
+    return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(walls[0], 3),
+            "walls": [round(w, 3) for w in walls],
+            "host_probe_miters": probe,
+            "docs_per_sec": round(n_docs / walls[0], 2)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--extraction-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--ndocs", type=int, default=BENCH_DOCS)
     ap.add_argument("--no-scaling", action="store_true")
@@ -211,6 +253,10 @@ def main():
     if args.pipeline_only:
         print(json.dumps(run_pipeline_once(args.cpus, args.ndocs,
                                            single=args.single_pass)))
+        return
+    if args.extraction_only:
+        print(json.dumps(run_extraction_once(args.cpus, args.ndocs,
+                                             single=args.single_pass)))
         return
 
     import __spark_entry__ as entry_mod
@@ -243,37 +289,42 @@ def main():
     env = dict(os.environ, SPARK_GRAFT_BENCH_CORPUS=CORPUS_DIR)
     levels = [args.cpus] if args.no_scaling else sorted(
         {max(args.cpus // 16, 1), max(args.cpus // 4, 1), args.cpus})
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
-    walls: dict[int, list] = {c: [] for c in levels}
-    probes: dict[int, list] = {c: [] for c in levels}
-    for r in range(rounds):
+
+    def interleaved_scaling(flag: str, rounds: int, ndocs: int) -> dict:
+        walls: dict[int, list] = {c: [] for c in levels}
+        probes: dict[int, list] = {c: [] for c in levels}
+        for r in range(rounds):
+            for cpus in levels:
+                t_leg = time.time()
+                sys.stderr.write(f"[bench] {flag} round {r} leg cpus={cpus} starting\n")
+                sys.stderr.flush()
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), flag,
+                     "--cpus", str(cpus), "--ndocs", str(ndocs),
+                     "--single-pass"],
+                    capture_output=True, text=True, env=env)
+                sys.stderr.write(
+                    f"[bench] {flag} round {r} leg cpus={cpus} done in {time.time()-t_leg:.0f}s\n")
+                sys.stderr.flush()
+                if out.returncode != 0:
+                    sys.stderr.write(f"subprocess ({flag} cpus={cpus}) failed:\n")
+                    sys.stderr.write("\n".join(out.stderr.splitlines()[-30:]) + "\n")
+                    raise SystemExit(1)
+                leg = json.loads(out.stdout.strip().splitlines()[-1])
+                walls[cpus].extend(leg["walls"])
+                probes[cpus].append(leg.get("host_probe_miters"))
+        runs = {}
         for cpus in levels:
-            t_leg = time.time()
-            sys.stderr.write(f"[bench] round {r} leg cpus={cpus} starting\n")
-            sys.stderr.flush()
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pipeline-only",
-                 "--cpus", str(cpus), "--ndocs", str(args.ndocs),
-                 "--single-pass"],
-                capture_output=True, text=True, env=env)
-            sys.stderr.write(
-                f"[bench] round {r} leg cpus={cpus} done in {time.time()-t_leg:.0f}s\n")
-            sys.stderr.flush()
-            if out.returncode != 0:
-                sys.stderr.write(f"pipeline subprocess (cpus={cpus}) failed:\n")
-                sys.stderr.write("\n".join(out.stderr.splitlines()[-30:]) + "\n")
-                raise SystemExit(1)
-            leg = json.loads(out.stdout.strip().splitlines()[-1])
-            walls[cpus].extend(leg["walls"])
-            probes[cpus].append(leg.get("host_probe_miters"))
-    runs = {}
-    for cpus in levels:
-        ws = sorted(walls[cpus])
-        runs[cpus] = {"cpus": cpus, "n_docs": args.ndocs,
-                      "wall_sec": round(ws[0], 3),
-                      "walls": [round(w, 3) for w in ws],
-                      "host_probes_miters": probes[cpus],
-                      "docs_per_sec": round(args.ndocs / ws[0], 2)}
+            ws = sorted(walls[cpus])
+            runs[cpus] = {"cpus": cpus, "n_docs": ndocs,
+                          "wall_sec": round(ws[0], 3),
+                          "walls": [round(w, 3) for w in ws],
+                          "host_probes_miters": probes[cpus],
+                          "docs_per_sec": round(ndocs / ws[0], 2)}
+        return runs
+
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+    runs = interleaved_scaling("--pipeline-only", rounds, args.ndocs)
 
     hi = runs[args.cpus]
     result = {
@@ -292,6 +343,21 @@ def main():
             "runs": [runs[c] for c in levels],
             "efficiency": {
                 f"{a}->{b}": round((runs[b]["docs_per_sec"] / runs[a]["docs_per_sec"])
+                                   / (b / a), 3)
+                for a, b in zip(levels, levels[1:])
+            },
+        }
+        # main-content extraction pipeline: same interleaved two-cluster-size
+        # evidence (fewer rounds — the UDF-free plan is cheap and stable)
+        xrounds = int(os.environ.get("SPARK_GRAFT_BENCH_XROUNDS", "2"))
+        xruns = interleaved_scaling("--extraction-only", xrounds, args.ndocs)
+        xhi = xruns[args.cpus]
+        result["extraction"] = {
+            "docs_per_sec": xhi["docs_per_sec"],
+            "wall_sec": xhi["wall_sec"],
+            "runs": [xruns[c] for c in levels],
+            "efficiency": {
+                f"{a}->{b}": round((xruns[b]["docs_per_sec"] / xruns[a]["docs_per_sec"])
                                    / (b / a), 3)
                 for a, b in zip(levels, levels[1:])
             },
