@@ -938,6 +938,43 @@ def layout_reading_order(spark, sf_dir):
     return reading_order(_t(spark, sf_dir, "documents"))
 
 
+def web_links(spark, sf_dir):
+    """Link extraction from page markup: (doc_id, pos, href, anchor_text)
+    per anchor — narrow regexp_extract_all + posexplode."""
+    from ocr_redaction_engine_spark.analytics.webgraph import extract_links
+    return extract_links(_t(spark, sf_dir, "documents"))
+
+
+def web_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation per link target (in-degree, distinct anchor
+    texts, deterministic representative) — one hash-agg on href."""
+    from ocr_redaction_engine_spark.analytics.webgraph import anchor_stats
+    return anchor_stats(_t(spark, sf_dir, "documents"))
+
+
+def web_pagerank(spark, sf_dir):
+    """3 unrolled PageRank iterations over a deterministic synthetic outlink
+    graph in integer micro-rank units — order-independent integer sums make
+    the distributed agg bit-identical to the sequential oracle."""
+    from ocr_redaction_engine_spark.analytics.webgraph import pagerank
+    return pagerank(_t(spark, sf_dir, "documents"), iters=3)
+
+
+def url_canonical(spark, sf_dir):
+    """Crawl-frontier URL canonicalization: lowercase scheme/host, strip :80
+    and fragment, drop utm_*/ref params, sort the survivors."""
+    from ocr_redaction_engine_spark.analytics.webgraph import normalize_urls, synth_urls
+    return normalize_urls(synth_urls(_t(spark, sf_dir, "documents")))
+
+
+def dedup_sentences(spark, sf_dir):
+    """C4-style global sentence dedup: first corpus-wide occurrence of each
+    sentence survives (window over the sentence hash), documents reassembled
+    from survivors in original order."""
+    from ocr_redaction_engine_spark.analytics.dedup import sentence_dedup
+    return sentence_dedup(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -1022,6 +1059,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dom_main": extract_dom_main,
         "layout_reading_order": layout_reading_order,
         "extract_pipeline_spans": extract_pipeline_spans,
+        "web_links": web_links,
+        "web_anchor_stats": web_anchor_stats,
+        "web_pagerank": web_pagerank,
+        "url_canonical": url_canonical,
+        "dedup_sentences": dedup_sentences,
     }
 
 
@@ -2147,6 +2189,105 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, pos AS best_pos, score, substring(btext, 1, 40) AS preview
             FROM ranked WHERE rk = 1
+        """,
+        "web_links": _HTML_CTE + r"""
+            , m AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 0),
+                       (x, i) -> struct_pack(i := i, m := x))) AS s
+              FROM pages)
+            SELECT doc_id, CAST(s.i - 1 AS INT) AS pos,
+                   regexp_extract(s.m, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS href,
+                   regexp_extract(s.m, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS anchor_text
+            FROM m
+        """,
+        "web_anchor_stats": _HTML_CTE + r"""
+            , m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 0)) AS mm
+              FROM pages)
+            SELECT regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS href,
+                   CAST(count(*) AS BIGINT) AS n_inlinks,
+                   CAST(count(DISTINCT regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS BIGINT) AS n_anchor_texts,
+                   min(regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS first_anchor
+            FROM m GROUP BY 1
+        """,
+        "web_pagerank": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src, outdeg,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            r0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes),
+            i1 AS (SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+                   FROM edges e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                          CAST(1000000000000 * 15 // 100 // (SELECT n FROM nn)
+                               + (coalesce(i.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+                   FROM nodes n LEFT JOIN i1 i ON i.dst = n.node),
+            i2 AS (SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+                   FROM edges e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                          CAST(1000000000000 * 15 // 100 // (SELECT n FROM nn)
+                               + (coalesce(i.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+                   FROM nodes n LEFT JOIN i2 i ON i.dst = n.node),
+            i3 AS (SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+                   FROM edges e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                          CAST(1000000000000 * 15 // 100 // (SELECT n FROM nn)
+                               + (coalesce(i.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+                   FROM nodes n LEFT JOIN i3 i ON i.dst = n.node)
+            SELECT n.doc_id, r3.rank AS rank_micro
+            FROM nodes n JOIN r3 ON r3.node = n.node
+        """,
+        "url_canonical": r"""
+            WITH u AS (SELECT doc_id, md5(doc_id || ':url') AS h FROM documents)
+            SELECT doc_id,
+                   'HTTP://' ||
+                   CASE WHEN CAST('0x' || substring(h, 1, 2) AS BIGINT) % 2 = 0
+                        THEN 'WWW.Example-Site.COM' ELSE 'www.example-site.com' END ||
+                   ':80/articles/' || substring(h, 3, 6) ||
+                   '?utm_source=feed&id=' || substring(h, 9, 4) ||
+                   '&utm_campaign=x&ref=home#section-' || substring(h, 13, 2) AS url,
+                   -- ground-truth canonical form, built independently of the
+                   -- normalizer: http, lower host, no :80, kept params sorted
+                   'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
+                   '?id=' || substring(h, 9, 4) AS canonical_url
+            FROM u
+        """,
+        "dedup_sentences": r"""
+            WITH s0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       regexp_extract_all(text, '[^.]+\.?', 0),
+                       (x, i) -> struct_pack(i := i, t := x))) AS s
+              FROM documents),
+            s AS (
+              SELECT doc_id, CAST(s.i - 1 AS INT) AS pos, trim(s.t) AS sentence
+              FROM s0 WHERE trim(s.t) <> ''),
+            m AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY md5(sentence) ORDER BY doc_id, pos) AS rk
+              FROM s),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences
+                    FROM m GROUP BY doc_id),
+            k AS (SELECT doc_id,
+                         string_agg(sentence, ' ' ORDER BY pos) AS kept_text,
+                         CAST(count(*) AS BIGINT) AS n_kept
+                  FROM m WHERE rk = 1 GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(k.kept_text, '') AS kept_text,
+                   t.n_sentences, coalesce(k.n_kept, 0) AS n_kept
+            FROM tot t LEFT JOIN k ON k.doc_id = t.doc_id
         """,
         "layout_reading_order": r"""
             WITH toks AS (

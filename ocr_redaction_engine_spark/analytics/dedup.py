@@ -435,3 +435,52 @@ def simhash_candidates(docs: DataFrame, band_bits: int = 15) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
     )
+
+
+def sentence_dedup(docs: DataFrame) -> DataFrame:
+    """C4-style global sentence-level dedup: split each document into
+    sentences, keep only the FIRST occurrence of each distinct sentence
+    corpus-wide (first = smallest (doc_id, position)), and reassemble each
+    document from its surviving sentences in original order.
+
+    Shape: one window over the sentence hash (the global first-occurrence
+    rule) + one hash-agg per doc for reassembly. At 100 TB the window key is
+    the sentence hash — maximal cardinality, no skew; C4 ran exactly this as
+    a three-sentence-span variant (Raffel et al. 2020, §2.2).
+
+    Returns (doc_id, kept_text, n_sentences, n_kept).
+    """
+    from pyspark.sql import Window
+
+    # RE2-compatible segmentation (no lookbehind): a sentence is a maximal
+    # dot-free run plus its closing dot, trimmed — identical under Java
+    # regex (Spark) and RE2 (DuckDB oracle)
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(r"regexp_extract_all(text, '[^.]+\\.?', 0)"))
+        .alias("pos", "raw"),
+    ).select(
+        "doc_id", "pos", F.trim("raw").alias("sentence")
+    ).filter(F.col("sentence") != "")
+    w = Window.partitionBy(F.md5("sentence")).orderBy("doc_id", "pos")
+    marked = sents.withColumn("rk", F.row_number().over(w))
+    kept = marked.filter(F.col("rk") == 1)
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_sentences"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "sentence"))),
+                        lambda s: s["sentence"],
+                    ),
+                ).alias("kept_text"),
+                F.count("*").cast("long").alias("n_kept"),
+            ),
+            "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+                "n_sentences", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    )

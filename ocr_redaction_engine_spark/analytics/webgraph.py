@@ -1,0 +1,165 @@
+"""Web-graph operators over crawl documents: link/anchor extraction, anchor
+text aggregation, PageRank iterations, and URL canonicalization — the graph
+side of a training-data crawl pipeline (what a 100 TB corpus build runs
+between fetch and filter).
+
+The reference engine has no web-graph stage (it is a per-document service);
+these generalize its extraction layer the same way the north rule
+generalizes per-page OCR. Everything SQL-expressible stays in Catalyst;
+PageRank is the classic join+agg iteration with INTEGER-exact arithmetic
+(micro-rank units, integer division) so Spark's arbitrary-order float sums
+and the DuckDB oracle agree bit-for-bit.
+
+Scale notes: link extraction is narrow (regex per row). Anchor aggregation
+is one hash-agg on the target key. PageRank shuffles once per iteration on
+dst (the unavoidable shape); the edge build here synthesizes a deterministic
+graph from the corpus for oracle-ability — at crawl scale edges arrive from
+the extractor and the iteration code is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ANCHOR_PAIR = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, href, anchor_text) for every anchor in each document's
+    markup (as_html furniture). Narrow: regexp_extract_all + posexplode."""
+    from .extraction import as_html
+    pages = as_html(docs)
+    matches = F.expr(f"regexp_extract_all(html, '{ANCHOR_PAIR}', 0)")
+    return pages.select(
+        "doc_id", F.posexplode(matches).alias("pos", "m")
+    ).select(
+        "doc_id",
+        "pos",
+        F.regexp_extract("m", ANCHOR_PAIR, 1).alias("href"),
+        F.regexp_extract("m", ANCHOR_PAIR, 2).alias("anchor_text"),
+    )
+
+
+def anchor_stats(docs: DataFrame) -> DataFrame:
+    """Anchor-text aggregation per link target: in-degree, distinct anchor
+    texts, and the lexicographically-first anchor (a deterministic
+    representative). One hash-agg on href."""
+    links = extract_links(docs)
+    return links.groupBy("href").agg(
+        F.count("*").cast("long").alias("n_inlinks"),
+        F.countDistinct("anchor_text").cast("long").alias("n_anchor_texts"),
+        F.min("anchor_text").alias("first_anchor"),
+    )
+
+
+SCALE = 10**12  # integer micro-rank units
+
+
+def _doc_nodes(docs: DataFrame) -> DataFrame:
+    """Stable integer node ids 0..N-1 by doc_id order. The global window is
+    corpus scaffolding for the synthetic graph (real crawls carry edge lists
+    already keyed by URL); the PageRank iteration below never needs it."""
+    w = Window.orderBy("doc_id")
+    return docs.select("doc_id").distinct().select(
+        "doc_id", (F.row_number().over(w) - 1).alias("node"))
+
+
+def synth_edges(docs: DataFrame, n_nodes: int) -> DataFrame:
+    """Deterministic outlinks: node i gets 2 + (md5 % 3) edges, edge k
+    pointing at md5(doc_id:k) % N. Pure column expressions — the same rows
+    in any engine."""
+    nodes = _doc_nodes(docs)
+    deg = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("deg"))), 1, 8), 16, 10)
+           .cast("long") % 3 + 2).alias("outdeg")
+    with_deg = nodes.select("doc_id", "node", deg)
+    ks = with_deg.select(
+        "node", "outdeg",
+        F.explode(F.sequence(F.lit(0), F.col("outdeg") - 1)).alias("k"),
+        "doc_id",
+    )
+    dst = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.col("k").cast("string"))), 1, 8), 16, 10)
+           .cast("long") % n_nodes).alias("dst")
+    return ks.select(F.col("node").alias("src"), "outdeg", dst)
+
+
+def pagerank(docs: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFrame:
+    """PageRank over the synthetic outlink graph, ``iters`` unrolled
+    join+agg rounds in integer micro-rank units:
+
+        contrib(e)   = rank(src) DIV outdeg(src)
+        rank'(node)  = (100-d)%·SCALE/N  +  d%·Σ contrib  (integer DIV 100)
+
+    Integer sums are order-independent, so the distributed aggregation is
+    bit-identical to the sequential oracle. One shuffle per iteration (agg on
+    dst) plus the rank-join — the canonical scalable shape."""
+    n_nodes = docs.select("doc_id").distinct().count()  # metadata-scale scalar
+    nodes = _doc_nodes(docs)
+    edges = synth_edges(docs, n_nodes).persist()
+    base = SCALE * (100 - damping_pct) // 100 // n_nodes
+
+    ranks = nodes.select("node", F.lit(SCALE // n_nodes).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst").agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.expr(f"CAST({base} + (coalesce(inflow, 0) * {damping_pct}) div 100 AS BIGINT)")
+                .alias("rank"),
+            )
+        )
+    out = nodes.join(ranks, "node").select("doc_id", F.col("rank").alias("rank_micro"))
+    edges.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-frontier dedup)
+# ---------------------------------------------------------------------------
+
+def synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy URL per document: mixed-case host, default port,
+    tracking params out of order, fragment — the mess a crawl frontier sees.
+    Pure expressions so the oracle rebuilds identical input."""
+    h = F.md5(F.concat_ws(":", "doc_id", F.lit("url")))
+    host_case = F.when(
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 2) == 0,
+        F.lit("WWW.Example-Site.COM")).otherwise(F.lit("www.example-site.com"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"), host_case, F.lit(":80/articles/"),
+            F.substring(h, 3, 6),
+            F.lit("?utm_source=feed&id="), F.substring(h, 9, 4),
+            F.lit("&utm_campaign=x&ref=home#section-"), F.substring(h, 13, 2),
+        ).alias("url"),
+    )
+
+
+def normalize_urls(urls: DataFrame) -> DataFrame:
+    """Canonicalize: lowercase scheme+host, strip default port :80, drop the
+    fragment, drop utm_*/ref tracking params, sort surviving query params.
+    All regexp/HOF Catalyst — narrow, no shuffle."""
+    no_frag = F.regexp_replace("url", r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    port = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/:?#]+:(\d+)", 1)
+    path = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.startswith("utm_")) & (~p.startswith("ref=")) & (p != ""),
+    )
+    canon_q = F.concat_ws("&", F.array_sort(kept))
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when((port == "") | (port == "80"), F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+    return urls.select("doc_id", "url", canon.alias("canonical_url"))

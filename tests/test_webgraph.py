@@ -1,0 +1,106 @@
+"""Web-graph operators: link extraction, anchor aggregation, integer-exact
+PageRank (vs an independent sequential Python implementation), URL
+canonicalization edge cases, and C4-style sentence dedup."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ocr_redaction_engine_spark.analytics.dedup import sentence_dedup
+from ocr_redaction_engine_spark.analytics.webgraph import (
+    SCALE,
+    anchor_stats,
+    extract_links,
+    normalize_urls,
+    pagerank,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(f"d{i}", f"alpha beta gamma delta epsilon zeta {i}") for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_extract_links_finds_all_furniture_anchors(docs):
+    links = extract_links(docs).filter("doc_id = 'd0'").orderBy("pos").collect()
+    # nav(3) + sidebar(3) + footer(2)
+    assert [r["href"] for r in links] == ["/", "/a", "/c", "/x", "/y", "/z", "/p", "/t"]
+    assert links[0]["anchor_text"] == "Home"
+    assert links[6]["anchor_text"] == "Privacy"
+
+
+def test_anchor_stats_aggregates_per_target(docs):
+    stats = {r["href"]: r for r in anchor_stats(docs).collect()}
+    n = docs.count()
+    assert stats["/"]["n_inlinks"] == n
+    assert stats["/"]["n_anchor_texts"] == 1
+    assert stats["/"]["first_anchor"] == "Home"
+    # sidebar anchors are md5-derived → distinct per doc
+    assert stats["/x"]["n_anchor_texts"] == n
+
+
+def _py_pagerank(doc_ids, iters=3, damping_pct=85):
+    """Independent sequential reference: same integer micro-rank contract."""
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nodes = sorted(doc_ids)
+    n = len(nodes)
+    outdeg = {d: h8(f"{d}:deg") % 3 + 2 for d in nodes}
+    edges = []
+    for d in nodes:
+        for k in range(outdeg[d]):
+            edges.append((d, h8(f"{d}:{k}") % n))
+    idx = {d: i for i, d in enumerate(nodes)}
+    rank = {i: SCALE // n for i in range(n)}
+    base = SCALE * (100 - damping_pct) // 100 // n
+    for _ in range(iters):
+        inflow = {}
+        for d, dst in edges:
+            inflow[dst] = inflow.get(dst, 0) + rank[idx[d]] // outdeg[d]
+        rank = {i: base + inflow.get(i, 0) * damping_pct // 100 for i in range(n)}
+    return {d: rank[idx[d]] for d in nodes}
+
+
+def test_pagerank_matches_sequential_integer_reference(spark, docs):
+    got = {r["doc_id"]: r["rank_micro"] for r in pagerank(docs, iters=3).collect()}
+    exp = _py_pagerank([r["doc_id"] for r in docs.select("doc_id").collect()])
+    assert got == exp
+    # damped mass: total rank stays within (1-d) truncation slack of SCALE
+    assert 0.9 * SCALE < sum(got.values()) <= SCALE
+
+
+def test_normalize_urls_edge_cases(spark):
+    rows = [
+        ("a", "HTTP://WWW.Foo.COM:80/Path/X?utm_source=s&b=2&a=1&ref=h#frag"),
+        ("b", "https://foo.com:8443/y?z=1"),
+        ("c", "http://foo.com"),
+        ("d", "http://foo.com/p?utm_only=1"),
+    ]
+    urls = spark.createDataFrame(rows, "doc_id string, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in normalize_urls(urls).collect()}
+    assert got["a"] == "http://www.foo.com/Path/X?a=1&b=2"   # path case kept
+    assert got["b"] == "https://foo.com:8443/y?z=1"           # non-default port kept
+    assert got["c"] == "http://foo.com/"                      # bare host → /
+    assert got["d"] == "http://foo.com/p"                     # all params tracking → none
+
+
+def test_sentence_dedup_keeps_first_occurrence_globally(spark):
+    rows = [
+        ("d0", "Common line. Unique zero."),
+        ("d1", "Unique one. Common line."),
+        ("d2", "Common line."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in sentence_dedup(docs).collect()}
+    assert got["d0"]["kept_text"] == "Common line. Unique zero."
+    assert got["d0"]["n_sentences"] == 2 and got["d0"]["n_kept"] == 2
+    # d1 loses the duplicate but keeps its own sentence, original order
+    assert got["d1"]["kept_text"] == "Unique one."
+    assert got["d1"]["n_kept"] == 1
+    # d2 is fully deduplicated away → empty text, zero kept
+    assert got["d2"]["kept_text"] == "" and got["d2"]["n_kept"] == 0
+    assert got["d2"]["n_sentences"] == 1
