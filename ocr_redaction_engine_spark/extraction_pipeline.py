@@ -18,19 +18,21 @@ per-page text recovery (/root/reference/document_identification/
 identify_doc.py:33-45 runs OCR per page; extraction here widens that to the
 three crawl formats).
 
-Every branch is pure Catalyst — regex + split + posexplode + higher-order
-functions; no Python in the hot path. Shuffles: ONE hash-agg on
-(doc_id, offset) in the html branch (block reassembly) and ONE equi-join on
-media_ref in the media branch. The pdf/text branches are narrow. Output is
-the flat span-sequence contract table (doc_id, order, kind, text, media_ref)
-— span-sequence equality vs the pure-Python oracle
-(oracle.expected_extracted_spans) is the correctness gate.
+Every branch is pure Catalyst — regex + split + higher-order functions; no
+Python in the hot path. Shuffles: exactly ONE — the media_ref equi-join on
+the media branch (plan-pinned in tests/test_extraction_pipeline.py). The
+html strip is per-row array HOFs (a span is one row, so DOM-block
+segmentation, scoring, keep-filter, and ordered reassembly never leave the
+task); pdf/text are narrow projections. Output is the flat span-sequence
+contract table (doc_id, order, kind, text, media_ref) — span-sequence
+equality vs the pure-Python oracle (oracle.expected_extracted_spans) is the
+correctness gate.
 
-Scale notes (10^12 docs): the html hash-agg keys on (doc_id, offset) —
-maximal key cardinality, no skew by construction. The media join's build
-side is the media_pages table (big at scale → shuffle hash join on
-media_ref; AQE handles stragglers). Resume is partition-granular via the
-same xxhash64(doc_id) bucket lineage as the redaction job (checkpoint.py).
+Scale notes (10^12 docs): the text branches scan, transform, and emit with
+zero exchange — linear scaling by construction. The media join's build side
+is the media_pages table (big at scale → shuffle hash join on media_ref;
+AQE handles stragglers). Resume is partition-granular via the same
+xxhash64(doc_id) bucket lineage as the redaction job (checkpoint.py).
 """
 
 from __future__ import annotations
@@ -41,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import checkpoint as ckpt
-from .analytics.extraction import strip_boilerplate
 from .operators.explode import explode_spans
 
 
@@ -54,16 +55,48 @@ class ExtractionConfig:
 
 
 def extract_html_spans(spans: DataFrame, cfg: ExtractionConfig) -> DataFrame:
-    """HTML boilerplate strip per span: DOM block segmentation + scoring +
-    keep-filter + ordered reassembly, keyed (doc_id, offset)."""
+    """HTML boilerplate strip per span — SHUFFLE-FREE: because one span is
+    one row, the DOM-block segmentation + scoring + keep-filter + ordered
+    reassembly all run as array higher-order functions on that row (split →
+    transform/filter → concat_ws), never leaving the task. Semantics are
+    identical to the grouped variant (analytics/extraction.strip_boilerplate,
+    kept for block-level analytics); a span whose every block is dropped
+    yields no row, matching the grouped groupBy behavior and the oracle."""
     html = spans.filter(F.col("kind") == "html").select(
-        "doc_id", "offset", F.col("text").alias("html"))
-    out = strip_boilerplate(
-        html, min_len=cfg.min_len, max_link_density=cfg.max_link_density,
-        keys=("doc_id", "offset"))
-    return out.select(
+        "doc_id", "offset",
+        F.regexp_replace(
+            F.regexp_replace("text", r"(?s)<script[^>]*>.*?</script>", " "),
+            r"(?s)<style[^>]*>.*?</style>", " ",
+        ).alias("clean"),
+    )
+
+    def btext(b):
+        return F.trim(F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " "))
+
+    def anchor_chars(b):
+        return F.aggregate(
+            F.regexp_extract_all(b, F.lit(r"<a [^>]*>([^<]*)</a>"), F.lit(1)),
+            F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+    scored = html.select(
+        "doc_id", "offset",
+        F.filter(
+            F.transform(
+                F.split("clean", r"</p>|</div>|</nav>|</footer>"),
+                lambda b: F.struct(
+                    btext(b).alias("btext"),
+                    anchor_chars(b).alias("anchor_chars"),
+                ),
+            ),
+            lambda s: (F.length(s["btext"]) >= cfg.min_len)
+            & ((s["anchor_chars"] / F.greatest(F.length(s["btext"]), F.lit(1)))
+               <= cfg.max_link_density),
+        ).alias("kept"),
+    )
+    return scored.filter(F.size("kept") > 0).select(
         "doc_id", F.col("offset").alias("order"), F.lit("html").alias("kind"),
-        F.col("main_text").alias("text"), F.lit("").alias("media_ref"))
+        F.concat_ws(" ", F.transform("kept", lambda s: s["btext"])).alias("text"),
+        F.lit("").alias("media_ref"))
 
 
 def extract_pdf_spans(spans: DataFrame) -> DataFrame:

@@ -67,6 +67,31 @@ def test_plan_is_udf_free(web_dfs):
     assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
 
 
+def test_html_pdf_text_branches_are_exchange_free(spark, web_dfs):
+    """The html strip runs as per-row array HOFs and pdf/text are narrow
+    projections: dropping the media branch, the physical plan must contain
+    ZERO Exchange — the whole non-media pipeline is scan → project → union.
+    (The media join is the pipeline's single, unavoidable shuffle.)"""
+    from ocr_redaction_engine_spark.extraction_pipeline import (
+        ExtractionConfig,
+        extract_html_spans,
+        extract_pdf_spans,
+        extract_text_spans,
+    )
+    from ocr_redaction_engine_spark.operators.explode import explode_spans
+
+    docs_df, _ = web_dfs
+    spans = explode_spans(docs_df)
+    cfg = ExtractionConfig()
+    nonmedia = (
+        extract_html_spans(spans, cfg)
+        .unionByName(extract_pdf_spans(spans))
+        .unionByName(extract_text_spans(spans))
+    )
+    plan = nonmedia._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 class _Boom(RuntimeError):
     pass
 
