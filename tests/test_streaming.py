@@ -269,3 +269,31 @@ def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
     # every doc that collides at all is reachable through its anchor
     covered = {d for p in got for d in p}
     assert {d for p in batch_pairs for d in p} == covered
+
+
+def test_stream_extraction_equals_batch(spark, tmp_path):
+    """The streaming extraction twin (stream-static join, availableNow)
+    produces exactly the batch pipeline's span-sequence output, and a second
+    drain with the same checkpoint is a no-op (exactly-once file sink)."""
+    from ocr_redaction_engine_spark.corpus import write_web_corpus
+    from ocr_redaction_engine_spark.extraction_pipeline import extract_spans
+
+    base = str(tmp_path / "xstream")
+    write_web_corpus(spark, f"{base}/input", n_docs=120, seed=42, partitions=4)
+    docs_path, pages_path = f"{base}/input/documents", f"{base}/input/media_pages"
+
+    streaming.stream_extraction(spark, docs_path, pages_path,
+                                f"{base}/out", f"{base}/ckpt")
+    got = sorted((r.doc_id, r.order, r.kind, r.text, r.media_ref)
+                 for r in spark.read.parquet(f"{base}/out/main_spans").collect())
+    exp = sorted((r.doc_id, r.order, r.kind, r.text, r.media_ref)
+                 for r in extract_spans(spark.read.parquet(docs_path),
+                                        spark.read.parquet(pages_path)).collect())
+    assert got == exp and len(got) > 0
+
+    # drain again: no new files → output unchanged
+    streaming.stream_extraction(spark, docs_path, pages_path,
+                                f"{base}/out", f"{base}/ckpt")
+    again = sorted((r.doc_id, r.order, r.kind, r.text, r.media_ref)
+                   for r in spark.read.parquet(f"{base}/out/main_spans").collect())
+    assert again == got
