@@ -975,6 +975,14 @@ def dedup_sentences(spark, sf_dir):
     return sentence_dedup(_t(spark, sf_dir, "documents"))
 
 
+def bpe_pair_counts(spark, sf_dir):
+    """Distributed BPE pair counting (the per-iteration hot step of tokenizer
+    training): distinct-word pre-agg → char-pair explode weighted by word
+    frequency → top-30 pairs, deterministic tiebreak."""
+    from ocr_redaction_engine_spark.analytics.text import bpe_pair_counts as _bpe
+    return _bpe(_t(spark, sf_dir, "documents"), k=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -1064,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": web_pagerank,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
+        "bpe_pair_counts": bpe_pair_counts,
     }
 
 
@@ -2288,6 +2297,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, coalesce(k.kept_text, '') AS kept_text,
                    t.n_sentences, coalesce(k.n_kept, 0) AS n_kept
             FROM tot t LEFT JOIN k ON k.doc_id = t.doc_id
+        """,
+        "bpe_pair_counts": r"""
+            WITH words AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS wcount
+              FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                    FROM documents)
+              WHERE w <> '' GROUP BY w),
+            syms AS (
+              SELECT wcount, regexp_extract_all(w, '.', 0) AS s
+              FROM words WHERE length(w) >= 2),
+            pairs AS (
+              SELECT wcount, unnest(list_zip(s[1:length(s)-1], s[2:length(s)])) AS p
+              FROM syms),
+            counts AS (
+              SELECT p[1] AS sym_a, p[2] AS sym_b,
+                     CAST(SUM(wcount) AS BIGINT) AS pair_count
+              FROM pairs GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                ORDER BY pair_count DESC, sym_a ASC, sym_b ASC) AS INT) AS rank
+              FROM counts)
+            SELECT sym_a, sym_b, pair_count, rank FROM ranked WHERE rank <= 30
         """,
         "layout_reading_order": r"""
             WITH toks AS (

@@ -413,3 +413,46 @@ def repeated_substring_spans(docs: DataFrame, n: int = 8,
              F.count("*").alias("n_occ"))
         .select("doc_id", "span_start", "span_end", "n_occ")
     )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 30) -> DataFrame:
+    """Top-k adjacent symbol-pair frequencies — THE distributed step of BPE
+    tokenizer training (Sennrich et al. 2016): every merge iteration is this
+    count over the current vocabulary; the argmax merge itself is a
+    driver-side scalar on a table of distinct pairs (tiny at any corpus
+    scale).
+
+    Shape: distinct-word pre-aggregation first (one hash-agg — corpora are
+    Zipf-distributed, so this collapses 100 TB of tokens into a vocab-sized
+    table), then per-word character pairs weighted by word frequency (one
+    more hash-agg). Pure Catalyst: regexp char split + HOF zip of the array
+    with its own tail.
+
+    Returns (sym_a, sym_b, pair_count, rank) for the k most frequent pairs,
+    rank tie-broken lexicographically for determinism.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").cast("long").alias("wcount"))
+    )
+    syms = words.select(
+        "wcount", F.regexp_extract_all("w", F.lit("."), F.lit(0)).alias("syms"))
+    pairs = syms.filter(F.size("syms") >= 2).select(
+        "wcount",
+        F.explode(
+            F.zip_with(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("sym_a"), b.alias("sym_b")),
+            )
+        ).alias("p"),
+    )
+    counts = pairs.groupBy(F.col("p.sym_a").alias("sym_a"),
+                           F.col("p.sym_b").alias("sym_b")).agg(
+        F.sum("wcount").cast("long").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

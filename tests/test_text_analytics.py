@@ -113,3 +113,24 @@ def test_ngram_cross_contamination(spark):
     assert got[0]["leak_frac"] == round(1 / 3, 6)
     # zero-leak doc stays in the output
     assert got[1]["n_leaked"] == 0 and got[1]["leak_frac"] == 0.0
+
+
+def test_bpe_pair_counts(docs):
+    from ocr_redaction_engine_spark.analytics.text import bpe_pair_counts
+    # Only "solo" has >=2 chars; its adjacent pairs are (s,o),(o,l),(l,o),
+    # each weighted by wcount=1. Tie-break is lexicographic on (sym_a, sym_b).
+    got = [(r["rank"], r["sym_a"], r["sym_b"], r["pair_count"])
+           for r in bpe_pair_counts(docs, k=10).collect()]
+    assert sorted(got) == [(1, "l", "o", 1), (2, "o", "l", 1), (3, "s", "o", 1)]
+
+
+def test_bpe_pair_counts_weighted(spark):
+    from ocr_redaction_engine_spark.analytics.text import bpe_pair_counts
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "ab")], "doc_id long, text string")
+    got = {(r["sym_a"], r["sym_b"]): (r["pair_count"], r["rank"])
+           for r in bpe_pair_counts(docs, k=10).collect()}
+    # "ab" appears 3 times corpus-wide but the pair count is weighted by the
+    # distinct-word frequency, not recomputed per doc
+    assert got[("a", "b")] == (3, 1)
+    assert got[("c", "d")] == (1, 2)
