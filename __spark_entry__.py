@@ -983,6 +983,13 @@ def bpe_pair_counts(spark, sf_dir):
     return _bpe(_t(spark, sf_dir, "documents"), k=30)
 
 
+def search_bm25(spark, sf_dir):
+    """BM25 ranked retrieval over the documents corpus: one postings shuffle,
+    query-term-pruned df, broadcast-joined scoring, top-10 per query."""
+    from ocr_redaction_engine_spark.analytics.search import bm25_topk
+    return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -1073,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
+        "search_bm25": search_bm25,
     }
 
 
@@ -1155,6 +1163,17 @@ _MEDIA_CTE = f"""
       WHERE i.range < ln
     )
 """
+
+def _bm25_values() -> str:
+    """(query_id, term) VALUES rows from the engine's own query workload
+    constant, so the oracle cannot drift from the Spark side."""
+    from ocr_redaction_engine_spark.analytics.search import DEFAULT_QUERIES
+    return ", ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(DEFAULT_QUERIES)
+        for t in dict.fromkeys(q.split())
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2297,6 +2316,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, coalesce(k.kept_text, '') AS kept_text,
                    t.n_sentences, coalesce(k.n_kept, 0) AS n_kept
             FROM tot t LEFT JOIN k ON k.doc_id = t.doc_id
+        """,
+        "search_bm25": f"""
+            WITH q(query_id, term) AS (VALUES {_bm25_values()}),
+            toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+            post AS (
+              SELECT doc_id, term,
+                     CAST(COUNT(*) AS BIGINT) AS tf,
+                     CAST(MIN(dl) AS BIGINT) AS dl
+              FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+              WHERE term <> '' GROUP BY doc_id, term),
+            stats AS (
+              SELECT COUNT(*) AS n_docs,
+                     SUM(len(string_split_regex(trim(text), '\\s+'))) * 1.0
+                       / COUNT(*) AS avgdl
+              FROM documents),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post
+              WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+            scored AS (
+              SELECT q.query_id, p.doc_id,
+                     round(SUM(round(
+                       ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                       (p.tf * (1.2 + 1.0)) /
+                       (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+                     6)), 6) AS score
+              FROM post p JOIN q ON q.term = p.term
+              JOIN dfreq d ON d.term = p.term, stats s
+              GROUP BY q.query_id, p.doc_id)
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                   ) AS INT) AS rank
+            FROM scored QUALIFY rank <= 10
         """,
         "bpe_pair_counts": r"""
             WITH words AS (

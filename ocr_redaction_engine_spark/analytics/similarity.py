@@ -415,3 +415,46 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         vals.join(F.broadcast(stats), "dim")
         .select("vec_id", "dim", code.alias("code"))
     )
+
+def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
+                   threshold: float = 0.92) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means over the embedding space, then exact
+    cosine **only within each cluster**; a vector is dropped when a
+    lower-id cluster-mate sits within ``threshold`` cosine (the
+    keep-lowest-id greedy variant — deterministic, single pass).
+
+    Scale shape: the quadratic part is confined to single clusters — at
+    corpus scale n_clusters grows with N (SemDeDup uses ~100k clusters for
+    LAION), so cluster sizes stay bounded and the within-cluster self-join
+    is an equi-join on cluster id, never a cross join. The k-means reuses
+    :func:`kmeans_centroids` (exact int64 fixed-point → engine-identical
+    centroids, only k×dim on the driver).
+
+    Returns (vec_id, cluster, keep).
+    """
+    C = kmeans_centroids(embeddings, n_clusters)
+    assigned = embeddings.join(assign_clusters(embeddings, C), "vec_id")
+
+    def side(prefix: str) -> DataFrame:
+        return assigned.select(
+            F.col("vec_id").alias(prefix),
+            "cluster",
+            F.transform("embedding", lambda x: x.cast("double")).alias(f"{prefix}_emb"),
+        )
+
+    dup = (
+        side("a").join(side("b"), "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(_dot("a_emb", "b_emb") /
+                                   (_norm("a_emb") * _norm("b_emb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("b").alias("vec_id")).distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"))
+    )
