@@ -983,6 +983,14 @@ def bpe_pair_counts(spark, sf_dir):
     return _bpe(_t(spark, sf_dir, "documents"), k=30)
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: k-means coarse clusters, exact cosine only within clusters,
+    keep-lowest-id survivors. The quadratic part never leaves a cluster."""
+    from ocr_redaction_engine_spark.analytics.similarity import semantic_dedup
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                          n_clusters=16, threshold=0.92)
+
+
 def search_bm25(spark, sf_dir):
     """BM25 ranked retrieval over the documents corpus: one postings shuffle,
     query-term-pruned df, broadcast-joined scoring, top-10 per query."""
@@ -1081,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
         "search_bm25": search_bm25,
+        "dedup_semantic": dedup_semantic,
     }
 
 
@@ -1163,6 +1172,44 @@ _MEDIA_CTE = f"""
       WHERE i.range < ln
     )
 """
+
+# Shared k-means CTE chain (exact int64 fixed-point, 2 Lloyd iterations,
+# md5-order seeds — the DuckDB twin of similarity.kmeans_centroids): used by
+# both the IVF ANN oracle and the SemDeDup oracle so the quantizer SQL
+# cannot drift between them.
+_KMEANS_C2 = """
+            WITH dims AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(range(len(embedding))) AS d
+              FROM embeddings),
+            fx AS (SELECT vec_id, d, CAST(floor(x*1000000) AS BIGINT) AS q FROM dims),
+            seeds AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
+                FROM embeddings) WHERE cluster < 16),
+            c0 AS (SELECT s.cluster, f.d, f.q AS c FROM seeds s JOIN fx f USING (vec_id)),
+            d1 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c0 c USING (d) GROUP BY f.vec_id, c.cluster),
+            a1 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                     FROM d1) WHERE rn = 1),
+            m1 AS (SELECT a.cluster, f.d, SUM(f.q) AS s, COUNT(*) AS n
+                   FROM a1 a JOIN fx f USING (vec_id) GROUP BY a.cluster, f.d),
+            c1 AS (SELECT c0.cluster, c0.d, COALESCE(CAST(m1.s // m1.n AS BIGINT), c0.c) AS c
+                   FROM c0 LEFT JOIN m1 ON m1.cluster = c0.cluster AND m1.d = c0.d),
+            d2 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c1 c USING (d) GROUP BY f.vec_id, c.cluster),
+            a2 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                     FROM d2) WHERE rn = 1),
+            m2 AS (SELECT a.cluster, f.d, SUM(f.q) AS s, COUNT(*) AS n
+                   FROM a2 a JOIN fx f USING (vec_id) GROUP BY a.cluster, f.d),
+            c2 AS (SELECT c1.cluster, c1.d, COALESCE(CAST(m2.s // m2.n AS BIGINT), c1.c) AS c
+                   FROM c1 LEFT JOIN m2 ON m2.cluster = c1.cluster AND m2.d = c1.d)"""
+
 
 def _bm25_values() -> str:
     """(query_id, term) VALUES rows from the engine's own query workload
@@ -2013,38 +2060,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS INT) AS code
             FROM vals JOIN stats USING (dim)
         """,
-        "ann_ivf_topk": """
-            WITH dims AS (
-              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
-                     unnest(range(len(embedding))) AS d
-              FROM embeddings),
-            fx AS (SELECT vec_id, d, CAST(floor(x*1000000) AS BIGINT) AS q FROM dims),
-            seeds AS (
-              SELECT vec_id, cluster FROM (
-                SELECT vec_id,
-                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
-                FROM embeddings) WHERE cluster < 16),
-            c0 AS (SELECT s.cluster, f.d, f.q AS c FROM seeds s JOIN fx f USING (vec_id)),
-            d1 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
-                   FROM fx f JOIN c0 c USING (d) GROUP BY f.vec_id, c.cluster),
-            a1 AS (SELECT vec_id, cluster FROM (
-                     SELECT vec_id, cluster,
-                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-                     FROM d1) WHERE rn = 1),
-            m1 AS (SELECT a.cluster, f.d, SUM(f.q) AS s, COUNT(*) AS n
-                   FROM a1 a JOIN fx f USING (vec_id) GROUP BY a.cluster, f.d),
-            c1 AS (SELECT c0.cluster, c0.d, COALESCE(CAST(m1.s // m1.n AS BIGINT), c0.c) AS c
-                   FROM c0 LEFT JOIN m1 ON m1.cluster = c0.cluster AND m1.d = c0.d),
-            d2 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
-                   FROM fx f JOIN c1 c USING (d) GROUP BY f.vec_id, c.cluster),
-            a2 AS (SELECT vec_id, cluster FROM (
-                     SELECT vec_id, cluster,
-                            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-                     FROM d2) WHERE rn = 1),
-            m2 AS (SELECT a.cluster, f.d, SUM(f.q) AS s, COUNT(*) AS n
-                   FROM a2 a JOIN fx f USING (vec_id) GROUP BY a.cluster, f.d),
-            c2 AS (SELECT c1.cluster, c1.d, COALESCE(CAST(m2.s // m2.n AS BIGINT), c1.c) AS c
-                   FROM c1 LEFT JOIN m2 ON m2.cluster = c1.cluster AND m2.d = c1.d),
+        "ann_ivf_topk": _KMEANS_C2 + """,
             d3 AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
                    FROM fx f JOIN c2 c USING (d) WHERE f.vec_id >= 5
                    GROUP BY f.vec_id, c.cluster),
@@ -2070,6 +2086,26 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
                   FROM scored)
             SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
+        """,
+        "dedup_semantic": _KMEANS_C2 + """,
+            dall AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                     FROM fx f JOIN c2 c USING (d)
+                     GROUP BY f.vec_id, c.cluster),
+            aall AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                       FROM dall) WHERE rn = 1),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            dup AS (
+              SELECT DISTINCT y.vec_id
+              FROM aall x JOIN aall y
+                ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              JOIN e ex ON ex.vec_id = x.vec_id
+              JOIN e ey ON ey.vec_id = y.vec_id
+              WHERE round(list_cosine_similarity(ex.emb, ey.emb), 6) >= 0.92)
+            SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+                   (dup.vec_id IS NULL) AS keep
+            FROM aall a LEFT JOIN dup ON dup.vec_id = a.vec_id
         """,
         # Flagship pipeline goldens: the pure-Python oracle's expected output
         # (ocr_redaction_engine_spark/oracle.py over the seed-42 150-doc

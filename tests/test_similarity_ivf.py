@@ -78,3 +78,41 @@ def test_ivf_partitioned_probe_prunes_and_matches(spark, embeddings, tmp_path_fa
     assert any("cluster" in pf for pf in pfs), pfs
     # bonus: Spark adds dynamic partition pruning from the probe join
     assert any("dynamicpruning" in pf for pf in pfs), pfs
+
+
+def test_semantic_dedup_matches_within_cluster_bruteforce(spark, embeddings):
+    """Differential: drop set == {b : exists a<b, same cluster, cos>=tau}
+    computed independently via assignments + the brute-force pair scorer."""
+    from ocr_redaction_engine_spark.analytics.similarity import (
+        assign_clusters, cosine_pairs, semantic_dedup)
+
+    tau = 0.5  # random 64-dim vectors: near-1 cosines don't occur, pick low
+    got = {r.vec_id: (r.cluster, r.keep)
+           for r in semantic_dedup(embeddings, n_clusters=8, threshold=tau).collect()}
+    assert len(got) == embeddings.count()          # every vector gets a verdict
+
+    C = kmeans_centroids(embeddings, n_clusters=8)
+    cl = {r.vec_id: r.cluster
+          for r in assign_clusters(embeddings, C).collect()}
+    pairs = cosine_pairs(embeddings, threshold=tau).collect()
+    expect_drop = {r.b for r in pairs if cl[r.a] == cl[r.b]}
+
+    assert {v for v, (_, keep) in got.items() if not keep} == expect_drop
+    assert all(cl[v] == c for v, (c, _) in got.items())
+
+
+def test_semantic_dedup_drops_synthetic_duplicates(spark):
+    """A planted duplicate pair lands in one cluster and only the higher id
+    is dropped; a far-away vector survives."""
+    base = [round(0.1 * (i + 1), 1) for i in range(4)]
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base]),            # exact dup of 0 → dropped
+        (2, [float(-x) for x in base]),           # anti-parallel → kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.keep
+           for r in __import__("ocr_redaction_engine_spark.analytics.similarity",
+                               fromlist=["semantic_dedup"])
+           .semantic_dedup(emb, n_clusters=2, threshold=0.99).collect()}
+    assert got == {0: True, 1: False, 2: True}
