@@ -983,6 +983,15 @@ def bpe_pair_counts(spark, sf_dir):
     return _bpe(_t(spark, sf_dir, "documents"), k=30)
 
 
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k: per-subspace int64 k-means codebooks,
+    candidates stored as m codes, query scored via broadcast distance-table
+    lookups — integer-exact end to end."""
+    from ocr_redaction_engine_spark.analytics.similarity import pq_adc_topk
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"),
+                       n_queries=5, k=10, m=4, n_codes=16, n_iters=1)
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup: k-means coarse clusters, exact cosine only within clusters,
     keep-lowest-id survivors. The quadratic part never leaves a cluster."""
@@ -1090,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": bpe_pair_counts,
         "search_bm25": search_bm25,
         "dedup_semantic": dedup_semantic,
+        "ann_pq_adc": ann_pq_adc,
     }
 
 
@@ -2086,6 +2096,62 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
                   FROM scored)
             SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
+        """,
+        "ann_pq_adc": """
+            WITH dims AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(range(len(embedding))) AS d
+              FROM embeddings),
+            fx AS (SELECT vec_id, d, CAST(d // 16 AS INT) AS sub,
+                          CAST(floor(x*1000000) AS BIGINT) AS q
+                   FROM dims),
+            seeds AS (
+              SELECT vec_id, code FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code
+                FROM embeddings) WHERE code < 16),
+            c0 AS (SELECT s.code, f.sub, f.d, f.q AS c
+                   FROM seeds s JOIN fx f USING (vec_id)),
+            d1 AS (SELECT f.vec_id, c.sub, c.code,
+                          SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c0 c ON c.d = f.d
+                   GROUP BY f.vec_id, c.sub, c.code),
+            a1 AS (SELECT vec_id, sub, code FROM (
+                     SELECT vec_id, sub, code,
+                            row_number() OVER (PARTITION BY vec_id, sub
+                                               ORDER BY dist, code) AS rn
+                     FROM d1) WHERE rn = 1),
+            m1 AS (SELECT a.sub, a.code, f.d, SUM(f.q) AS s, COUNT(*) AS n
+                   FROM a1 a JOIN fx f ON f.vec_id = a.vec_id AND f.sub = a.sub
+                   GROUP BY a.sub, a.code, f.d),
+            c1 AS (SELECT c0.code, c0.sub, c0.d,
+                          COALESCE(CAST(m1.s // m1.n AS BIGINT), c0.c) AS c
+                   FROM c0 LEFT JOIN m1 ON m1.sub = c0.sub
+                        AND m1.code = c0.code AND m1.d = c0.d),
+            de AS (SELECT f.vec_id, c.sub, c.code,
+                          SUM((f.q - c.c)*(f.q - c.c)) AS dist
+                   FROM fx f JOIN c1 c ON c.d = f.d WHERE f.vec_id >= 5
+                   GROUP BY f.vec_id, c.sub, c.code),
+            enc AS (SELECT vec_id, sub, code FROM (
+                      SELECT vec_id, sub, code,
+                             row_number() OVER (PARTITION BY vec_id, sub
+                                                ORDER BY dist, code) AS rn
+                      FROM de) WHERE rn = 1),
+            tq AS (SELECT f.vec_id AS q_id, c.sub, c.code,
+                          SUM((f.q - c.c)*(f.q - c.c)) AS pdist
+                   FROM fx f JOIN c1 c ON c.d = f.d WHERE f.vec_id < 5
+                   GROUP BY f.vec_id, c.sub, c.code),
+            scored AS (
+              SELECT t.q_id, e.vec_id AS c_id,
+                     CAST(SUM(t.pdist) AS BIGINT) AS adist
+              FROM enc e JOIN tq t ON t.sub = e.sub AND t.code = e.code
+              GROUP BY t.q_id, e.vec_id),
+            r AS (SELECT q_id, c_id, adist,
+                         CAST(row_number() OVER (
+                           PARTITION BY q_id ORDER BY adist ASC, c_id ASC
+                         ) AS INT) AS rank
+                  FROM scored)
+            SELECT q_id, c_id, adist, rank FROM r WHERE rank <= 10
         """,
         "dedup_semantic": _KMEANS_C2 + """,
             dall AS (SELECT f.vec_id, c.cluster, SUM((f.q - c.c)*(f.q - c.c)) AS dist

@@ -458,3 +458,126 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
         .select("vec_id", "cluster",
                 F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"))
     )
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN scale path
+# ---------------------------------------------------------------------------
+
+PQ_CODE_SCHEMA = "vec_id long, sub int, code int"
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 4, n_codes: int = 16,
+                 n_iters: int = 1) -> "np.ndarray":
+    """Per-subspace k-means codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): dimension D is split into
+    ``m`` contiguous subspaces; each gets its own ``n_codes``-centroid
+    quantizer. Same exact int64 fixed-point arithmetic as
+    :func:`kmeans_centroids` (engine- and partitioning-identical), same
+    md5-order seeds (shared across subspaces), truncating-division
+    recompute. Only the (m, n_codes, D/m) codebook reaches the driver.
+    """
+    import numpy as np
+
+    seed_ids = embeddings.select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+    ).orderBy("h").limit(n_codes)
+    init = (
+        embeddings.join(seed_ids, "vec_id")
+        .select("h", _fixed_point_col().alias("fx")).orderBy("h").collect()
+    )
+    dim = len(init[0].fx)
+    dsub = dim // m
+    C = np.array([r.fx for r in init], dtype=np.int64).reshape(
+        n_codes, m, dsub).transpose(1, 0, 2).copy()   # (m, n_codes, dsub)
+
+    fx = embeddings.select(
+        "vec_id", F.posexplode(_fixed_point_col()).alias("d", "q")
+    ).withColumn("sub", (F.col("d") / dsub).cast("int"))
+    for _ in range(n_iters):
+        assigned = pq_assign(embeddings, C)
+        rows = (
+            fx.join(assigned, ["vec_id", "sub"])
+            .groupBy("sub", "code", "d")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = C.copy()
+        for r in rows:
+            s, n = int(r.s), int(r.n)
+            new[r.sub, r.code, r.d % dsub] = (abs(s) // n) * (1 if s >= 0 else -1)
+        C = new
+    return C
+
+
+def pq_assign(embeddings: DataFrame, codebooks) -> DataFrame:
+    """vec → nearest sub-centroid per subspace: (vec_id, sub, code) rows,
+    exact int64 L2 per Arrow batch; ties break to the smallest code."""
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype=np.int64)       # (m, k, dsub)
+    m, _, dsub = C.shape
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                    "sub": pd.Series(dtype="int32"),
+                                    "code": pd.Series(dtype="int32")})
+                continue
+            M = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            Q = _fixed_point(M).reshape(len(M), m, dsub)
+            # (n, m, k): exact integer squared distances per subspace
+            d2 = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)               # first min → smallest code
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(dtype="int64"), m),
+                "sub": np.tile(np.arange(m, dtype=np.int32), len(M)),
+                "code": codes.reshape(-1).astype(np.int32),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema=PQ_CODE_SCHEMA)
+
+
+def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+                m: int = 4, n_codes: int = 16, n_iters: int = 1) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: candidates are stored ONLY as
+    ``m`` uint8-sized codes (32x memory compression at D=64 float32 — the
+    reason PQ scans survive where raw vectors don't fit); each query builds
+    an (m x n_codes) integer distance table against the codebooks and a
+    candidate's approximate distance is the sum of m table lookups.
+
+    Plan shape: one Arrow encode pass over candidates, a broadcast join of
+    the tiny (Q*m*n_codes)-row table on (sub, code), one hash-agg summing
+    exact int64 partial distances — no full-vector access at scan time, no
+    cross join. Output (q_id, c_id, adist, rank) is integer-exact.
+    """
+    import numpy as np
+
+    C = pq_codebooks(embeddings, m=m, n_codes=n_codes, n_iters=n_iters)
+    dsub = C.shape[2]
+
+    q_rows = embeddings.filter(F.col("vec_id") < n_queries) \
+        .select("vec_id", "embedding").collect()
+    table_rows = []
+    for r in q_rows:
+        qv = _fixed_point(np.asarray(r.embedding, dtype=np.float64)[None, :])[0]
+        qs = qv.reshape(m, dsub)
+        d2 = ((qs[:, None, :] - C) ** 2).sum(axis=2)    # (m, n_codes) int64
+        for s in range(m):
+            for c in range(n_codes):
+                table_rows.append((int(r.vec_id), s, c, int(d2[s, c])))
+    table = embeddings.sparkSession.createDataFrame(
+        table_rows, "q_id long, sub int, code int, pdist long")
+
+    enc = pq_assign(embeddings.filter(F.col("vec_id") >= n_queries), C)
+    scored = (
+        enc.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "adist", "rank"))

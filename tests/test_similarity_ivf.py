@@ -116,3 +116,68 @@ def test_semantic_dedup_drops_synthetic_duplicates(spark):
                                fromlist=["semantic_dedup"])
            .semantic_dedup(emb, n_clusters=2, threshold=0.99).collect()}
     assert got == {0: True, 1: False, 2: True}
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, embeddings):
+    from ocr_redaction_engine_spark.analytics.similarity import pq_codebooks
+    c1 = pq_codebooks(embeddings, m=4, n_codes=8, n_iters=1)
+    c2 = pq_codebooks(embeddings, m=4, n_codes=8, n_iters=1)
+    assert (c1 == c2).all() and c1.shape == (4, 8, 16)
+    assert c1.dtype.kind == "i"
+
+
+def test_pq_adc_matches_codewise_reference(spark, embeddings):
+    """Differential: ADC distance == numpy sum of per-subspace distances
+    between the query subvectors and the candidate's ASSIGNED centroids,
+    recomputed independently from the codes."""
+    import numpy as np
+    from ocr_redaction_engine_spark.analytics.similarity import (
+        _fixed_point, pq_adc_topk, pq_assign, pq_codebooks)
+
+    C = pq_codebooks(embeddings, m=4, n_codes=8, n_iters=1)
+    codes = {}
+    for r in pq_assign(embeddings, C).collect():
+        codes.setdefault(r.vec_id, {})[r.sub] = r.code
+    q_fx = {r.vec_id: _fixed_point(
+                np.asarray(r.embedding, dtype=np.float64)[None, :])[0]
+            for r in embeddings.filter("vec_id < 5").collect()}
+
+    got = pq_adc_topk(embeddings, n_queries=5, k=10, m=4, n_codes=8,
+                      n_iters=1).collect()
+    assert {r.q_id for r in got} == set(range(5))
+    for r in got:
+        qs = q_fx[r.q_id].reshape(4, 16)
+        expect = sum(int(((qs[s] - C[s, codes[r.c_id][s]]) ** 2).sum())
+                     for s in range(4))
+        assert r.adist == expect
+
+
+def test_pq_planted_neighbors_rank_first(spark):
+    """Semantics gate: with genuinely-clustered data (the regime PQ is built
+    for — uniform random vectors are its worst case and prove nothing), the
+    planted near group of each query must occupy the top ranks and the far
+    group must score strictly larger ADC distances."""
+    rows = []
+    a = [1.0] * 64                       # anchor A
+    b = [1.0, -1.0] * 32                 # anchor B, far from A
+    rows.append((0, [float(x) for x in a]))
+    rows.append((1, [float(x) for x in b]))
+    for i in range(4):                   # planted neighbors: tiny per-dim jitter
+        rows.append((5 + i, [float(x + 0.01 * (i + 1)) for x in a]))
+        rows.append((9 + i, [float(x - 0.01 * (i + 1)) for x in b]))
+    for i in range(4):                   # far decoys for both queries
+        rows.append((13 + i, [float(-3.0 - i)] * 64))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from ocr_redaction_engine_spark.analytics.similarity import pq_adc_topk
+    got = {}
+    for r in pq_adc_topk(emb, n_queries=2, k=12, m=4, n_codes=4,
+                         n_iters=1).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.c_id, r.adist))
+    for q, planted in ((0, {5, 6, 7, 8}), (1, {9, 10, 11, 12})):
+        ranked = sorted(got[q])
+        top4 = {c for _, c, _ in ranked[:4]}
+        assert top4 == planted, (q, ranked)
+        worst_planted = max(d for _, c, d in ranked if c in planted)
+        best_decoy = min(d for _, c, d in ranked if c >= 13)
+        assert worst_planted < best_decoy
