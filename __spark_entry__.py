@@ -983,6 +983,16 @@ def bpe_pair_counts(spark, sf_dir):
     return _bpe(_t(spark, sf_dir, "documents"), k=30)
 
 
+def decontam_minhash(spark, sf_dir):
+    """Paraphrase-level train-vs-eval decontamination: cross-corpus MinHash
+    band join (src19 = held-out eval split), exact Jaccard verify."""
+    from ocr_redaction_engine_spark.analytics.dedup import minhash_decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_decontaminate(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"), threshold=0.5)
+
+
 def ann_pq_adc(spark, sf_dir):
     """Product-quantization ADC top-k: per-subspace int64 k-means codebooks,
     candidates stored as m codes, query scored via broadcast distance-table
@@ -1100,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": search_bm25,
         "dedup_semantic": dedup_semantic,
         "ann_pq_adc": ann_pq_adc,
+        "decontam_minhash": decontam_minhash,
     }
 
 
@@ -2096,6 +2107,44 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
                   FROM scored)
             SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
+        """,
+        "decontam_minhash": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, source, unnest({_TOK}) AS token
+              FROM documents),
+            sigs AS (
+              SELECT doc_id, source, b.range AS band,
+                     MIN(md5(CAST(b.range AS VARCHAR) || ':' || token)) AS sig
+              FROM toks, range(4) b GROUP BY doc_id, source, b.range),
+            cand AS (
+              SELECT DISTINCT e.doc_id AS e, t.doc_id AS t
+              FROM sigs e JOIN sigs t ON e.band = t.band AND e.sig = t.sig
+              WHERE e.source = 'src19' AND t.source <> 'src19'),
+            te AS (SELECT doc_id AS e, token FROM toks WHERE source = 'src19'),
+            tt AS (SELECT doc_id AS t, token FROM toks WHERE source <> 'src19'),
+            ne AS (SELECT e, COUNT(*) AS ne FROM te GROUP BY e),
+            nt AS (SELECT t, COUNT(*) AS nt FROM tt GROUP BY t),
+            inter AS (
+              SELECT c.e, c.t, COUNT(*) AS i
+              FROM cand c JOIN te ON te.e = c.e
+              JOIN tt ON tt.t = c.t AND tt.token = te.token
+              GROUP BY c.e, c.t),
+            jacc AS (
+              SELECT i.e, i.t,
+                     round(i.i * 1.0 / (nt.nt + ne.ne - i.i), 6) AS jaccard
+              FROM inter i JOIN nt ON nt.t = i.t JOIN ne ON ne.e = i.e),
+            per_e AS (
+              SELECT e, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                     CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated,
+                     MAX(jaccard) AS max_jaccard
+              FROM jacc GROUP BY e)
+            SELECT d.doc_id,
+                   COALESCE(p.n_candidates, 0) AS n_candidates,
+                   COALESCE(p.n_contaminated, 0) AS n_contaminated,
+                   COALESCE(p.max_jaccard, 0.0) AS max_jaccard
+            FROM documents d LEFT JOIN per_e p ON p.e = d.doc_id
+            WHERE d.source = 'src19'
         """,
         "ann_pq_adc": """
             WITH dims AS (

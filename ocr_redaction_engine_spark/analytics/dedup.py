@@ -484,3 +484,62 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
                 F.coalesce("kept_text", F.lit("")).alias("kept_text"),
                 "n_sentences", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
     )
+
+def minhash_decontaminate(train: DataFrame, eval_docs: DataFrame,
+                          n_bands: int = N_BANDS,
+                          threshold: float = 0.5) -> DataFrame:
+    """Fuzzy train-vs-eval decontamination: MinHash band signatures computed
+    per corpus, candidates generated by ONE cross-corpus equi-join on
+    (band, sig) — never train×train or eval×eval pairs — then exact
+    token-set Jaccard on candidates only. The n-gram variant
+    (text.ngram_cross_contamination) catches verbatim leakage; this catches
+    paraphrase-level near-duplicates of benchmark items.
+
+    Scale shape: eval benchmarks are tiny next to a 100 TB train corpus, so
+    the melted eval signature side broadcasts and the train side never
+    shuffles more than once (the signature hash-agg).
+
+    Returns one row per eval doc: (doc_id, n_candidates, n_contaminated,
+    max_jaccard) — zero-filled for clean docs so coverage is auditable.
+    """
+    def melted(docs: DataFrame, alias: str) -> DataFrame:
+        sigs = minhash_signatures(docs, n_bands)
+        return sigs.select(
+            F.col("doc_id").alias(alias),
+            F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
+            .alias("band", "sig"),
+        )
+
+    cand = (
+        melted(train, "t").join(F.broadcast(melted(eval_docs, "e")),
+                                ["band", "sig"])
+        .select("e", "t").distinct()
+    )
+    tt = doc_tokens_distinct(train).select(F.col("doc_id").alias("t"), "token")
+    te = doc_tokens_distinct(eval_docs).select(F.col("doc_id").alias("e"), "token")
+    sizes_t = tt.groupBy("t").agg(F.count("*").alias("nt"))
+    sizes_e = te.groupBy("e").agg(F.count("*").alias("ne"))
+    inter = (
+        cand.join(te, "e").join(tt, ["t", "token"])
+        .groupBy("e", "t").agg(F.count("*").alias("inter"))
+    )
+    jacc = (
+        inter.join(sizes_t, "t").join(sizes_e, "e")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("nt") + F.col("ne") - F.col("inter")), 6))
+    )
+    per_eval = jacc.groupBy("e").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum((F.col("jaccard") >= threshold).cast("long")).alias("n_contaminated"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        eval_docs.select(F.col("doc_id"))
+        .join(per_eval.withColumnRenamed("e", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        )
+    )

@@ -134,3 +134,35 @@ def test_bpe_pair_counts_weighted(spark):
     # distinct-word frequency, not recomputed per doc
     assert got[("a", "b")] == (3, 1)
     assert got[("c", "d")] == (1, 2)
+
+
+def test_minhash_decontaminate(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import minhash_decontaminate
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "one two three four five six"),
+         (2, "alpha beta gamma delta epsilon eta")],   # near-dup of train 0 too
+        "doc_id long, text string")
+    evald = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),  # verbatim leak of 0
+         (101, "seven eight nine ten")],                # clean
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           minhash_decontaminate(train, evald, threshold=0.5).collect()}
+    assert set(got) == {100, 101}                       # every eval doc audited
+    assert got[100].n_contaminated >= 1
+    assert got[100].max_jaccard == 1.0                  # the verbatim pair
+    assert (got[101].n_candidates, got[101].n_contaminated,
+            got[101].max_jaccard) == (0, 0, 0.0)
+
+
+def test_minhash_decontaminate_no_within_corpus_pairs(spark):
+    """Candidates are strictly cross-corpus: two identical TRAIN docs must
+    not contaminate an unrelated eval doc."""
+    from ocr_redaction_engine_spark.analytics.dedup import minhash_decontaminate
+    train = spark.createDataFrame(
+        [(0, "dup dup dup"), (1, "dup dup dup")], "doc_id long, text string")
+    evald = spark.createDataFrame(
+        [(100, "unrelated words only")], "doc_id long, text string")
+    rows = minhash_decontaminate(train, evald).collect()
+    assert len(rows) == 1 and rows[0].n_candidates == 0
