@@ -983,6 +983,23 @@ def bpe_pair_counts(spark, sf_dir):
     return _bpe(_t(spark, sf_dir, "documents"), k=30)
 
 
+def text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (embedding/RAG prep): 64-token
+    chunks, 16-token overlap — map-only, zero shuffles."""
+    from ocr_redaction_engine_spark.analytics.text import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=64, overlap=16)
+
+
+def sample_dsir(spark, sf_dir):
+    """DSIR domain selection: unigram log-likelihood ratio of each raw doc
+    vs the src18 target domain, Laplace-smoothed; top-100 selected."""
+    from ocr_redaction_engine_spark.analytics.sampling import dsir_scores
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(docs.filter(F.col("source") != "src18"),
+                       docs.filter(F.col("source") == "src18"), k=100)
+
+
 def decontam_minhash(spark, sf_dir):
     """Paraphrase-level train-vs-eval decontamination: cross-corpus MinHash
     band join (src19 = held-out eval split), exact Jaccard verify."""
@@ -1111,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "ann_pq_adc": ann_pq_adc,
         "decontam_minhash": decontam_minhash,
+        "text_chunks": text_chunks,
+        "sample_dsir": sample_dsir,
     }
 
 
@@ -2107,6 +2126,56 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
                   FROM scored)
             SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
+        """,
+        "text_chunks": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            d AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n
+                  FROM toks WHERE len(t) > 0),
+            st AS (SELECT doc_id, t, n,
+                          CAST(unnest(range(0, n, 48)) AS INT) AS start_tok
+                   FROM d)
+            SELECT doc_id,
+                   CAST(start_tok // 48 AS INT) AS chunk_id,
+                   start_tok,
+                   CAST(len(list_slice(t, start_tok + 1,
+                                       least(start_tok + 64, n))) AS INT) AS n_tok,
+                   array_to_string(list_slice(t, start_tok + 1,
+                                              least(start_tok + 64, n)), ' ')
+                     AS chunk_text
+            FROM st
+        """,
+        "sample_dsir": f"""
+            WITH rawtok AS (
+              SELECT doc_id, unnest({_TOK}) AS token
+              FROM documents WHERE source <> 'src18'),
+            tgttok AS (
+              SELECT unnest({_TOK}) AS token
+              FROM documents WHERE source = 'src18'),
+            cr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cr
+                   FROM rawtok WHERE token <> '' GROUP BY token),
+            ct AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ct
+                   FROM tgttok WHERE token <> '' GROUP BY token),
+            w AS (SELECT COALESCE(cr.token, ct.token) AS token,
+                         COALESCE(cr.cr, 0) AS cr, COALESCE(ct.ct, 0) AS ct
+                  FROM cr FULL OUTER JOIN ct ON ct.token = cr.token),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                         CAST(SUM(cr) AS BIGINT) AS nr,
+                         CAST(SUM(ct) AS BIGINT) AS nt
+                  FROM w),
+            lr AS (SELECT token,
+                          round(ln((ct + 1.0) / (nt + v)) -
+                                ln((cr + 1.0) / (nr + v)), 6) AS lr
+                   FROM w, s),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM rawtok WHERE token <> '' GROUP BY doc_id, token),
+            sc AS (SELECT doc_id,
+                          round(SUM(round(tf * lr, 6)), 6) AS score
+                   FROM tf JOIN lr USING (token) GROUP BY doc_id),
+            r AS (SELECT doc_id, score,
+                         CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                  FROM sc)
+            SELECT doc_id, score, rank, (rank <= 100) AS selected FROM r
         """,
         "decontam_minhash": f"""
             WITH toks AS (

@@ -186,3 +186,63 @@ def heavy_hitters_cm(docs: DataFrame, k: int = 20, d: int = 4,
         .groupBy("token", "exact_cnt")
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+def dsir_scores(raw: DataFrame, target: DataFrame, k: int = 100) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score each
+    raw-corpus document by its unigram log-likelihood ratio
+    ``log p_target(doc) − log p_raw(doc)`` with Laplace smoothing over the
+    union vocabulary; the top-scoring documents are the ones that look most
+    like the target domain.
+
+    Scale shape: both corpora collapse to vocab-sized count tables (one
+    hash-agg each, map-side combined); the ratio table joins the raw-corpus
+    postings on token (broadcastable — vocabularies are Zipf-bounded); the
+    per-doc score is one more hash-agg. Per-token-type contributions are
+    rounded to 6 decimals before summation (the cross-engine determinism
+    rule used by BM25).
+
+    Returns one audit row per raw doc: (doc_id, score, rank, selected).
+    """
+    def counts(docs: DataFrame, alias: str) -> DataFrame:
+        return (
+            with_tokens(docs)
+            .select(F.explode("tokens").alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").cast("long").alias(alias))
+        )
+
+    cr, ct = counts(raw, "cr"), counts(target, "ct")
+    w = (
+        cr.join(ct, "token", "full")
+        .select("token",
+                F.coalesce("cr", F.lit(0)).alias("cr"),
+                F.coalesce("ct", F.lit(0)).alias("ct"))
+    )
+    stats = w.select(
+        F.count("*").cast("long").alias("v"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("ct").cast("long").alias("nt"),
+    ).withColumn("__k", F.pmod(F.col("v"), F.lit(1)))   # no-BNLJ 1-row attach
+    lr = (
+        w.withColumn("__k", F.pmod(F.col("cr") + F.col("ct"), F.lit(1)))
+        .join(F.broadcast(stats), "__k").drop("__k")
+        .withColumn("lr", F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v"))) -
+            F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v"))), 6))
+        .select("token", "lr")
+    )
+    tf = (
+        with_tokens(raw)
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        tf.join(lr, "token")
+        .withColumn("contrib", F.round(F.col("tf") * F.col("lr"), 6))
+        .groupBy("doc_id").agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    wnd = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(wnd))
+            .withColumn("selected", F.col("rank") <= k)
+            .select("doc_id", "score", "rank", "selected"))

@@ -456,3 +456,37 @@ def bpe_pair_counts(docs: DataFrame, k: int = 30) -> DataFrame:
     w = Window.orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Overlapping token-window chunking — the embedding/RAG preprocessing
+    step (every chunk is what gets embedded or retrieved). Chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; starts are 0, stride, 2*stride, … < n_tokens,
+    so the final chunk may be short but no token is dropped.
+
+    Pure per-row Catalyst (sequence + transform + slice): zero shuffles,
+    ~n/stride output rows per doc — the explode factor is the only cost, so
+    this scales as a map-only stage at any corpus size.
+
+    Returns (doc_id, chunk_id, start_tok, n_tok, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    d = with_tokens(docs).select(
+        "doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)), F.lit(stride))
+    return (
+        d.filter(F.col("n_tokens") > 0)
+        .select("doc_id", "tokens", F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.size(F.slice("tokens", F.col("start_tok") + 1, chunk_tokens)).alias("n_tok"),
+            F.concat_ws(" ", F.slice("tokens", F.col("start_tok") + 1, chunk_tokens)).alias("chunk_text"),
+        )
+    )

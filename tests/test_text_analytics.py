@@ -166,3 +166,47 @@ def test_minhash_decontaminate_no_within_corpus_pairs(spark):
         [(100, "unrelated words only")], "doc_id long, text string")
     rows = minhash_decontaminate(train, evald).collect()
     assert len(rows) == 1 and rows[0].n_candidates == 0
+
+
+def test_chunk_documents(spark):
+    from ocr_redaction_engine_spark.analytics.text import chunk_documents
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x"), (2, "   ")], "doc_id long, text string")
+    got = sorted((r.doc_id, r.chunk_id, r.start_tok, r.n_tok, r.chunk_text)
+                 for r in chunk_documents(docs, chunk_tokens=3, overlap=1).collect())
+    assert got == [
+        (0, 0, 0, 3, "a b c"),
+        (0, 1, 2, 3, "c d e"),
+        (0, 2, 4, 1, "e"),     # short tail chunk, no token dropped
+        (1, 0, 0, 1, "x"),
+        (2, 0, 0, 1, ""),      # whitespace-only doc → one empty-token chunk
+    ]
+    # every token index is covered by at least one chunk
+    covered = set()
+    for _, _, s, n, _ in got[:3]:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(5))
+
+
+def test_dsir_scores(spark):
+    import math
+    from ocr_redaction_engine_spark.analytics.sampling import dsir_scores
+    raw = spark.createDataFrame(
+        [(0, "med med med"), (1, "web web web"), (2, "med web")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "med med med med")], "doc_id long, text string")
+    got = {r.doc_id: r for r in dsir_scores(raw, target, k=1).collect()}
+    # independent reference: vocab {med, web}, V=2, nr=8, nt=4
+    def lr(ct, cr):
+        return round(math.log((ct + 1) / (4 + 2)) - math.log((cr + 1) / (8 + 2)), 6)
+    exp = {0: round(3 * round(3 * lr(4, 4), 6) / 3, 6),  # 3 * lr per token
+           1: round(round(3 * lr(0, 4), 6), 6),
+           2: round(round(1 * lr(4, 4), 6) + round(1 * lr(0, 4), 6), 6)}
+    exp[0] = round(round(3 * lr(4, 4), 6), 6)
+    for d in (0, 1, 2):
+        assert got[d].score == pytest.approx(exp[d], abs=2e-6), d
+    # target-looking doc ranks first and is the only selected one
+    assert got[0].rank == 1 and got[0].selected
+    assert not got[1].selected and not got[2].selected
+    assert got[0].score > got[2].score > got[1].score
