@@ -983,6 +983,16 @@ def bpe_pair_counts(spark, sf_dir):
     return _bpe(_t(spark, sf_dir, "documents"), k=30)
 
 
+def bpe_encode_pieces(spark, sf_dir):
+    """Full BPE train+apply: 20 merges learned distributedly (pair-count
+    Arrow passes over the vocab-sized distinct-word table), then the corpus
+    encoded via a vocab join — oracled against an independent pure-Python
+    BPE reference's golden parquet (tools/write_bpe_golden.py, sf0.01)."""
+    from ocr_redaction_engine_spark.analytics.text import bpe_encode, bpe_learn
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_learn(docs, n_merges=20))
+
+
 def text_chunks(spark, sf_dir):
     """Overlapping token-window chunking (embedding/RAG prep): 64-token
     chunks, 16-token overlap — map-only, zero shuffles."""
@@ -1130,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_minhash": decontam_minhash,
         "text_chunks": text_chunks,
         "sample_dsir": sample_dsir,
+        "bpe_encode_pieces": bpe_encode_pieces,
     }
 
 
@@ -2126,6 +2137,13 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rank
                   FROM scored)
             SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
+        """,
+        # Golden parquet from the independent pure-Python BPE reference
+        # (tools/write_bpe_golden.py) — valid for the sf0.01 gate corpus,
+        # like the pipeline goldens above.
+        "bpe_encode_pieces": """
+            SELECT doc_id, word_pos, piece_pos, piece
+            FROM read_parquet('/root/repo/tests/golden/bpe_pieces.parquet')
         """,
         "text_chunks": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

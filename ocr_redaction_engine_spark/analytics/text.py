@@ -490,3 +490,111 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
             F.concat_ws(" ", F.slice("tokens", F.col("start_tok") + 1, chunk_tokens)).alias("chunk_text"),
         )
     )
+
+
+def _bpe_apply(word: str, ranks: dict) -> list:
+    """Greedy BPE segmentation of one word under a learned merge table:
+    repeatedly fuse the best-ranked adjacent pair (classic Sennrich apply).
+    Used inside Arrow batches over the DISTINCT-WORD table only — the Zipf
+    collapse means this per-word Python cost is paid once per vocabulary
+    entry, never once per corpus token."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def _word_counts(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").cast("long").alias("wcount"))
+    )
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 20) -> list:
+    """Distributed BPE training (Sennrich et al. 2016): each merge iteration
+    is a pair-count over the current segmentation of the distinct-word
+    table (Arrow pass, vocab-sized) followed by a deterministic argmax
+    (count desc, then lexicographic pair). The corpus is scanned ONCE (the
+    word-count hash-agg, cached); every later iteration touches only the
+    vocabulary. Production trainers incrementalize the recount; the
+    re-apply-from-scratch here keeps the kernel obviously correct.
+
+    Returns the ordered merge list [(sym_a, sym_b), ...].
+    """
+    words = _word_counts(docs)
+    words.persist()
+    try:
+        merges: list = []
+        for _ in range(n_merges):
+            ranks = {m: i for i, m in enumerate(merges)}
+
+            def run(batches, ranks=ranks):
+                import pandas as pd
+                for pdf in batches:
+                    counts: dict = {}
+                    for w, c in zip(pdf["w"], pdf["wcount"]):
+                        syms = _bpe_apply(w, ranks)
+                        for i in range(len(syms) - 1):
+                            k = (syms[i], syms[i + 1])
+                            counts[k] = counts.get(k, 0) + int(c)
+                    yield pd.DataFrame(
+                        {"sym_a": [k[0] for k in counts],
+                         "sym_b": [k[1] for k in counts],
+                         "pair_count": list(counts.values())})
+
+            best = (
+                words.mapInPandas(run, "sym_a string, sym_b string, pair_count long")
+                .groupBy("sym_a", "sym_b")
+                .agg(F.sum("pair_count").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
+                .take(1)
+            )
+            if not best:
+                break
+            merges.append((best[0].sym_a, best[0].sym_b))
+        return merges
+    finally:
+        words.unpersist()
+
+
+def bpe_encode(docs: DataFrame, merges: list) -> DataFrame:
+    """Apply a learned merge table to the corpus: segment each DISTINCT
+    word once (Arrow pass over the vocab-sized table), then join the
+    pieces back onto the token stream — the join is on the word string, so
+    at 100 TB this is one broadcast/shuffle join of corpus tokens against a
+    vocabulary, never per-token Python.
+
+    Returns (doc_id, word_pos, piece_pos, piece) — the full encoded stream.
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "pieces": [_bpe_apply(w, ranks) for w in pdf["w"]],
+            })
+
+    seg = _word_counts(docs).select("w").mapInPandas(
+        run, "w string, pieces array<string>")
+    toks = (
+        docs.select("doc_id",
+                    F.posexplode(F.split(F.trim("text"), TOKEN_SPLIT))
+                    .alias("word_pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        toks.join(seg, "w")
+        .select("doc_id", "word_pos",
+                F.posexplode("pieces").alias("piece_pos", "piece"))
+    )

@@ -210,3 +210,35 @@ def test_dsir_scores(spark):
     assert got[0].rank == 1 and got[0].selected
     assert not got[1].selected and not got[2].selected
     assert got[0].score > got[2].score > got[1].score
+
+
+def test_bpe_learn_merges(spark):
+    from ocr_redaction_engine_spark.analytics.text import bpe_learn
+    # corpus: "aaab" x3, "ab" x2 → pair counts: (a,a)=6, (a,b)=5 → merge 1 = (a,a)
+    # then segs: [aa,a,b]x3, [a,b]x2 → (aa,a)=3, (a,b)=5 → merge 2 = (a,b)
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "aaab ab ab")], "doc_id long, text string")
+    assert bpe_learn(docs, n_merges=2) == [("a", "a"), ("a", "b")]
+
+
+def test_bpe_encode_roundtrip_and_order(spark):
+    from ocr_redaction_engine_spark.analytics.text import bpe_encode, bpe_learn
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "aaab ab ab")], "doc_id long, text string")
+    merges = bpe_learn(docs, n_merges=2)
+    rows = bpe_encode(docs, merges).collect()
+    # reassemble: pieces concatenated in (word_pos, piece_pos) order must
+    # reproduce the original text exactly
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {}).setdefault(r.word_pos, {})[r.piece_pos] = r.piece
+    rebuilt = {
+        d: " ".join("".join(w[p] for p in sorted(w))
+                    for _, w in sorted(words.items()))
+        for d, words in by_doc.items()
+    }
+    assert rebuilt == {0: "aaab aaab", 1: "aaab ab ab"}
+    # "aaab" under merges [(a,a),(a,b)] → greedy: [aa,ab]; "ab" → [ab]
+    segs = {(r.doc_id, r.word_pos, r.piece_pos): r.piece for r in rows}
+    assert segs[(0, 0, 0)] == "aa" and segs[(0, 0, 1)] == "ab"
+    assert segs[(1, 1, 0)] == "ab" and (1, 1, 1) not in segs
