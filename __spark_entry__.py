@@ -2189,11 +2189,13 @@ def oracle_sql() -> dict[str, str]:
             sc AS (SELECT doc_id,
                           round(SUM(round(tf * lr, 6)), 6) AS score
                    FROM tf JOIN lr USING (token) GROUP BY doc_id),
-            r AS (SELECT doc_id, score,
-                         CAST(row_number() OVER (
-                           ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-                  FROM sc)
-            SELECT doc_id, score, rank, (rank <= 100) AS selected FROM r
+            sel AS (SELECT doc_id,
+                           CAST(row_number() OVER (
+                             ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                    FROM sc ORDER BY score DESC, doc_id ASC LIMIT 100)
+            SELECT sc.doc_id, sc.score, sel.rank,
+                   (sel.rank IS NOT NULL) AS selected
+            FROM sc LEFT JOIN sel ON sel.doc_id = sc.doc_id
         """,
         "decontam_minhash": f"""
             WITH toks AS (

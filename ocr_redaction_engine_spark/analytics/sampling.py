@@ -242,7 +242,20 @@ def dsir_scores(raw: DataFrame, target: DataFrame, k: int = 100) -> DataFrame:
         .withColumn("contrib", F.round(F.col("tf") * F.col("lr"), 6))
         .groupBy("doc_id").agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
-    wnd = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(wnd))
-            .withColumn("selected", F.col("rank") <= k)
-            .select("doc_id", "score", "rank", "selected"))
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition heaps +
+    # driver merge of k rows), NOT a global no-partition window, which would
+    # funnel the whole corpus through one task at scale; the k selected rows
+    # then broadcast back onto the audit set for the rank/selected flags.
+    sel = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(
+                F.col("score").desc(), F.col("doc_id").asc())))
+        .select("doc_id", F.col("rank").alias("sel_rank"))
+    )
+    return (
+        scored.join(F.broadcast(sel), "doc_id", "left")
+        .select("doc_id", "score",
+                F.col("sel_rank").alias("rank"),
+                F.col("sel_rank").isNotNull().alias("selected"))
+    )
