@@ -56,6 +56,11 @@ HEADLINE = [
     # quantization
     "dedup_bloom_probe", "pack_sequences", "text_pii_density", "embed_quantize",
     "sample_temperature", "text_repeated_spans", "sketch_cm_heavy_hitters",
+    # round-2e: retrieval, PQ compression ANN, semantic dedup, domain
+    # selection, RAG chunking (BPE train is excluded: 20 sequential merge
+    # jobs would dominate bench wall-clock without exercising a new shape)
+    "search_bm25", "ann_pq_adc", "dedup_semantic", "sample_dsir",
+    "text_chunks",
 ]
 
 
