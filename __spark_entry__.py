@@ -1044,6 +1044,26 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+def text_nb_classifier(spark, sf_dir):
+    """Quality-classifier pipeline stage (the fastText-classifier analog of
+    the GPT-3/CCNet recipes): train multinomial Naive Bayes on the hash-75%
+    fold with lang=='en' teacher labels, score every document. Vocab-sized
+    broadcast weights; round-6 contributions for cross-engine determinism."""
+    from ocr_redaction_engine_spark.analytics.lm import nb_classify
+    docs = _t(spark, sf_dir, "documents")
+    return nb_classify(docs.withColumn("label", F.col("lang") == "en"), "label")
+
+
+def text_lm_xent(spark, sf_dir):
+    """CCNet-style LM filter: bigram cross-entropy of every document under a
+    Laplace-smoothed LM trained on the English slice (reference corpus).
+    Cross-entropy in nats — same ranking as perplexity without an exp()
+    determinism surface."""
+    from ocr_redaction_engine_spark.analytics.lm import lm_cross_entropy
+    docs = _t(spark, sf_dir, "documents")
+    return lm_cross_entropy(docs, docs.filter(F.col("lang") == "en"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -1141,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": text_chunks,
         "sample_dsir": sample_dsir,
         "bpe_encode_pieces": bpe_encode_pieces,
+        "text_nb_classifier": text_nb_classifier,
+        "text_lm_xent": text_lm_xent,
     }
 
 
@@ -2161,6 +2183,72 @@ def oracle_sql() -> dict[str, str]:
                                               least(start_tok + 64, n)), ' ')
                      AS chunk_text
             FROM st
+        """,
+        "text_nb_classifier": f"""
+            WITH folded AS (
+              SELECT doc_id, text, (lang = 'en') AS pos,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                          AS BIGINT) < 192 AS is_train
+              FROM documents),
+            traintok AS (
+              SELECT pos, unnest({_TOK}) AS token FROM folded WHERE is_train),
+            pt AS (SELECT token,
+                          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                          CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                   FROM traintok WHERE token <> '' GROUP BY token),
+            s AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+                         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM pt),
+            w AS (SELECT token,
+                         round(ln((c_pos + 1.0) / (n_pos + v)) -
+                               ln((c_neg + 1.0) / (n_neg + v)), 6) AS w
+                  FROM pt, s),
+            prior AS (SELECT round(ln(
+                        (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+                        (SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)), 6) AS bias
+                      FROM folded WHERE is_train),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest({_TOK}) AS token FROM folded)
+                   WHERE token <> '' GROUP BY doc_id, token),
+            sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_scored_tokens,
+                          round(SUM(round(tf * w, 6)), 6) AS s_tokens
+                   FROM tf JOIN w USING (token) GROUP BY doc_id)
+            SELECT f.doc_id, f.is_train,
+                   COALESCE(sc.n_scored_tokens, 0) AS n_scored_tokens,
+                   round(COALESCE(sc.s_tokens, 0) + prior.bias, 6) AS score,
+                   (COALESCE(sc.s_tokens, 0) + prior.bias > 0) AS predicted
+            FROM folded f LEFT JOIN sc ON sc.doc_id = f.doc_id, prior
+        """,
+        "text_lm_xent": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, lang, p.prev AS prev, p.cur AS cur
+              FROM (SELECT doc_id, lang,
+                           unnest(list_transform(toks, (t, i) -> struct_pack(
+                             prev := CASE WHEN i = 1 THEN '<s>'
+                                          ELSE toks[i - 1] END,
+                             cur := t))) AS p
+                    FROM tok WHERE len(toks) > 0)),
+            cb AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+                   FROM pairs WHERE lang = 'en' GROUP BY prev, cur),
+            ch AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS ch FROM cb GROUP BY prev),
+            v AS (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) AS v
+                  FROM pairs WHERE lang = 'en'),
+            lp AS (SELECT doc_id,
+                          round(ln((COALESCE(cb.cb, 0) + 1.0) /
+                                   (COALESCE(ch.ch, 0) + v.v)), 6) AS lp,
+                          (cb.cb IS NULL) AS oov
+                   FROM pairs
+                   LEFT JOIN cb ON cb.prev = pairs.prev AND cb.cur = pairs.cur
+                   LEFT JOIN ch ON ch.prev = pairs.prev, v)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
+                   round(-SUM(lp), 6) AS nll
+            FROM lp GROUP BY doc_id
         """,
         "sample_dsir": f"""
             WITH rawtok AS (

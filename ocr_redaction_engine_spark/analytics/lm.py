@@ -1,0 +1,230 @@
+"""Model-based quality scoring: Naive-Bayes text classifier (train +
+inference in one job) and bigram language-model cross-entropy.
+
+These are the two "model filter" stages of the standard web-corpus pipeline:
+a linear bag-of-words classifier scoring every document against a labeled
+slice (the fastText quality classifier of the GPT-3 / CCNet recipes — here
+the classic multinomial Naive Bayes, whose train step is a single hash-agg
+and whose weights are exactly a linear model), and an n-gram LM scoring
+every document by cross-entropy under a reference corpus (the CCNet / Wiki-LM
+perplexity filter, Wenzek et al. 2020).
+
+Scale shape (both operators):
+  * training collapses the corpus to VOCAB-sized count tables — one
+    map-side-combined hash-agg over token postings; Zipf bounds the result
+    far below the corpus, so the weight table broadcasts.
+  * inference is one join of per-doc postings against the broadcast weights
+    plus one per-doc hash-agg. No window over the corpus, no driver loop;
+    every stage is a plain shuffle-on-key or broadcast join that holds at
+    1000 executors.
+  * cross-engine determinism: per-token contributions are F.round()-ed to
+    6 decimals before the per-doc sum and the sum rounded again — the same
+    rule BM25/DSIR use, so the DuckDB oracle hash-matches bit-for-bit.
+
+Reference scope note: the reference engine (Devopcasting/OCR-Redaction-Engine)
+has no model-based filtering — these are the pipeline-completion operators
+the brief asks for beyond reference parity (training-data pipeline at 100 TB).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT, with_tokens
+
+# Deterministic train/score split: md5(doc_id) first two hex chars < 0xc0
+# puts ~75% of documents in the training fold. Hash-based so any engine
+# (and any partitioning) draws the same fold.
+_TRAIN_HEX = 192
+
+
+def _with_fold(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "is_train",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") < F.lit(_TRAIN_HEX),
+    )
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf) — the shared inference-side shape."""
+    return (
+        with_tokens(docs)
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def nb_train(docs: DataFrame, label_col: str = "label") -> tuple[DataFrame, DataFrame]:
+    """Multinomial-NB training: per-token Laplace-smoothed log-odds weights.
+
+    Input needs a boolean ``label_col``. Returns ``(weights, prior)``:
+    weights = (token, w) with w = round(ln((c_pos+1)/(n_pos+V)) −
+    ln((c_neg+1)/(n_neg+V)), 6); prior = 1 row (bias, __k) with
+    bias = round(ln((d_pos+1)/(d_neg+1)), 6). One hash-agg over postings →
+    vocab-sized table; everything downstream broadcasts.
+    """
+    lab = docs.withColumn("__pos", F.col(label_col).cast("boolean"))
+    per_tok = (
+        with_tokens(lab)
+        .select("__pos", F.explode("tokens").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("long").alias("c_pos"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("long").alias("c_neg"),
+        )
+    )
+    # class token totals + vocab size: 1 row, attached via the pmod-key
+    # broadcast (bare-literal keys constant-fold into a BNLJ; pmod does not)
+    stats = per_tok.select(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("v"),
+    ).withColumn("__k", F.pmod(F.col("v"), F.lit(1)))
+    weights = (
+        per_tok.withColumn("__k", F.pmod(F.col("c_pos") + F.col("c_neg"), F.lit(1)))
+        .join(F.broadcast(stats), "__k")
+        .select(
+            "token",
+            F.round(
+                F.log((F.col("c_pos") + 1.0) / (F.col("n_pos") + F.col("v")))
+                - F.log((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v"))),
+                6,
+            ).alias("w"),
+        )
+    )
+    prior = lab.select(
+        F.round(
+            F.log(
+                (F.sum(F.when(F.col("__pos"), 1).otherwise(0)) + 1.0)
+                / (F.sum(F.when(F.col("__pos"), 0).otherwise(1)) + 1.0)
+            ),
+            6,
+        ).alias("bias"),
+        F.pmod(F.count("*"), F.lit(1)).alias("__k"),
+    )
+    return weights, prior
+
+
+def nb_classify(docs: DataFrame, label_col: str = "label") -> DataFrame:
+    """Train Naive Bayes on the hash-75% fold of ``docs`` (teacher labels in
+    ``label_col``), score EVERY document: the quality-classifier pipeline
+    stage. Out-of-vocabulary tokens contribute 0 (standard vocab-restricted
+    linear scoring).
+
+    Returns (doc_id, is_train, n_scored_tokens, score, predicted) — one audit
+    row per document, ordered consumers sort themselves.
+    """
+    folded = _with_fold(docs)
+    weights, prior = nb_train(folded.filter("is_train"), label_col)
+    scored = (
+        _postings(folded)
+        .join(F.broadcast(weights), "token")          # vocab-sized right side
+        .withColumn("contrib", F.round(F.col("tf") * F.col("w"), 6))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_scored_tokens"),
+            F.round(F.sum("contrib"), 6).alias("s_tokens"),
+        )
+    )
+    return (
+        folded.select("doc_id", "is_train")
+        .join(scored, "doc_id", "left")               # keep all-OOV docs
+        .withColumn("__k", F.pmod(F.coalesce("n_scored_tokens", F.lit(0)), F.lit(1)))
+        .join(F.broadcast(prior), "__k")
+        .select(
+            "doc_id",
+            "is_train",
+            F.coalesce("n_scored_tokens", F.lit(0)).alias("n_scored_tokens"),
+            F.round(F.coalesce("s_tokens", F.lit(0.0)) + F.col("bias"), 6).alias("score"),
+            (F.coalesce("s_tokens", F.lit(0.0)) + F.col("bias") > 0).alias("predicted"),
+        )
+    )
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, cur) bigram stream with a BOS history for the first
+    token — per-row array HOFs only (zip tokens with themselves shifted), so
+    this is map-only: no posexplode+window shuffle just to pair neighbors."""
+    return (
+        with_tokens(docs)
+        .withColumn("tokens", F.filter("tokens", lambda t: t != ""))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            # histories = ['<s>', t0..t_{n-2}] — same length as tokens, so
+            # zip_with never null-pads (equal-length zip, no phantom pair)
+            F.explode(
+                F.zip_with(
+                    F.concat(
+                        F.array(F.lit("<s>")),
+                        F.slice(F.col("tokens"), F.lit(1), F.size("tokens") - 1),
+                    ),
+                    F.col("tokens"),
+                    lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.prev", "bg.cur")
+    )
+
+
+def lm_cross_entropy(docs: DataFrame, reference: DataFrame) -> DataFrame:
+    """Bigram-LM cross-entropy of every document under a reference corpus
+    (the CCNet perplexity filter; cross-entropy in nats is the same ranking
+    without an exp() determinism surface).
+
+    Model: Laplace-smoothed bigram LM trained on ``reference`` —
+    P(cur|prev) = (c(prev,cur)+1) / (c(prev·)+V), V = |reference vocab|,
+    with a <s> BOS history per document. Unseen histories/bigrams fall back
+    to the same smoothed form with zero counts (left joins + coalesce).
+
+    Scale shape: reference collapses to a bigram-count table (Zipf-sparse,
+    one hash-agg); the bigram join stays a plain shuffle equi-join on
+    (prev, cur) — the bigram table can outgrow a broadcast at 100 TB, AQE
+    may still elect one when it fits — while the unigram history table and
+    the 1-row vocab stat broadcast; per-token log-probs round to 6dp before
+    the per-doc sum (cross-engine determinism rule). Documents with zero
+    tokens have no bigrams and emit no row.
+
+    Returns (doc_id, n_bigrams, oov_bigrams, nll) — nll is the per-document
+    total negative log-likelihood; cross-entropy = nll / n_bigrams.
+    """
+    ref_bg = _bigrams(reference)
+    bg_counts = ref_bg.groupBy("prev", "cur").agg(
+        F.count("*").cast("long").alias("cb"))
+    hist_counts = bg_counts.groupBy("prev").agg(
+        F.sum("cb").cast("long").alias("ch"))
+    vocab = (
+        ref_bg.select(F.count_distinct("cur").cast("long").alias("v"))
+        .withColumn("__k", F.pmod(F.col("v"), F.lit(1)))
+    )
+    return (
+        _bigrams(docs)
+        .join(bg_counts, ["prev", "cur"], "left")
+        .join(F.broadcast(hist_counts), "prev", "left")
+        .withColumn("__k", F.pmod(F.coalesce("cb", F.lit(0)), F.lit(1)))
+        .join(F.broadcast(vocab), "__k")
+        .withColumn(
+            "lp",
+            F.round(
+                F.log(
+                    (F.coalesce("cb", F.lit(0)) + 1.0)
+                    / (F.coalesce("ch", F.lit(0)) + F.col("v"))
+                ),
+                6,
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("cb").isNull(), 1).otherwise(0)).cast("long").alias("oov_bigrams"),
+            # total NLL, not the mean: dividing by n before rounding lands on
+            # exact .5 ulp ties (observed: -105.106575/30) where engines'
+            # round-half rules split; consumers compute xent = nll/n_bigrams
+            F.round(-F.sum("lp"), 6).alias("nll"),
+        )
+    )
