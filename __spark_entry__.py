@@ -1044,6 +1044,15 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+def extract_metadata(spark, sf_dir):
+    """Head-metadata extraction (WARC → document metadata): title, meta
+    description, canonical URL, og:locale, meta-tag count from the
+    deterministic metadata-rich markup. Map-only regexp projections."""
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        as_html_meta, page_metadata)
+    return page_metadata(as_html_meta(_t(spark, sf_dir, "documents")))
+
+
 def text_nb_classifier(spark, sf_dir):
     """Quality-classifier pipeline stage (the fastText-classifier analog of
     the GPT-3/CCNet recipes): train multinomial Naive Bayes on the hash-75%
@@ -1163,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_pieces": bpe_encode_pieces,
         "text_nb_classifier": text_nb_classifier,
         "text_lm_xent": text_lm_xent,
+        "extract_metadata": extract_metadata,
     }
 
 
@@ -2183,6 +2193,24 @@ def oracle_sql() -> dict[str, str]:
                                               least(start_tok + 64, n)), ' ')
                      AS chunk_text
             FROM st
+        """,
+        "extract_metadata": """
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head><meta charset="utf-8">'
+                     || '<title>Doc ' || CAST(doc_id AS VARCHAR) || ' - Example Site</title>'
+                     || '<meta name="description" content="' || substring(text, 1, 40) || '">'
+                     || '<link rel="canonical" href="https://example.com/docs/' || CAST(doc_id AS VARCHAR) || '">'
+                     || '<meta property="og:locale" content="' || lang || '">'
+                     || '</head><body><div id="main"><p>' || text || '</p></div></body></html>' AS html
+              FROM documents)
+            SELECT doc_id,
+                   regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+                   regexp_extract(html, '<meta name="description" content="([^"]*)"', 1) AS description,
+                   regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1) AS canonical_url,
+                   regexp_extract(html, '<meta property="og:locale" content="([^"]*)"', 1) AS og_locale,
+                   CAST(len(regexp_extract_all(html, '<meta ')) AS INT) AS n_meta_tags
+            FROM pages
         """,
         "text_nb_classifier": f"""
             WITH folded AS (

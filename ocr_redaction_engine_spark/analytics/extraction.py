@@ -186,3 +186,45 @@ def reading_order(docs: DataFrame, max_tokens: int = 24) -> DataFrame:
     return toks.withColumn("read_pos", F.row_number().over(w)).select(
         "doc_id", "orig_pos", "token", "col_id", "y", "x", "read_pos"
     )
+
+
+def as_html_meta(docs: DataFrame) -> DataFrame:
+    """Deterministic page markup with a metadata-rich <head>: charset,
+    description (first 40 chars of the content), canonical link, og:locale.
+    Same pure concat/substr construction as ``as_html`` so the DuckDB
+    oracle rebuilds the bytes exactly (the corpus text is whitespace+word
+    tokens — no quote/angle escaping surface)."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat("
+            "'<html><head><meta charset=\"utf-8\">',"
+            "'<title>Doc ', cast(doc_id as string), ' - Example Site</title>',"
+            "'<meta name=\"description\" content=\"', substring(text, 1, 40), '\">',"
+            "'<link rel=\"canonical\" href=\"https://example.com/docs/', cast(doc_id as string), '\">',"
+            "'<meta property=\"og:locale\" content=\"', lang, '\">',"
+            "'</head><body><div id=\"main\"><p>', text, '</p></div></body></html>')"
+        ).alias("html"),
+    )
+
+
+def page_metadata(pages: DataFrame) -> DataFrame:
+    """Head-metadata extraction — the WARC-to-document-metadata stage of a
+    web pipeline: title, meta description, canonical URL, og:locale, and the
+    <meta> tag count per page. Pure regexp_extract projections (patterns are
+    RE2-compatible, no backtracking constructs) — map-only, zero shuffles,
+    embarrassingly parallel at any corpus size."""
+    return pages.select(
+        "doc_id",
+        F.regexp_extract("html", r"<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(
+            "html", r'<meta name="description" content="([^"]*)"', 1
+        ).alias("description"),
+        F.regexp_extract(
+            "html", r'<link rel="canonical" href="([^"]*)"', 1
+        ).alias("canonical_url"),
+        F.regexp_extract(
+            "html", r'<meta property="og:locale" content="([^"]*)"', 1
+        ).alias("og_locale"),
+        F.expr("size(regexp_extract_all(html, '<meta ', 0))").alias("n_meta_tags"),
+    )

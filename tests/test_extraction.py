@@ -86,3 +86,18 @@ def test_reading_order_recovers_column_major_scan(spark):
     assert [r["col_id"] for r in rows] == [0, 0, 0, 1, 1, 1]
     # y advances by row within a column
     assert [r["y"] for r in rows[:3]] == [5, 17, 29]
+
+
+def test_page_metadata_fields(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        as_html_meta, page_metadata)
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma", "en"), (8, "uno dos", "es")],
+        "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r for r in page_metadata(as_html_meta(docs)).collect()}
+    assert rows[7]["title"] == "Doc 7 - Example Site"
+    assert rows[7]["description"] == "alpha beta gamma"   # < 40 chars: whole text
+    assert rows[7]["canonical_url"] == "https://example.com/docs/7"
+    assert rows[7]["og_locale"] == "en"
+    assert rows[7]["n_meta_tags"] == 3                    # charset, description, og:locale
+    assert rows[8]["og_locale"] == "es"
