@@ -1044,6 +1044,14 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+def sample_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assignment keyed on the near-dup
+    cluster (connected components over LSH candidate pairs), so duplicates
+    never straddle splits. Deterministic md5 draw per group."""
+    from ocr_redaction_engine_spark.analytics.sampling import leakage_safe_split
+    return leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
 def extract_metadata(spark, sf_dir):
     """Head-metadata extraction (WARC → document metadata): title, meta
     description, canonical URL, og:locale, meta-tag count from the
@@ -1173,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_classifier": text_nb_classifier,
         "text_lm_xent": text_lm_xent,
         "extract_metadata": extract_metadata,
+        "sample_leakage_split": sample_leakage_split,
     }
 
 
@@ -2193,6 +2202,39 @@ def oracle_sql() -> dict[str, str]:
                                               least(start_tok + 64, n)), ' ')
                      AS chunk_text
             FROM st
+        """,
+        "sample_leakage_split": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            edges AS (
+              SELECT a AS u, b AS v FROM cands
+              UNION SELECT b, a FROM cands),
+            reach(u, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v),
+            comp AS (SELECT u AS doc_id, MIN(lab) AS component FROM reach GROUP BY u),
+            grouped AS (
+              SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+            sizes AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+                      FROM grouped GROUP BY group_id)
+            SELECT g.doc_id, g.group_id, s.group_size,
+                   CASE WHEN CAST(('0x' || substring(md5(CAST(g.group_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+                        WHEN CAST(('0x' || substring(md5(CAST(g.group_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 9 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM grouped g JOIN sizes s USING (group_id)
         """,
         "extract_metadata": """
             WITH pages AS (

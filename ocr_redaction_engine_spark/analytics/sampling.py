@@ -259,3 +259,48 @@ def dsir_scores(raw: DataFrame, target: DataFrame, k: int = 100) -> DataFrame:
                 F.col("sel_rank").alias("rank"),
                 F.col("sel_rank").isNotNull().alias("selected"))
     )
+
+
+def leakage_safe_split(docs: DataFrame,
+                       train_mod: int = 8, val_mod: int = 9) -> DataFrame:
+    """Cluster-aware train/validation/test split: the split key is the
+    near-dup CLUSTER (connected components over MinHash-LSH candidate
+    pairs), not the document — so near-duplicates can never straddle splits
+    and leak training content into evaluation. Documents outside any cluster
+    are their own group.
+
+    Assignment is a deterministic md5 hash draw on the group id
+    (train < ``train_mod`` ≤ validation < ``val_mod`` ≤ test out of 10) —
+    engine- and partitioning-independent, reproducible on any cluster size.
+
+    Scale shape: candidate pairs + O(log diameter) component rounds are the
+    dominant cost (both bucketed equi-joins); the split itself is one left
+    join on doc_id plus a map-only hash. Returns
+    (doc_id, group_id, group_size, split).
+    """
+    from .dedup import candidate_pairs, connected_components
+
+    comps = connected_components(candidate_pairs(docs)).withColumnRenamed(
+        "node", "doc_id")
+    grouped = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("component", F.col("doc_id")))
+    )
+    sizes = grouped.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("group_size"))
+    draw = F.pmod(
+        F.conv(F.substring(F.md5(F.col("group_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(10),
+    )
+    return (
+        grouped.join(sizes, "group_id")
+        .withColumn(
+            "split",
+            F.when(draw < train_mod, "train")
+            .when(draw < val_mod, "validation")
+            .otherwise("test"),
+        )
+        .select("doc_id", "group_id", "group_size", "split")
+    )

@@ -82,3 +82,36 @@ def test_char_budget_mix_weights_and_determinism(spark):
     # prefix of the original kept set
     kept2 = {r["doc_id"] for r in out2.collect() if r["source"] == "s1"}
     assert kept2 <= kept1
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    from ocr_redaction_engine_spark.analytics.sampling import leakage_safe_split
+    # 3 planted near-dup families (shared text => same MinHash cluster) +
+    # 60 distinct singleton docs
+    rows = []
+    for fam in range(3):
+        base = " ".join(f"fam{fam}tok{k}" for k in range(30))
+        for m in range(4):
+            rows.append((fam * 10 + m, base, "en", "s0", len(base)))
+    for i in range(60):
+        rows.append((1000 + i,
+                     " ".join(f"uniq{i}w{k}" for k in range(20)), "en", "s1", 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = leakage_safe_split(docs).collect()
+    assert len(out) == len(rows)
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    # the invariant: one split per group — near-dups never straddle
+    assert all(len(s) == 1 for s in by_group.values())
+    # planted families collapsed to one group of 4 with min-id as group id
+    fams = {r["group_id"] for r in out if r["doc_id"] < 1000}
+    assert fams == {0, 10, 20}
+    assert {r["group_size"] for r in out if r["doc_id"] < 1000} == {4}
+    # all three split values occur over 63 groups, train dominates
+    splits = [r["split"] for r in out]
+    assert splits.count("train") > splits.count("validation")
+    assert splits.count("train") > splits.count("test")
+    # deterministic rerun
+    assert sorted(map(tuple, out)) == sorted(map(tuple, leakage_safe_split(docs).collect()))
