@@ -1044,6 +1044,15 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+def search_phrase(spark, sf_dir):
+    """Exact positional phrase search: token positions join the tiny
+    (phrase, term, slot) table, matches vote for start = pos − slot, a
+    phrase occurs where all slots are present. One broadcast join + one
+    hash-agg — no per-word self-join chain."""
+    from ocr_redaction_engine_spark.analytics.search import phrase_search
+    return phrase_search(_t(spark, sf_dir, "documents"))
+
+
 def sample_leakage_split(spark, sf_dir):
     """Leakage-safe train/val/test split: assignment keyed on the near-dup
     cluster (connected components over LSH candidate pairs), so duplicates
@@ -1182,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_xent": text_lm_xent,
         "extract_metadata": extract_metadata,
         "sample_leakage_split": sample_leakage_split,
+        "search_phrase": search_phrase,
     }
 
 
@@ -1190,6 +1200,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+
+# phrase workload rendered as SQL VALUES from the single source of truth
+# (analytics/search.DEFAULT_PHRASES) so Spark query and oracle cannot drift
+from ocr_redaction_engine_spark.analytics.search import DEFAULT_PHRASES as _PHRASES  # noqa: E402
+
+_PHRASE_VALUES = ", ".join(
+    f"({pi}, '{p}', '{t}', {si}, {len(p.split())})"
+    for pi, p in enumerate(_PHRASES) for si, t in enumerate(p.split()))
 
 # Deterministic markup + DOM block segmentation/scoring mirror of
 # analytics/extraction.py (as_html → html_blocks). DuckDB's list_transform
@@ -2202,6 +2220,29 @@ def oracle_sql() -> dict[str, str]:
                                               least(start_tok + 64, n)), ' ')
                      AS chunk_text
             FROM st
+        """,
+        "search_phrase": f"""
+            WITH pterms(phrase_id, phrase, term, slot, plen) AS (
+              VALUES {_PHRASE_VALUES}),
+            pos AS (
+              SELECT doc_id, u.token AS token, CAST(u.i - 1 AS INT) AS pos
+              FROM (SELECT doc_id,
+                           unnest(list_transform({_TOK},
+                             (t, i) -> struct_pack(token := t, i := i))) AS u
+                    FROM documents)
+              WHERE u.token <> ''),
+            hits AS (
+              SELECT p.phrase_id, p.phrase, p.plen, pos.doc_id,
+                     pos.pos - p.slot AS start,
+                     COUNT(DISTINCT p.slot) AS n_slots
+              FROM pos JOIN pterms p ON pos.token = p.term
+              WHERE pos.pos - p.slot >= 0
+              GROUP BY p.phrase_id, p.phrase, p.plen, pos.doc_id, pos.pos - p.slot
+              HAVING COUNT(DISTINCT p.slot) = p.plen)
+            SELECT phrase_id, phrase, doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MIN(start) AS INT) AS first_start
+            FROM hits GROUP BY phrase_id, phrase, doc_id
         """,
         "sample_leakage_split": f"""
             WITH RECURSIVE toks AS (

@@ -97,3 +97,60 @@ def bm25_topk(docs: DataFrame, queries: list[str] | None = None,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank"))
+
+
+#: default phrase workload (contiguous token sequences over the corpus
+#: vocabulary; one has a repeated term to pin the distinct-slot semantics)
+DEFAULT_PHRASES = [
+    "hash join",
+    "table scan",
+    "value table part",
+    "row fast merge",
+    "value value",
+]
+
+
+def phrase_search(docs: DataFrame, phrases: list[str] | None = None) -> DataFrame:
+    """Exact positional phrase search — the proximity operator a plain
+    bag-of-words index can't express.
+
+    Single-shuffle alignment formulation: token positions
+    (doc_id, pos, token) join the tiny (phrase_id, term, slot) table on
+    token=term; every match votes for the candidate start ``pos − slot``;
+    a phrase occurs at a start iff the (phrase_id, doc_id, start) group
+    collected ALL its slots (COUNT(DISTINCT slot) == phrase length —
+    distinct, so repeated phrase terms can't double-count one slot).
+    One explode + one broadcast join + one hash-agg; no self-join chain
+    per phrase word, no UDFs.
+
+    Returns (phrase_id, phrase, doc_id, n_occurrences, first_start) per
+    document that contains the phrase at least once.
+    """
+    phrases = DEFAULT_PHRASES if phrases is None else phrases
+    spark = docs.sparkSession
+    rows = [(pi, p, t, si, len(p.split()))
+            for pi, p in enumerate(phrases)
+            for si, t in enumerate(p.split())]
+    pterms = spark.createDataFrame(
+        rows, "phrase_id int, phrase string, term string, slot int, plen int")
+
+    positions = (
+        docs.select("doc_id",
+                    F.posexplode(F.split(F.trim("text"), TOKEN_SPLIT))
+                    .alias("pos", "token"))
+        .filter(F.col("token") != "")
+    )
+    hits = (
+        positions.join(F.broadcast(pterms), positions.token == pterms.term)
+        .select("phrase_id", "phrase", "plen", "doc_id",
+                (F.col("pos") - F.col("slot")).alias("start"), "slot")
+        .filter(F.col("start") >= 0)
+        .groupBy("phrase_id", "phrase", "plen", "doc_id", "start")
+        .agg(F.count_distinct("slot").alias("n_slots"))
+        .filter(F.col("n_slots") == F.col("plen"))
+    )
+    return (
+        hits.groupBy("phrase_id", "phrase", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_occurrences"),
+             F.min("start").cast("int").alias("first_start"))
+    )

@@ -77,3 +77,24 @@ def test_bm25_plan_has_no_bnl_and_one_shuffle_family(docs):
     plan = bm25_topk(docs, QUERIES)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_semantics(spark):
+    from ocr_redaction_engine_spark.analytics.search import phrase_search
+    docs = spark.createDataFrame(
+        [(1, "hash join is a hash join thing"),
+         (2, "join hash"),                    # reversed: no match
+         (3, "value value value"),            # overlapping repeated-term hits
+         (4, "hash"),                         # partial: no match
+         (5, "  hash join  ")],               # trim/split robustness
+        "doc_id long, text string")
+    out = phrase_search(docs, ["hash join", "value value"]).collect()
+    got = {(r["phrase"], r["doc_id"]): (r["n_occurrences"], r["first_start"])
+           for r in out}
+    assert got == {
+        ("hash join", 1): (2, 0),
+        ("hash join", 5): (1, 0),
+        ("value value", 3): (2, 0),   # starts 0 and 1 — overlaps both count
+    }
+    # a repeated-term phrase can't fire on a single token: distinct slots
+    assert ("value value", 4) not in got and ("hash join", 2) not in got
