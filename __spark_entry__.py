@@ -1044,6 +1044,27 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+def web_snapshot_delta(spark, sf_dir):
+    """Incremental-crawl CDC: diff two snapshots (old = corpus; new =
+    deterministic refresh with 10% removed, 10% rewritten, 10% new URLs) —
+    full outer join on the key over map-side md5 fingerprints."""
+    from ocr_redaction_engine_spark.analytics.webgraph import snapshot_delta
+    docs = _t(spark, sf_dir, "documents")
+    draw = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"), F.lit(10))
+    old = docs.select("doc_id", "text")
+    d = docs.withColumn("d", draw)
+    new = d.filter("d <> 0").select(
+        "doc_id",
+        F.when(F.col("d") == 1, F.concat("text", F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text"))
+    added = d.filter("d = 2").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.md5("text").alias("text"))
+    return snapshot_delta(old, new.unionByName(added))
+
+
 def search_phrase(spark, sf_dir):
     """Exact positional phrase search: token positions join the tiny
     (phrase, term, slot) table, matches vote for start = pos − slot, a
@@ -1192,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": extract_metadata,
         "sample_leakage_split": sample_leakage_split,
         "search_phrase": search_phrase,
+        "web_snapshot_delta": web_snapshot_delta,
     }
 
 
@@ -2220,6 +2242,26 @@ def oracle_sql() -> dict[str, str]:
                                               least(start_tok + 64, n)), ' ')
                      AS chunk_text
             FROM st
+        """,
+        "web_snapshot_delta": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10 AS draw
+              FROM documents),
+            old AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+            new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN draw = 1 THEN text || ' updated' ELSE text END) AS new_fp
+              FROM d WHERE draw <> 0
+              UNION ALL
+              SELECT doc_id + 10000000, md5(md5(text)) FROM d WHERE draw = 2)
+            SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old.doc_id IS NULL THEN 'added'
+                        WHEN new.doc_id IS NULL THEN 'removed'
+                        WHEN old.old_fp <> new.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM old FULL OUTER JOIN new ON new.doc_id = old.doc_id
         """,
         "search_phrase": f"""
             WITH pterms(phrase_id, phrase, term, slot, plen) AS (

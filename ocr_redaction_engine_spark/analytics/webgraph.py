@@ -163,3 +163,33 @@ def normalize_urls(urls: DataFrame) -> DataFrame:
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
     )
     return urls.select("doc_id", "url", canon.alias("canonical_url"))
+
+
+def snapshot_delta(old: DataFrame, new: DataFrame,
+                   key: str = "doc_id") -> DataFrame:
+    """Incremental-crawl snapshot diff (the monthly-refresh CDC step): full
+    outer join of two crawl snapshots on the document key, change class from
+    null-side + content-fingerprint comparison. At refresh time only
+    'added' + 'changed' documents re-enter the pipeline — the whole point of
+    incremental processing at 10^12 documents.
+
+    One shuffle on the key (or zero with storage-bucketed snapshots,
+    cf. storage.py); the md5 fingerprints are computed map-side before the
+    join so the join carries 32-byte digests, not document bodies.
+
+    Returns (key, change) with change ∈ added | removed | changed |
+    unchanged.
+    """
+    o = old.select(F.col(key), F.md5("text").alias("old_fp"))
+    n = new.select(F.col(key), F.md5("text").alias("new_fp"))
+    return (
+        o.join(n, key, "full")
+        .select(
+            key,
+            F.when(F.col("old_fp").isNull(), "added")
+            .when(F.col("new_fp").isNull(), "removed")
+            .when(F.col("old_fp") != F.col("new_fp"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+        )
+    )

@@ -104,3 +104,13 @@ def test_sentence_dedup_keeps_first_occurrence_globally(spark):
     # d2 is fully deduplicated away → empty text, zero kept
     assert got["d2"]["kept_text"] == "" and got["d2"]["n_kept"] == 0
     assert got["d2"]["n_sentences"] == 1
+
+
+def test_snapshot_delta_classes(spark):
+    from ocr_redaction_engine_spark.analytics.webgraph import snapshot_delta
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta CHANGED"), (4, "delta")], "doc_id long, text string")
+    got = {r["doc_id"]: r["change"] for r in snapshot_delta(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
