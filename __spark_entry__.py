@@ -1074,6 +1074,15 @@ def search_phrase(spark, sf_dir):
     return phrase_search(_t(spark, sf_dir, "documents"))
 
 
+def search_fuzzy(spark, sf_dir):
+    """Typo-tolerant dictionary matching (FastSS): corpus vocabulary and the
+    tiny dictionary both explode their 1-deletion neighborhoods, candidates
+    come from the variant equi-join (broadcast dict side), exact
+    levenshtein<=1 verifies. Vocab-sized work after the postings collapse."""
+    from ocr_redaction_engine_spark.analytics.search import fuzzy_dict_match
+    return fuzzy_dict_match(_t(spark, sf_dir, "documents"))
+
+
 def sample_leakage_split(spark, sf_dir):
     """Leakage-safe train/val/test split: assignment keyed on the near-dup
     cluster (connected components over LSH candidate pairs), so duplicates
@@ -1214,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_leakage_split": sample_leakage_split,
         "search_phrase": search_phrase,
         "web_snapshot_delta": web_snapshot_delta,
+        "search_fuzzy": search_fuzzy,
     }
 
 
@@ -1230,6 +1240,9 @@ from ocr_redaction_engine_spark.analytics.search import DEFAULT_PHRASES as _PHRA
 _PHRASE_VALUES = ", ".join(
     f"({pi}, '{p}', '{t}', {si}, {len(p.split())})"
     for pi, p in enumerate(_PHRASES) for si, t in enumerate(p.split()))
+
+from ocr_redaction_engine_spark.analytics.search import DEFAULT_FUZZY_TERMS as _FUZZY  # noqa: E402
+_FUZZY_VALUES = ", ".join(f"('{t}')" for t in _FUZZY)
 
 # Deterministic markup + DOM block segmentation/scoring mirror of
 # analytics/extraction.py (as_html → html_blocks). DuckDB's list_transform
@@ -2262,6 +2275,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN old.old_fp <> new.new_fp THEN 'changed'
                         ELSE 'unchanged' END AS change
             FROM old FULL OUTER JOIN new ON new.doc_id = old.doc_id
+        """,
+        "search_fuzzy": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+            vocab AS (
+              SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_hits
+              FROM toks WHERE token <> '' GROUP BY token),
+            vvar AS (
+              SELECT token,
+                     unnest(list_distinct(list_append(
+                       [substr(token, 1, p - 1) || substr(token, p + 1)
+                        FOR p IN range(1, length(token) + 1)], token))) AS variant
+              FROM vocab),
+            dict(term) AS (VALUES {_FUZZY_VALUES}),
+            dvar AS (
+              SELECT term,
+                     unnest(list_distinct(list_append(
+                       [substr(term, 1, p - 1) || substr(term, p + 1)
+                        FOR p IN range(1, length(term) + 1)], term))) AS variant
+              FROM dict),
+            matches AS (
+              SELECT DISTINCT d.term, v.token
+              FROM vvar v JOIN dvar d ON v.variant = d.variant
+              WHERE levenshtein(d.term, v.token) <= 1)
+            SELECT m.term, m.token, vb.n_docs, vb.n_hits
+            FROM matches m JOIN vocab vb ON m.token = vb.token
         """,
         "search_phrase": f"""
             WITH pterms(phrase_id, phrase, term, slot, plen) AS (

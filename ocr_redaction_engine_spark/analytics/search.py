@@ -17,7 +17,7 @@ pruned scan + broadcast join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import TOKEN_SPLIT
@@ -154,3 +154,70 @@ def phrase_search(docs: DataFrame, phrases: list[str] | None = None) -> DataFram
         .agg(F.count("*").cast("long").alias("n_occurrences"),
              F.min("start").cast("int").alias("first_start"))
     )
+
+
+#: default fuzzy dictionary: typos one edit away from corpus vocabulary
+#: words (insertion "hashh"/"scann", deletion "vlue"/"merg", substitution
+#: "windoe"), one transposition ("tabel" — edit distance 2: candidates ARE
+#: generated but the exact verify must reject them) and one no-match
+#: ("xyzzy").
+DEFAULT_FUZZY_TERMS = [
+    "hashh", "scann", "vlue", "merg", "windoe", "tabel", "xyzzy",
+]
+
+
+def deletion_variants(col: Column) -> Column:
+    """FastSS k=1 deletion neighborhood: the string itself plus every
+    one-character-deleted variant, distinct. Two strings are within edit
+    distance 1 ONLY IF their neighborhoods intersect (necessary, not
+    sufficient — 'ab'/'ba' share variants at distance 2), so collisions are
+    candidates for an exact verify, exactly like LSH bands → Jaccard."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda p: F.concat(
+            col.substr(F.lit(1), p - F.lit(1)),
+            col.substr(p + F.lit(1), F.length(col) - p)))
+    return F.array_distinct(F.concat(F.array(col), dels))
+
+
+def fuzzy_dict_match(docs: DataFrame,
+                     terms: list[str] | None = None) -> DataFrame:
+    """Typo-tolerant dictionary matching (FastSS, Bocek 2007): find corpus
+    tokens within Levenshtein distance 1 of a small dictionary — entity /
+    keyword matching that survives OCR noise and misspellings.
+
+    100 TB shape: the corpus side first collapses to its *vocabulary*
+    (distinct tokens — Zipf: orders of magnitude smaller than the corpus),
+    so the (len+1)-way variant explode and the exact-verify both run on
+    vocab-sized data; the dictionary side is a broadcast. No cross join —
+    candidate pairs come from an equi-join on the shared deletion variant —
+    and the final exact `levenshtein` filter touches candidates only.
+    All Catalyst (sequence/transform HOFs + the JVM levenshtein), no UDFs.
+
+    Returns (term, token, n_docs, n_hits): each dictionary term with every
+    corpus token at edit distance ≤ 1, its document frequency and total
+    occurrence count.
+    """
+    terms = DEFAULT_FUZZY_TERMS if terms is None else terms
+    spark = docs.sparkSession
+
+    vocab = (
+        postings(docs)
+        .groupBy(F.col("term").alias("token"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("tf").cast("long").alias("n_hits"))
+    )
+    vvar = vocab.select(
+        "token", F.explode(deletion_variants(F.col("token"))).alias("variant"))
+    dvar = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term",
+                F.explode(deletion_variants(F.col("term"))).alias("variant"))
+    )
+    matches = (
+        vvar.join(F.broadcast(dvar), "variant")
+        .select("term", "token").distinct()
+        .filter(F.levenshtein("term", "token") <= 1)
+    )
+    return matches.join(vocab, "token").select(
+        "term", "token", "n_docs", "n_hits")
