@@ -613,9 +613,19 @@ def sample_stratified(spark, sf_dir):
 
 def sketch_kmv_distinct(spark, sf_dir):
     """KMV distinct-token sketch per source — deterministic mergeable
-    sketch with exact cross-engine parity (HLL has neither)."""
+    sketch with exact cross-engine parity."""
     from ocr_redaction_engine_spark.analytics.sampling import kmv_distinct
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
+
+
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-document estimate per source (m=16 registers):
+    single groupBy(group, register).max(rank) shuffle — the map-side partial
+    max IS the sketch merge; fixed-point harmonic sum keeps it
+    engine-deterministic."""
+    from ocr_redaction_engine_spark.analytics.sampling import hll_distinct
+    return hll_distinct(_t(spark, sf_dir, "documents"),
+                        group="source", p=4, value="text")
 
 
 def text_repetition(spark, sf_dir):
@@ -1170,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
         "sketch_kmv_distinct": sketch_kmv_distinct,
+        "sketch_hll_distinct": sketch_hll_distinct,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1829,6 +1840,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "sketch_hll_distinct": f"""
+            WITH h AS (
+              SELECT source,
+                     CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+              FROM documents),
+            r AS (
+              SELECT source, h % 16 AS reg,
+                     CASE WHEN h // 16 = 0 THEN 57
+                          ELSE 57 - length(bin(h // 16)) END AS rank
+              FROM h),
+            regs AS (
+              SELECT source, reg, MAX(rank) AS m FROM r GROUP BY source, reg),
+            g AS (
+              SELECT source, COUNT(*) AS n_regs,
+                     SUM(CAST(1 AS BIGINT) << (57 - m)) AS sum_present
+              FROM regs GROUP BY source),
+            e AS (
+              SELECT source,
+                     CAST(16 - n_regs AS BIGINT) AS v_zeros,
+                     {0.673 * 16 * 16 * float(1 << 57)!r} /
+                       (sum_present + (16 - n_regs) * (CAST(1 AS BIGINT) << 57))
+                       AS e_raw
+              FROM g)
+            SELECT source, v_zeros,
+                   round(CASE WHEN e_raw <= 40.0 AND v_zeros > 0
+                              THEN 16.0 * ln(16.0 / v_zeros)
+                              ELSE e_raw END, 6) AS est_distinct
+            FROM e
         """,
         "text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -114,6 +114,69 @@ def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:
     return per_group.select(group, est.alias("est_distinct"))
 
 
+def hll_distinct(docs: DataFrame, group: str, p: int = 8,
+                 value: str | None = None) -> DataFrame:
+    """HyperLogLog distinct-token estimate per group (Flajolet 2007) —
+    the constant-size counterpart of [[kmv_distinct]]: m = 2^p registers,
+    register j keeps the max leading-zero rank of the hashes landing in it.
+
+    Shuffle shape is the whole point at 100 TB: NO distinct pass at all —
+    ``groupBy(group, register).max(rank)`` is one shuffle whose map-side
+    partial max IS the sketch merge, and at most m rows per group survive
+    per partition regardless of corpus size. Registers are mergeable
+    cell-wise (max), so per-shard sketches union for free.
+
+    Engine determinism: the 60-bit md5 hash splits into (register = low p
+    bits, w = high 60−p bits); rank = leading zeros of w + 1 via the
+    *integer* bit length (``bin()`` string length — no float log2). The
+    harmonic sum Σ 2^−M_j is accumulated in fixed point (terms
+    ``2^(53−M_j)`` as BIGINT — exact, order-independent), so the only float
+    ops are the final division and the small-range ``m·ln(m/V)`` correction,
+    both rounded to 6.
+
+    ``value`` counts distinct values of that column instead of distinct
+    tokens (no explode — e.g. distinct texts per source).
+
+    Output: (group, v_zeros, est_distinct)."""
+    m = 1 << p
+    # Flajolet's small-m bias constants; the closed form above m=64
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    if value is None:
+        toks = (
+            docs.select(group,
+                        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+            .filter(F.col("token") != "")
+        )
+    else:
+        toks = docs.select(group, F.col(value).alias("token"))
+    h = _hash_frac("token")
+    w = (h / m).cast("long")  # floor: h >= 0
+    rank = F.when(w == 0, F.lit(61 - p)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(w)))
+    regs = (
+        toks.withColumn("reg", F.pmod(h, F.lit(m)))
+        .withColumn("rank", rank)
+        .groupBy(group, "reg")
+        .agg(F.max("rank").alias("M"))
+    )
+    scale = 61 - p  # rank_max: fixed-point terms 2^(scale - M) are exact ints
+    per_group = regs.groupBy(group).agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - M)")).alias("sum_present"),
+    )
+    v = F.lit(m) - F.col("n_regs")
+    sum_int = F.col("sum_present") + v * F.lit(1 << scale)
+    e_raw = F.lit(alpha * m * m * float(1 << scale)) / sum_int
+    est = F.when((e_raw <= 2.5 * m) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)).otherwise(e_raw)
+    return per_group.select(
+        F.col(group),
+        v.cast("long").alias("v_zeros"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
 def temperature_rebalance(docs: DataFrame, group: str = "lang",
                           key: str = "doc_id") -> DataFrame:
     """Temperature-based corpus rebalancing (the multilingual-LM sampling

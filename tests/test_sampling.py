@@ -115,3 +115,58 @@ def test_leakage_safe_split_no_straddle(spark):
     assert splits.count("train") > splits.count("test")
     # deterministic rerun
     assert sorted(map(tuple, out)) == sorted(map(tuple, leakage_safe_split(docs).collect()))
+
+
+def _hll_ref(values_by_group, p):
+    """Independent pure-Python HLL: same md5-60bit hash contract, dict
+    registers, float harmonic sum (the engine's fixed-point sum must agree
+    after round-6)."""
+    import hashlib
+    import math
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    out = {}
+    for g, vals in values_by_group.items():
+        regs = {}
+        for s in vals:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            reg, w = h % m, h // m
+            rank = (61 - p) if w == 0 else (61 - p) - w.bit_length()
+            regs[reg] = max(regs.get(reg, 0), rank)
+        v = m - len(regs)
+        denom = sum(2.0 ** -r for r in regs.values()) + v
+        e_raw = alpha * m * m / denom
+        est = m * math.log(m / v) if (e_raw <= 2.5 * m and v > 0) else e_raw
+        out[g] = (v, round(est, 6))
+    return out
+
+
+def test_hll_matches_reference_and_exact(spark):
+    from ocr_redaction_engine_spark.analytics.sampling import hll_distinct
+    data = [(f"g{i % 3}", f"value-{i // 3}-{i % 7}") for i in range(600)]
+    docs = spark.createDataFrame(
+        [(g, t) for g, t in data], "source string, text string")
+    got = {r["source"]: (r["v_zeros"], r["est_distinct"])
+           for r in hll_distinct(docs, "source", p=4, value="text").collect()}
+    by_group = {}
+    for g, t in data:
+        by_group.setdefault(g, []).append(t)
+    ref = _hll_ref(by_group, p=4)
+    assert got == ref
+    # sanity: estimate within HLL's expected error envelope of the truth
+    for g, vals in by_group.items():
+        exact = len(set(vals))
+        assert abs(got[g][1] - exact) / exact < 3 * 1.04 / (16 ** 0.5)
+
+
+def test_hll_token_mode_small_range_correction(spark):
+    """Tiny vocab → empty registers → the linear-counting branch: estimate
+    must be m*ln(m/V), a pure function of the zero count."""
+    import math
+    from ocr_redaction_engine_spark.analytics.sampling import hll_distinct
+    docs = spark.createDataFrame(
+        [("s", "alpha beta gamma alpha"), ("s", "beta delta")],
+        "source string, text string")
+    row = hll_distinct(docs, "source", p=4).collect()[0]
+    assert row["v_zeros"] > 0
+    assert row["est_distinct"] == round(16 * math.log(16 / row["v_zeros"]), 6)
