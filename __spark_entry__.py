@@ -618,6 +618,13 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis): top-k
+    of ln(u)/weight via TakeOrderedAndProject — no global sort shuffle."""
+    from ocr_redaction_engine_spark.analytics.sampling import weighted_sample
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=50)
+
+
 def sketch_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-document estimate per source (m=16 registers):
     single groupBy(group, register).max(rank) shuffle — the map-side partial
@@ -1181,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_hll_distinct": sketch_hll_distinct,
+        "sample_weighted": sample_weighted,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1840,6 +1848,17 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "sample_weighted": """
+            SELECT doc_id, source, n_chars,
+                   round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) + 1) / 1152921504606846976.0) / n_chars,
+                         6) AS score
+            FROM documents
+            ORDER BY ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) + 1) / 1152921504606846976.0) / n_chars DESC,
+                     doc_id ASC
+            LIMIT 50
         """,
         "sketch_hll_distinct": f"""
             WITH h AS (

@@ -114,6 +114,32 @@ def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:
     return per_group.select(group, est.alias("est_distinct"))
 
 
+def weighted_sample(docs: DataFrame, k: int = 50, weight: str = "n_chars",
+                    key: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    2006): every row draws u = md5-uniform in (0, 1] and scores
+    ln(u) / w — the top-k scores are exactly a weight-proportional sample
+    without replacement (the log form of the u^(1/w) key; monotone, so the
+    ranking is identical). Quality-weighted corpus selection with a
+    deterministic, rerun-stable draw.
+
+    Scale shape: no global sort — ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition top-k heaps + a k-row driver
+    merge), so 10^12 rows cost one map pass. The score is one ln and one
+    division per row, all codegen.
+
+    Output: (key, source, weight, round(score, 6)) for the k sampled rows.
+    """
+    u = (_hash_frac(F.col(key).cast("string")) + 1) / F.lit(float(_HEX15))
+    score = F.log(u) / F.col(weight)
+    return (
+        docs.select(key, "source", weight, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(key).asc())
+        .limit(k)
+        .withColumn("score", F.round("score", 6))
+    )
+
+
 def hll_distinct(docs: DataFrame, group: str, p: int = 8,
                  value: str | None = None) -> DataFrame:
     """HyperLogLog distinct-token estimate per group (Flajolet 2007) —

@@ -170,3 +170,28 @@ def test_hll_token_mode_small_range_correction(spark):
     row = hll_distinct(docs, "source", p=4).collect()[0]
     assert row["v_zeros"] > 0
     assert row["est_distinct"] == round(16 * math.log(16 / row["v_zeros"]), 6)
+
+
+def test_weighted_sample_matches_reference_and_plan(spark):
+    import hashlib
+    import math
+    from ocr_redaction_engine_spark.analytics.sampling import weighted_sample
+    rows = [(i, f"s{i % 4}", (i % 13) + 1) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = weighted_sample(docs, k=20).collect()
+
+    def score(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / 16 ** 15) / w
+
+    ref = sorted(rows, key=lambda r: (-score(r[0], r[2]), r[0]))[:20]
+    assert [(r["doc_id"], r["source"], r["n_chars"]) for r in got] == ref
+    assert all(r["score"] == round(score(r["doc_id"], r["n_chars"]), 6)
+               for r in got)
+    # a huge-weight row is (essentially) certain to be selected
+    docs2 = docs.union(spark.createDataFrame(
+        [(999, "sX", 10**9)], "doc_id long, source string, n_chars long"))
+    assert any(r["doc_id"] == 999 for r in weighted_sample(docs2, k=20).collect())
+    # no global sort: top-k compiles to TakeOrderedAndProject
+    plan = weighted_sample(docs, k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
