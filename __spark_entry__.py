@@ -618,6 +618,14 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def text_pmi_collocations(spark, sf_dir):
+    """Top-30 bigram collocations by PMI: unigram+bigram vocab hash-aggs,
+    broadcast count joins, pmod-key 1-row totals join, TakeOrdered top-k.
+    Fixed integer-count parenthesization keeps the ratio engine-exact."""
+    from ocr_redaction_engine_spark.analytics.text import pmi_collocations
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=30)
+
+
 def sample_weighted(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis–Spirakis): top-k
     of ln(u)/weight via TakeOrderedAndProject — no global sort shuffle."""
@@ -1189,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_hll_distinct": sketch_hll_distinct,
         "sample_weighted": sample_weighted,
+        "text_pmi_collocations": text_pmi_collocations,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1848,6 +1857,33 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "text_pmi_collocations": f"""
+            WITH toks AS (SELECT {_TOK} AS t FROM documents),
+            uni AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT unnest(t) AS tok FROM toks)
+              WHERE tok <> '' GROUP BY tok),
+            big AS (
+              SELECT p.x AS x, p.y AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+              FROM (SELECT unnest(list_transform(range(2, len(t) + 1),
+                             i -> struct_pack(x := t[CAST(i - 1 AS INT)],
+                                              y := t[CAST(i AS INT)]))) AS p
+                    FROM toks WHERE len(t) >= 2)
+              WHERE p.x <> '' AND p.y <> '' GROUP BY p.x, p.y),
+            tot AS (
+              SELECT (SELECT SUM(c) FROM uni) AS nt,
+                     (SELECT SUM(c_xy) FROM big) AS nb)
+            SELECT b.x, b.y, b.c_xy,
+                   round(ln((CAST(b.c_xy AS DOUBLE) * tot.nt * tot.nt) /
+                            (CAST(tot.nb AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+            FROM big b
+            JOIN uni ux ON b.x = ux.tok
+            JOIN uni uy ON b.y = uy.tok
+            CROSS JOIN tot
+            WHERE b.c_xy >= 5
+            ORDER BY pmi DESC, b.x ASC, b.y ASC
+            LIMIT 30
         """,
         "sample_weighted": """
             SELECT doc_id, source, n_chars,

@@ -598,3 +598,72 @@ def bpe_encode(docs: DataFrame, merges: list) -> DataFrame:
         .select("doc_id", "word_pos",
                 F.posexplode("pieces").alias("piece_pos", "piece"))
     )
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5,
+                     k: int = 30) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(x,y) = ln(p(xy) / (p(x)·p(y))) over adjacent
+    token pairs — the classic phrase-mining signal for tokenizer seeding and
+    corpus analysis.
+
+    Shape at 100 TB: the corpus collapses to two hash-aggs (unigram and
+    bigram vocabularies — Zipf-small next to the token stream, both with
+    map-side combine); the unigram table then joins onto the bigram table
+    twice by broadcast, and the two scalar totals ride a pmod-key 1-row
+    BroadcastHashJoin (same no-BNLJ trick as bm25). Final top-k is
+    TakeOrderedAndProject. No shuffle ever carries more than vocab-sized
+    data after the two aggs.
+
+    Determinism: the probability ratio is computed as one fixed
+    parenthesization over exact integer counts —
+    ((c_xy·N)·N) / ((NB·c_x)·c_y) — so both engines execute the identical
+    IEEE op sequence; the single ln is rounded to 6.
+
+    Output: (x, y, c_xy, pmi), k rows, ties broken on (x, y).
+    """
+    d = with_tokens(docs)
+    toks = (
+        d.select(F.explode("tokens").alias("t"))
+        .filter(F.col("t") != "")
+    )
+    uni = toks.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    pairs = (
+        d.filter(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tokens", 1, F.size("tokens") - 1),
+                    F.slice("tokens", 2, F.size("tokens") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .filter((F.col("x") != "") & (F.col("y") != ""))
+    )
+    big = pairs.groupBy("x", "y").agg(F.count("*").cast("long").alias("c_xy"))
+
+    n_tok = (uni.agg(F.sum("c").alias("n_tokens"))
+             .withColumn("__k", F.pmod(F.col("n_tokens"), F.lit(1))))
+    n_big = (big.agg(F.sum("c_xy").alias("n_bigrams"))
+             .withColumn("__k", F.pmod(F.col("n_bigrams"), F.lit(1))))
+    stats = n_tok.join(F.broadcast(n_big), "__k")
+
+    cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    ratio = (
+        (F.col("c_xy").cast("double") * F.col("n_tokens") * F.col("n_tokens"))
+        / (F.col("n_bigrams").cast("double") * F.col("c_x") * F.col("c_y"))
+    )
+    scored = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .withColumn("__k", F.pmod(F.col("c_xy"), F.lit(1)))
+        .join(F.broadcast(stats), "__k")
+        .select("x", "y", "c_xy", F.round(F.log(ratio), 6).alias("pmi"))
+    )
+    return (scored
+            .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(k))

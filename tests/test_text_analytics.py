@@ -242,3 +242,33 @@ def test_bpe_encode_roundtrip_and_order(spark):
     segs = {(r.doc_id, r.word_pos, r.piece_pos): r.piece for r in rows}
     assert segs[(0, 0, 0)] == "aa" and segs[(0, 0, 1)] == "ab"
     assert segs[(1, 1, 0)] == "ab" and (1, 1, 1) not in segs
+
+
+def test_pmi_collocations_reference(spark):
+    """Independent Counter+math.log reference with the same fixed
+    parenthesization; planted collocation must rank first."""
+    import math
+    from collections import Counter
+    from ocr_redaction_engine_spark.analytics.text import pmi_collocations
+    texts = (["ice cream is nice"] * 6
+             + ["milk of the crop is fine"] * 3
+             + ["nice weather today is fine"] * 4
+             + ["the weather of today"] * 3)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = pmi_collocations(docs, min_count=3, k=10).collect()
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    nt, nb = sum(uni.values()), sum(big.values())
+    ref = []
+    for (x, y), cxy in big.items():
+        if cxy >= 3:
+            r = (float(cxy) * nt * nt) / (float(nb) * uni[x] * uni[y])
+            ref.append((x, y, cxy, round(math.log(r), 6)))
+    ref.sort(key=lambda e: (-e[3], e[0], e[1]))
+    assert [(r["x"], r["y"], r["c_xy"], r["pmi"]) for r in got] == ref[:10]
+    assert (got[0]["x"], got[0]["y"]) == ("ice", "cream")  # planted: only together
