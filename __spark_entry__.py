@@ -618,6 +618,15 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def web_domain_cap(spark, sf_dir):
+    """Per-domain quota (RefinedWeb 'no domain dominates'): keep ≤5 docs per
+    registrable domain by deterministic md5 rank. Domain skew (the synthetic
+    hosts are geometric: one domain owns half the corpus) is handled with a
+    salted two-stage top-k — result pinned equal to the single-window answer."""
+    from ocr_redaction_engine_spark.analytics.webgraph import domain_cap, synth_hosts
+    return domain_cap(synth_hosts(_t(spark, sf_dir, "documents")), cap=5, salts=8)
+
+
 def text_pmi_collocations(spark, sf_dir):
     """Top-30 bigram collocations by PMI: unigram+bigram vocab hash-aggs,
     broadcast count joins, pmod-key 1-row totals join, TakeOrdered top-k.
@@ -1198,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": sketch_hll_distinct,
         "sample_weighted": sample_weighted,
         "text_pmi_collocations": text_pmi_collocations,
+        "web_domain_cap": web_domain_cap,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1857,6 +1867,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "web_domain_cap": """
+            WITH base AS (
+              SELECT doc_id,
+                     'domain' || length(bin(CAST(('0x' ||
+                        substring(md5(CAST(doc_id AS VARCHAR) || ':host'), 1, 2))
+                        AS BIGINT))) || '.com' AS domain,
+                     CAST(('0x' ||
+                        substring(md5(CAST(doc_id AS VARCHAR) || ':rank'), 1, 15))
+                        AS BIGINT) AS h
+              FROM documents),
+            r AS (
+              SELECT doc_id, domain,
+                     CAST(row_number() OVER (PARTITION BY domain
+                                             ORDER BY h, doc_id) AS INT) AS rank
+              FROM base)
+            SELECT doc_id, domain, rank FROM r WHERE rank <= 5
         """,
         "text_pmi_collocations": f"""
             WITH toks AS (SELECT {_TOK} AS t FROM documents),

@@ -193,3 +193,51 @@ def snapshot_delta(old: DataFrame, new: DataFrame,
             .alias("change"),
         )
     )
+
+
+def synth_hosts(docs: DataFrame) -> DataFrame:
+    """Deterministic skewed host per document: the domain index is the bit
+    length of an md5 byte, so domain 8 owns ~1/2 of the corpus, domain 7
+    ~1/4, … — the Zipf-like domain skew a real crawl has, and exactly the
+    hot-key shape the per-domain cap must survive. Pure expressions so the
+    oracle rebuilds identical input."""
+    h = F.md5(F.concat_ws(":", "doc_id", F.lit("host")))
+    b = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")  # 0..255
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("www.domain"), F.length(F.bin(b)), F.lit(".com"))
+        .alias("host"),
+    )
+
+
+def domain_cap(pages: DataFrame, cap: int = 5, salts: int = 8) -> DataFrame:
+    """Per-domain document quota (the RefinedWeb/C4 'no domain may dominate'
+    rule): keep at most ``cap`` documents per registrable domain, chosen by
+    deterministic md5 rank so reruns keep the same winners.
+
+    Skew is the whole problem here — crawl domains are Zipf (one domain can
+    own half the corpus), so a single window over ``domain`` puts half of
+    100 TB in one task. Two-stage top-k instead: stage 1 ranks within
+    (domain, salt) — ``salts`` × more, evenly loaded partitions — and keeps
+    ``cap`` per salted group; stage 2 re-ranks the ≤ salts·cap survivors per
+    domain. The union of per-salt top-caps is a superset of the global
+    top-cap, so the result is EXACTLY the single-window answer (the unit
+    test pins this), while no task ever holds more than one salt's share.
+
+    Returns (doc_id, domain, rank), rank ≤ cap.
+    """
+    domain = F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", "doc_id", F.lit("rank"))), 1, 15), 16, 10).cast("long")
+    base = pages.select(
+        "doc_id", domain.alias("domain"), h.alias("h"),
+        F.pmod(h, F.lit(salts)).alias("salt"))
+    w1 = Window.partitionBy("domain", "salt").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc())
+    s1 = (base.withColumn("r1", F.row_number().over(w1))
+          .filter(F.col("r1") <= cap))
+    w2 = Window.partitionBy("domain").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc())
+    return (s1.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= cap)
+            .select("doc_id", "domain", "rank"))

@@ -114,3 +114,35 @@ def test_snapshot_delta_classes(spark):
         [(1, "alpha"), (2, "beta CHANGED"), (4, "delta")], "doc_id long, text string")
     got = {r["doc_id"]: r["change"] for r in snapshot_delta(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_domain_cap_equals_single_window_and_caps(spark):
+    """The salted two-stage top-k must return EXACTLY the single-window
+    answer, respect the cap on a planted hot domain, and be rerun-stable."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from ocr_redaction_engine_spark.analytics.webgraph import domain_cap
+    rows = ([(i, "www.hot.example.com") for i in range(200)]
+            + [(1000 + i, f"sub.cold{i % 7}.org") for i in range(30)])
+    pages = spark.createDataFrame(rows, "doc_id long, host string")
+    got = domain_cap(pages, cap=4, salts=8).collect()
+
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", "doc_id", F.lit("rank"))), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("domain").orderBy(F.col("h"), F.col("doc_id"))
+    ref = (pages.select(
+               "doc_id",
+               F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"),
+               h.alias("h"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 4).select("doc_id", "domain", "rank")
+           .collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r["rank"])
+    assert sorted(by_dom["example.com"]) == [1, 2, 3, 4]   # hot domain capped
+    for i in range(7):
+        assert len(by_dom[f"cold{i % 7}.org"]) <= 4
+    # registrable-domain extraction collapses subdomains
+    assert "hot.example.com" not in by_dom
