@@ -618,6 +618,21 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def storage_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over (n_chars, md5-dim): the
+    bit-interleave HOF that drives multi-dimensional data skipping
+    (write_zordered range-partitions by it). Integer-exact, map-only."""
+    from ocr_redaction_engine_spark.storage import zorder_key
+    docs = _t(spark, sf_dir, "documents")
+    y = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("zdim"))),
+                           1, 15), 16, 10).cast("long"), F.lit(1024))
+    return (docs.select("doc_id",
+                        F.pmod("n_chars", F.lit(1024)).alias("x"),
+                        y.alias("y"))
+            .withColumn("zkey", zorder_key("x", "y", bits=10)))
+
+
 def web_domain_cap(spark, sf_dir):
     """Per-domain quota (RefinedWeb 'no domain dominates'): keep ≤5 docs per
     registrable domain by deterministic md5 rank. Domain skew (the synthetic
@@ -1208,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": sample_weighted,
         "text_pmi_collocations": text_pmi_collocations,
         "web_domain_cap": web_domain_cap,
+        "storage_zorder_key": storage_zorder_key,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1867,6 +1883,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "storage_zorder_key": """
+            WITH base AS (
+              SELECT doc_id,
+                     n_chars % 1024 AS x,
+                     CAST(('0x' ||
+                        substring(md5(CAST(doc_id AS VARCHAR) || ':zdim'), 1, 15))
+                        AS BIGINT) % 1024 AS y
+              FROM documents)
+            SELECT doc_id, x, y,
+                   list_sum(list_transform(range(0, 10), i ->
+                     (((x >> i) % 2) << (2*i + 1)) + (((y >> i) % 2) << (2*i))))
+                   AS zkey
+            FROM base
         """,
         "web_domain_cap": """
             WITH base AS (

@@ -45,3 +45,38 @@ def write_sorted(df: DataFrame, path: str, cols: list[str],
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     out = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
     out.write.mode(mode).parquet(path)
+
+
+def zorder_key(x: str, y: str, bits: int = 10):
+    """Morton (Z-order) key: bit-interleave two non-negative integer
+    columns (low ``bits`` bits each) into one BIGINT. Sorting / range-
+    partitioning by this key clusters rows that are close in BOTH
+    dimensions into the same files, so per-file min/max stats prune reads
+    for predicates on either column — multi-dimensional data skipping
+    (what Delta's OPTIMIZE ZORDER BY does; here as a portable expression).
+
+    Pure Catalyst: one ``aggregate`` HOF over ``sequence(0, bits-1)`` with
+    shift/mod bit ops — integer-exact, engine-portable (the DuckDB twin is
+    the same sum over ``range``).
+    """
+    from pyspark.sql import functions as F
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) ->"
+        f" acc + shiftleft(CAST(shiftright({x}, i) % 2 AS BIGINT), 2*i + 1)"
+        f"     + shiftleft(CAST(shiftright({y}, i) % 2 AS BIGINT), 2*i))"
+    )
+
+
+def write_zordered(df: DataFrame, path: str, x: str, y: str,
+                   n_partitions: int = 16, bits: int = 10,
+                   mode: str = "overwrite") -> None:
+    """Z-order-clustered parquet export: range-partition + sort by the
+    Morton key of (x, y), then drop the key. Each output file covers a
+    compact rectangle of the (x, y) plane instead of a full-width stripe,
+    so min/max file stats prune on BOTH dimensions (verified by the
+    bounding-box unit test)."""
+    keyed = df.withColumn("__z", zorder_key(x, y, bits))
+    (keyed.repartitionByRange(n_partitions, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode(mode).parquet(path))

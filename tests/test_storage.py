@@ -48,3 +48,44 @@ def test_write_bucketed_roundtrip(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_storage_bkt")
+
+
+def test_zorder_key_reference_and_file_bounding_boxes(spark, tmp_path):
+    """zkey must equal the pure-Python Morton interleave; z-ordered files
+    must cover compact (x, y) rectangles — both dimensions prunable —
+    while an x-sorted layout leaves y unpruned (full-range stripes)."""
+    import pyspark.sql.functions as F
+    from ocr_redaction_engine_spark.storage import (
+        write_sorted, write_zordered, zorder_key)
+
+    rows = [(i, i % 64, i // 64) for i in range(4096)]  # full 64x64 grid
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+
+    got = df.withColumn("z", zorder_key("x", "y", bits=6)).collect()
+
+    def morton(x, y, bits=6):
+        z = 0
+        for i in range(bits):
+            z += (((x >> i) & 1) << (2 * i + 1)) + (((y >> i) & 1) << (2 * i))
+        return z
+    assert all(r["z"] == morton(r["x"], r["y"]) for r in got)
+
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_zordered(df, zpath, "x", "y", n_partitions=16, bits=6)
+    write_sorted(df, spath, ["x"], n_partitions=16)
+
+    def spans(path):
+        per_file = (spark.read.parquet(path)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg((F.max("x") - F.min("x")).alias("sx"),
+                         (F.max("y") - F.min("y")).alias("sy"))
+                    .collect())
+        return ([r["sx"] for r in per_file], [r["sy"] for r in per_file])
+
+    zx, zy = spans(zpath)
+    # 4096 rows / 16 files = 256-point z-blocks -> rectangles around 16x16;
+    # range-boundary straddling can widen a file, but never to a full stripe
+    assert max(zx) <= 32 and max(zy) <= 32
+    sx, sy = spans(spath)
+    assert max(sy) == 63          # x-sorted stripes span ALL of y
+    assert max(zy) < max(sy) / 2  # z-order beats 1-D sort on the 2nd dim
