@@ -618,6 +618,24 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def dedup_normalized(spark, sf_dir):
+    """CCNet-normalized exact dedup: every document gains a deterministically
+    mangled twin (uppercased / punctuation-injected / space-doubled by md5
+    draw) and normalization must collapse each twin back onto its source —
+    plus any pre-existing exact dups. One hash-agg on the 32-byte digest."""
+    from ocr_redaction_engine_spark.analytics.text import dedup_normalized as dn
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    draw = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("norm"))),
+                           1, 15), 16, 10).cast("long"), F.lit(3))
+    mangled = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(draw == 0, F.upper("text"))
+        .when(draw == 1, F.concat("text", F.lit(" !!! ???")))
+        .otherwise(F.regexp_replace("text", " ", "   ")).alias("text"))
+    return dn(docs.unionByName(mangled))
+
+
 def storage_zorder_key(spark, sf_dir):
     """Morton (Z-order) clustering key over (n_chars, md5-dim): the
     bit-interleave HOF that drives multi-dimensional data skipping
@@ -1224,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_collocations": text_pmi_collocations,
         "web_domain_cap": web_domain_cap,
         "storage_zorder_key": storage_zorder_key,
+        "dedup_normalized": dedup_normalized,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1883,6 +1902,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "dedup_normalized": r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     CAST(('0x' ||
+                        substring(md5(CAST(doc_id AS VARCHAR) || ':norm'), 1, 15))
+                        AS BIGINT) % 3 AS draw
+              FROM documents),
+            u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     CASE WHEN draw = 0 THEN upper(text)
+                          WHEN draw = 1 THEN text || ' !!! ???'
+                          ELSE replace(text, ' ', '   ') END
+              FROM d),
+            n AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(
+                       regexp_replace(
+                         translate(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                                   'áàâäéèêëíìîïóòôöúùûüçñ',
+                                   'aaaaeeeeiiiioooouuuucn'),
+                         '[^\w\s]', ' ', 'g'),
+                       '\s+', ' ', 'g'))) AS norm_fp
+              FROM u)
+            SELECT norm_fp, MIN(doc_id) AS rep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM n GROUP BY norm_fp
         """,
         "storage_zorder_key": """
             WITH base AS (

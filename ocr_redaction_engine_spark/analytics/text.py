@@ -667,3 +667,30 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5,
     return (scored
             .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
             .limit(k))
+
+
+def normalize_ccnet(col) -> F.Column:
+    """CCNet-style dedup normalization (Wenzek 2020 §4.1 analog): lowercase,
+    every digit → 0, common accents folded, punctuation → space, whitespace
+    collapsed+trimmed. Hashing THIS string (not the raw text) is what lets
+    exact dedup catch trivially-reformatted copies. Map-only codegen —
+    lower/translate/regexp_replace — no shuffle, no UDF."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[0-9]", "0")
+    c = F.translate(c, "áàâäéèêëíìîïóòôöúùûüçñ", "aaaaeeeeiiiioooouuuucn")
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def dedup_normalized(docs: DataFrame) -> DataFrame:
+    """Exact dedup over the CCNet-normalized fingerprint: one hash-agg on
+    md5(normalize(text)) — map-side combine applies, the group key is a
+    32-byte digest regardless of document size. Returns
+    (norm_fp, rep_doc_id, n_members) per normalized-identical group
+    (representative = lowest doc_id, the usual deterministic keep rule)."""
+    return (
+        docs.select("doc_id", F.md5(normalize_ccnet(F.col("text"))).alias("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(F.min("doc_id").alias("rep_doc_id"),
+             F.count("*").cast("long").alias("n_members"))
+    )

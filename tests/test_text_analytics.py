@@ -272,3 +272,26 @@ def test_pmi_collocations_reference(spark):
     ref.sort(key=lambda e: (-e[3], e[0], e[1]))
     assert [(r["x"], r["y"], r["c_xy"], r["pmi"]) for r in got] == ref[:10]
     assert (got[0]["x"], got[0]["y"]) == ("ice", "cream")  # planted: only together
+
+
+def test_normalize_ccnet_and_normalized_dedup(spark):
+    import pyspark.sql.functions as F
+    from ocr_redaction_engine_spark.analytics.text import (
+        dedup_normalized, normalize_ccnet)
+    cases = spark.createDataFrame(
+        [("Crème Brûlée, récipe #42!",),
+         ("the   quick  brown fox",),
+         ("Phone: 555-123-4567",)],
+        "text string").select(normalize_ccnet(F.col("text")).alias("n"))
+    assert [r["n"] for r in cases.collect()] == [
+        "creme brulee recipe 00",
+        "the quick brown fox",
+        "phone 000 000 0000",
+    ]
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO   world?!"),
+         (4, "goodbye world")],
+        "doc_id long, text string")
+    got = {r["rep_doc_id"]: r["n_members"]
+           for r in dedup_normalized(docs).collect()}
+    assert got == {1: 3, 4: 1}
