@@ -618,6 +618,24 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def text_encoding_quality(spark, sf_dir):
+    """Encoding-health filter over deterministically corrupted variants
+    (replacement char / mojibake 'Ã©' / C0 control byte appended by md5
+    draw): counts by length-difference strips, map-only codegen."""
+    from ocr_redaction_engine_spark.analytics.text import encoding_quality
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    draw = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("enc"))),
+                           1, 15), 16, 10).cast("long"), F.lit(4))
+    corrupted = docs.select(
+        "doc_id",
+        F.when(draw == 1, F.concat("text", F.lit(" data� lost")))
+        .when(draw == 2, F.concat("text", F.lit(" cafÃ© menu")))
+        .when(draw == 3, F.concat("text", F.lit("\x07")))
+        .otherwise(F.col("text")).alias("text"))
+    return encoding_quality(corrupted)
+
+
 def dedup_normalized(spark, sf_dir):
     """CCNet-normalized exact dedup: every document gains a deterministically
     mangled twin (uppercased / punctuation-injected / space-doubled by md5
@@ -1243,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_cap": web_domain_cap,
         "storage_zorder_key": storage_zorder_key,
         "dedup_normalized": dedup_normalized,
+        "text_encoding_quality": text_encoding_quality,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1902,6 +1921,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "text_encoding_quality": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     CASE CAST(('0x' ||
+                          substring(md5(CAST(doc_id AS VARCHAR) || ':enc'), 1, 15))
+                          AS BIGINT) % 4
+                       WHEN 1 THEN text || ' data' || chr(65533) || ' lost'
+                       WHEN 2 THEN text || ' caf' || chr(195) || chr(169) || ' menu'
+                       WHEN 3 THEN text || chr(7)
+                       ELSE text END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, length(text) AS n,
+                     length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+                     length(text) - length(regexp_replace(text,
+                        '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl,
+                     length(text) - length(replace(text, chr(195), '')) AS n_mojibake,
+                     length(text) - length(regexp_replace(text,
+                        '[^\x00-\x7F]', '', 'g')) AS n_nonascii
+              FROM c)
+            SELECT doc_id,
+                   CAST(n_repl AS BIGINT) AS n_repl,
+                   CAST(n_ctrl AS BIGINT) AS n_ctrl,
+                   CAST(n_mojibake AS BIGINT) AS n_mojibake,
+                   round(CAST(n_nonascii AS DOUBLE) / n, 6) AS nonascii_frac,
+                   (n_repl = 0 AND n_ctrl = 0 AND n_mojibake = 0
+                    AND round(CAST(n_nonascii AS DOUBLE) / n, 6) <= 0.3) AS keep
+            FROM s
         """,
         "dedup_normalized": r"""
             WITH d AS (

@@ -694,3 +694,34 @@ def dedup_normalized(docs: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("rep_doc_id"),
              F.count("*").cast("long").alias("n_members"))
     )
+
+
+def encoding_quality(docs: DataFrame) -> DataFrame:
+    """Encoding-health signals per document (the ftfy/cleaning stage of a
+    web-corpus build): U+FFFD replacement-char count, C0 control-char
+    count, the 'Ã' UTF-8-read-as-Latin-1 mojibake signature count, and the
+    non-ASCII character fraction; ``keep`` = no corruption markers and
+    non-ASCII below 30%.
+
+    Counting is done by length differences after literal/regexp strips —
+    lower/replace/regexp_replace/length only, so the whole operator is
+    map-only codegen with zero shuffles and pushes down past any later
+    join. Output: (doc_id, n_repl, n_ctrl, n_mojibake, nonascii_frac,
+    keep)."""
+    t = F.col("text")
+    n = F.length(t)
+    n_repl = n - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    n_ctrl = n - F.length(
+        F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", ""))
+    n_moji = n - F.length(F.replace(t, F.lit("Ã"), F.lit("")))
+    n_ascii = F.length(F.regexp_replace(t, r"[^\x00-\x7F]", ""))
+    frac = F.round((n - n_ascii) / n, 6)
+    return docs.select(
+        "doc_id",
+        n_repl.cast("long").alias("n_repl"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        n_moji.cast("long").alias("n_mojibake"),
+        frac.alias("nonascii_frac"),
+        ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0) & (frac <= 0.3))
+        .alias("keep"),
+    )

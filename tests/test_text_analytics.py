@@ -295,3 +295,22 @@ def test_normalize_ccnet_and_normalized_dedup(spark):
     got = {r["rep_doc_id"]: r["n_members"]
            for r in dedup_normalized(docs).collect()}
     assert got == {1: 3, 4: 1}
+
+
+def test_encoding_quality_signals(spark):
+    from ocr_redaction_engine_spark.analytics.text import encoding_quality
+    docs = spark.createDataFrame(
+        [(1, "clean ascii text"),
+         (2, "broken � here"),
+         (3, "cafÃ© mojibake"),
+         (4, "bell \x07 char"),
+         (5, "é è ü ç ñ à"),          # heavy non-ASCII, no corruption
+         (6, "mostly ascii with one é of many many words here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in encoding_quality(docs).collect()}
+    assert got[1]["keep"] and got[1]["n_repl"] == 0
+    assert not got[2]["keep"] and got[2]["n_repl"] == 1
+    assert not got[3]["keep"] and got[3]["n_mojibake"] == 1
+    assert not got[4]["keep"] and got[4]["n_ctrl"] == 1
+    assert not got[5]["keep"] and got[5]["nonascii_frac"] > 0.3
+    assert got[6]["keep"] and 0 < got[6]["nonascii_frac"] <= 0.3
