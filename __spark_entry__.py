@@ -618,6 +618,14 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def profile_documents(spark, sf_dir):
+    """One-pass table profiler over `documents`: per-column row/null/exact
+    distinct counts + stringified min/max in a single aggregate, unpivoted
+    by an explode-of-structs projection."""
+    from ocr_redaction_engine_spark.analytics.text import profile_table
+    return profile_table(_t(spark, sf_dir, "documents"))
+
+
 def text_encoding_quality(spark, sf_dir):
     """Encoding-health filter over deterministically corrupted variants
     (replacement char / mojibake 'Ã©' / C0 control byte appended by md5
@@ -1262,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_zorder_key": storage_zorder_key,
         "dedup_normalized": dedup_normalized,
         "text_encoding_quality": text_encoding_quality,
+        "profile_documents": profile_documents,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1921,6 +1930,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(doc_id) AS n_nulls,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+                   COUNT(DISTINCT text), MIN(text), MAX(text) FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+                   CAST(MAX(n_chars) AS VARCHAR) FROM documents
         """,
         "text_encoding_quality": r"""
             WITH c AS (

@@ -725,3 +725,36 @@ def encoding_quality(docs: DataFrame) -> DataFrame:
         ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0) & (frac <= 0.3))
         .alias("keep"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass data profiler: per column, row count, null count, exact
+    distinct count, and min/max (stringified) — the ingest-validation step
+    every corpus refresh runs before anything downstream trusts the data.
+
+    Single aggregate over the table (all columns' stats in one pass;
+    Catalyst plans the multi-column count-distinct as one Expand — the
+    documented cost; swap ``approx_count_distinct`` in when exactness
+    doesn't matter at 100 TB), then an explode-of-structs unpivot that
+    never touches the data again. Output: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value)."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    packed = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).cast("long").alias("n_nulls"),
+            F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_value"),
+            F.col(f"{c}__mx").alias("max_value"),
+        ) for c in cols])
+    return one.select(F.explode(packed).alias("p")).select("p.*")

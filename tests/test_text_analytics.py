@@ -314,3 +314,16 @@ def test_encoding_quality_signals(spark):
     assert not got[4]["keep"] and got[4]["n_ctrl"] == 1
     assert not got[5]["keep"] and got[5]["nonascii_frac"] > 0.3
     assert got[6]["keep"] and 0 < got[6]["nonascii_frac"] <= 0.3
+
+
+def test_profile_table(spark):
+    from ocr_redaction_engine_spark.analytics.text import profile_table
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bb", 5), (3, "aa", 7), (None, None, 7)],
+        "id long, s string, v long")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 1
+    assert got["id"]["n_distinct"] == 3
+    assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "3")
+    assert got["s"]["n_distinct"] == 2 and got["s"]["n_nulls"] == 1
+    assert got["v"]["n_distinct"] == 2 and got["v"]["min_value"] == "5"
