@@ -618,6 +618,15 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def web_robots_filter(spark, sf_dir):
+    """Robots.txt longest-prefix filtering over the synthetic messy URLs:
+    char-prefix explode (bounded by the longest rule) + broadcast rule join
+    + max-(length, allow) struct agg — Google tie-break semantics."""
+    from ocr_redaction_engine_spark.analytics.webgraph import (
+        robots_filter, synth_urls)
+    return robots_filter(synth_urls(_t(spark, sf_dir, "documents")))
+
+
 def profile_documents(spark, sf_dir):
     """One-pass table profiler over `documents`: per-column row/null/exact
     distinct counts + stringified min/max in a single aggregate, unpivoted
@@ -1271,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": dedup_normalized,
         "text_encoding_quality": text_encoding_quality,
         "profile_documents": profile_documents,
+        "web_robots_filter": web_robots_filter,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1930,6 +1940,24 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "web_robots_filter": r"""
+            -- ground truth, independent of the prefix-explode algorithm:
+            -- path is '/articles/' || hex6; rule '/articles/a' (len 11,
+            -- allow) wins iff the hex starts with 'a', else '/articles/'
+            -- (len 10, disallow) is the longest match
+            WITH u AS (SELECT doc_id, md5(doc_id || ':url') AS h FROM documents)
+            SELECT doc_id,
+                   'HTTP://' ||
+                   CASE WHEN CAST('0x' || substring(h, 1, 2) AS BIGINT) % 2 = 0
+                        THEN 'WWW.Example-Site.COM' ELSE 'www.example-site.com' END ||
+                   ':80/articles/' || substring(h, 3, 6) ||
+                   '?utm_source=feed&id=' || substring(h, 9, 4) ||
+                   '&utm_campaign=x&ref=home#section-' || substring(h, 13, 2) AS url,
+                   CAST(CASE WHEN substring(h, 3, 1) = 'a' THEN 11 ELSE 10 END AS INT)
+                     AS match_len,
+                   substring(h, 3, 1) = 'a' AS allowed
+            FROM u
         """,
         "profile_documents": """
             SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,

@@ -241,3 +241,56 @@ def domain_cap(pages: DataFrame, cap: int = 5, salts: int = 8) -> DataFrame:
     return (s1.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= cap)
             .select("doc_id", "domain", "rank"))
+
+
+#: default robots ruleset for the driver gate: longest-match semantics make
+#: /articles/a* crawlable while the rest of /articles/ is not.
+DEFAULT_ROBOTS_RULES = [
+    ("/", True),
+    ("/articles/", False),
+    ("/articles/a", True),
+    ("/private/", False),
+]
+
+
+def robots_filter(urls: DataFrame,
+                  rules: list[tuple[str, bool]] | None = None) -> DataFrame:
+    """Robots.txt path filtering with Google longest-match semantics: the
+    longest rule prefix matching the URL path wins; on equal length, Allow
+    beats Disallow; no match ⇒ allowed.
+
+    Scale shape: the ruleset is tiny (a site's robots file) and broadcast;
+    each URL explodes only the character prefixes of its path up to the
+    longest rule (≤ a few dozen rows, map-side), candidates come from the
+    prefix equi-join — never a regex-per-rule scan — and one hash-agg on
+    doc_id takes the max (length, allow) struct. All Catalyst.
+
+    Returns (doc_id, url, match_len, allowed)."""
+    rules = DEFAULT_ROBOTS_RULES if rules is None else rules
+    spark = urls.sparkSession
+    rdf = spark.createDataFrame(
+        [(p, a, len(p)) for p, a in rules], "prefix string, allow boolean, plen int")
+    max_len = max(len(p) for p, _ in rules)
+
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    pref = urls.select(
+        "doc_id", "url", path.alias("path")
+    ).select(
+        "doc_id", "url",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.least(F.length("path"), F.lit(max_len))),
+            lambda i: F.col("path").substr(F.lit(1), i))).alias("prefix"),
+    )
+    wins = (
+        pref.join(F.broadcast(rdf), "prefix")
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("plen"), F.col("allow"))).alias("w"))
+        .select("doc_id", F.col("w.plen").alias("match_len"),
+                F.col("w.allow").alias("allowed"))
+    )
+    return (
+        urls.join(wins, "doc_id", "left")
+        .select("doc_id", "url",
+                F.coalesce("match_len", F.lit(0)).alias("match_len"),
+                F.coalesce("allowed", F.lit(True)).alias("allowed"))
+    )

@@ -146,3 +146,25 @@ def test_domain_cap_equals_single_window_and_caps(spark):
         assert len(by_dom[f"cold{i % 7}.org"]) <= 4
     # registrable-domain extraction collapses subdomains
     assert "hot.example.com" not in by_dom
+
+
+def test_robots_filter_longest_match_and_ties(spark):
+    from ocr_redaction_engine_spark.analytics.webgraph import robots_filter
+    urls = spark.createDataFrame(
+        [(1, "http://x.com/articles/abc"),   # /articles/a (11, allow) wins
+         (2, "http://x.com/articles/zzz"),   # /articles/ (10, disallow)
+         (3, "http://x.com/private/x"),      # /private/ disallow
+         (4, "http://x.com/other/page"),     # only '/' matches -> allow
+         (5, "http://x.com"),                # empty path: no match -> allow
+         (6, "http://x.com/tie")],           # equal-length allow vs disallow
+        "doc_id long, url string")
+    rules = [("/", True), ("/articles/", False), ("/articles/a", True),
+             ("/private/", False), ("/tie", False), ("/tie", True)]
+    got = {r["doc_id"]: (r["match_len"], r["allowed"])
+           for r in robots_filter(urls, rules).collect()}
+    assert got[1] == (11, True)
+    assert got[2] == (10, False)
+    assert got[3] == (9, False)
+    assert got[4] == (1, True)
+    assert got[5] == (0, True)   # unmatched URL kept, allowed by default
+    assert got[6] == (4, True)   # tie at len 4: Allow beats Disallow
