@@ -618,6 +618,14 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def text_length_outliers(spark, sf_dir):
+    """Median+MAD robust outlier flags on n_chars per source: two tiny
+    per-group aggs broadcast back; integer-median halves keep every
+    comparison binary-exact."""
+    from ocr_redaction_engine_spark.analytics.text import length_outliers
+    return length_outliers(_t(spark, sf_dir, "documents"))
+
+
 def web_robots_filter(spark, sf_dir):
     """Robots.txt longest-prefix filtering over the synthetic messy URLs:
     char-prefix explode (bounded by the longest rule) + broadcast rule join
@@ -1281,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_encoding_quality": text_encoding_quality,
         "profile_documents": profile_documents,
         "web_robots_filter": web_robots_filter,
+        "text_length_outliers": text_length_outliers,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1940,6 +1949,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "text_length_outliers": """
+            WITH med AS (
+              SELECT source, quantile_cont(n_chars, 0.5) AS med
+              FROM documents GROUP BY source),
+            dev AS (
+              SELECT d.doc_id, d.source, d.n_chars, m.med,
+                     abs(d.n_chars - m.med) AS adev
+              FROM documents d JOIN med m ON d.source = m.source),
+            mad AS (
+              SELECT source, quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY source)
+            SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad,
+                   abs(dev.n_chars - dev.med) > 3.0 * mad.mad AS is_outlier
+            FROM dev JOIN mad ON dev.source = mad.source
         """,
         "web_robots_filter": r"""
             -- ground truth, independent of the prefix-explode algorithm:

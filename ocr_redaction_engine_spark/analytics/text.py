@@ -758,3 +758,29 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.col(f"{c}__mx").alias("max_value"),
         ) for c in cols])
     return one.select(F.explode(packed).alias("p")).select("p.*")
+
+
+def length_outliers(docs: DataFrame, group: str = "source",
+                    k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier flags on document length: median + MAD
+    (median absolute deviation) — the corpus-QA step that catches truncated
+    or concatenated documents without a distribution assumption (unlike
+    z-scores, one 100 MB page cannot drag the threshold).
+
+    Two tiny per-group aggregates (exact ``percentile`` here —
+    ``percentile_approx`` at 100 TB, same plan) broadcast back onto the
+    rows; everything else is map-side arithmetic. Medians of integers land
+    on halves, so med/MAD/threshold are binary-exact doubles and the flag
+    can never drift cross-engine.
+
+    Output: (doc_id, group, n_chars, med, mad, is_outlier)."""
+    med = docs.groupBy(group).agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = (docs.join(F.broadcast(med), group)
+           .withColumn("adev", F.abs(F.col("n_chars") - F.col("med"))))
+    mad = dev.groupBy(group).agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (dev.join(F.broadcast(mad), group)
+            .select("doc_id", group, "n_chars", "med", "mad",
+                    (F.abs(F.col("n_chars") - F.col("med"))
+                     > F.lit(k) * F.col("mad")).alias("is_outlier")))

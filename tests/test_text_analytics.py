@@ -327,3 +327,17 @@ def test_profile_table(spark):
     assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "3")
     assert got["s"]["n_distinct"] == 2 and got["s"]["n_nulls"] == 1
     assert got["v"]["n_distinct"] == 2 and got["v"]["min_value"] == "5"
+
+
+def test_length_outliers_mad(spark):
+    from ocr_redaction_engine_spark.analytics.text import length_outliers
+    rows = ([(i, "s", 100 + i % 5) for i in range(20)]     # tight cluster
+            + [(100, "s", 5000),                            # wild outlier
+               (200, "t", 10), (201, "t", 1000)])           # 2-row group
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r["doc_id"]: r for r in length_outliers(docs).collect()}
+    assert got[100]["is_outlier"]
+    assert all(not got[i]["is_outlier"] for i in range(20))
+    # 2-row group: med/mad are midpoints; both rows sit exactly at 1*mad -> kept
+    assert got[200]["med"] == 505.0 and got[200]["mad"] == 495.0
+    assert not got[200]["is_outlier"] and not got[201]["is_outlier"]
