@@ -618,6 +618,14 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def text_source_kl(spark, sf_dir):
+    """KL(source ‖ corpus) token-distribution drift per source: one
+    (source, token) hash-agg + vocab-sized broadcast marginals; fixed
+    integer-count parenthesization, round-9 contributions → round-6 sum."""
+    from ocr_redaction_engine_spark.analytics.text import source_kl_divergence
+    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
 def text_length_outliers(spark, sf_dir):
     """Median+MAD robust outlier flags on n_chars per source: two tiny
     per-group aggs broadcast back; integer-median halves keep every
@@ -1290,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "web_robots_filter": web_robots_filter,
         "text_length_outliers": text_length_outliers,
+        "text_source_kl": text_source_kl,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1949,6 +1958,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "text_source_kl": f"""
+            WITH st AS (
+              SELECT source, tok AS t, CAST(COUNT(*) AS BIGINT) AS c_st
+              FROM (SELECT source, unnest({_TOK}) AS tok FROM documents)
+              WHERE tok <> '' GROUP BY source, tok),
+            ps AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+            mg AS (SELECT t, SUM(c_st) AS c_t FROM st GROUP BY t),
+            tot AS (SELECT SUM(c_t) AS n_total FROM mg)
+            SELECT st.source, ps.n_s AS n_tokens,
+                   round(SUM(round(
+                     (CAST(st.c_st AS DOUBLE) / ps.n_s) *
+                     ln((CAST(st.c_st AS DOUBLE) * tot.n_total) /
+                        (CAST(ps.n_s AS DOUBLE) * mg.c_t)), 9)), 6) AS kl
+            FROM st
+            JOIN ps ON st.source = ps.source
+            JOIN mg ON st.t = mg.t
+            CROSS JOIN tot
+            GROUP BY st.source, ps.n_s
         """,
         "text_length_outliers": """
             WITH med AS (

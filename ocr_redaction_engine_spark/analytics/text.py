@@ -784,3 +784,43 @@ def length_outliers(docs: DataFrame, group: str = "source",
             .select("doc_id", group, "n_chars", "med", "mad",
                     (F.abs(F.col("n_chars") - F.col("med"))
                      > F.lit(k) * F.col("mad")).alias("is_outlier")))
+
+
+def source_kl_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source token-distribution drift: KL(source ‖ corpus) =
+    Σ_t p_s(t)·ln(p_s(t)/p(t)) — the monitoring stat a recurring crawl
+    refresh watches to catch a source whose content distribution shifted
+    (spam flood, template change) before it pollutes the training mix.
+
+    Shape: one (source, token) hash-agg collapses the corpus; the corpus
+    marginal is a second vocab-sized agg broadcast back; per-source totals
+    ride a tiny broadcast too. Determinism: the ratio is one fixed
+    parenthesization over exact integer counts, (c_st·N)/(n_s·c_t);
+    per-term contributions round to 9 before the sum, the sum to 6 (the
+    bm25 cross-engine rule).
+
+    Output: (source, n_tokens, kl)."""
+    st = (
+        docs.select("source",
+                    F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t").agg(F.count("*").cast("long").alias("c_st"))
+    )
+    per_source = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    marginal = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    total = (marginal.agg(F.sum("c_t").alias("n_total"))
+             .withColumn("__k", F.pmod(F.col("n_total"), F.lit(1))))
+    ratio = ((F.col("c_st").cast("double") * F.col("n_total"))
+             / (F.col("n_s").cast("double") * F.col("c_t")))
+    contrib = F.round((F.col("c_st").cast("double") / F.col("n_s"))
+                      * F.log(ratio), 9)
+    return (
+        st.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(marginal), "t")
+        .withColumn("__k", F.pmod(F.col("c_st"), F.lit(1)))
+        .join(F.broadcast(total), "__k")
+        .withColumn("contrib", contrib)
+        .groupBy("source")
+        .agg(F.first("n_s").alias("n_tokens"),
+             F.round(F.sum("contrib"), 6).alias("kl"))
+    )

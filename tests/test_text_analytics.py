@@ -341,3 +341,29 @@ def test_length_outliers_mad(spark):
     # 2-row group: med/mad are midpoints; both rows sit exactly at 1*mad -> kept
     assert got[200]["med"] == 505.0 and got[200]["mad"] == 495.0
     assert not got[200]["is_outlier"] and not got[201]["is_outlier"]
+
+
+def test_source_kl_divergence_reference(spark):
+    import math
+    from collections import Counter
+    from ocr_redaction_engine_spark.analytics.text import source_kl_divergence
+    rows = [(0, "a a b c", "s1"), (1, "a b b d", "s1"),
+            (2, "x x x y", "s2"), (3, "a b c d", "s3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_tokens"], r["kl"])
+           for r in source_kl_divergence(docs).collect()}
+
+    per, marg = {}, Counter()
+    for _, t, s in rows:
+        per.setdefault(s, Counter()).update(t.split())
+        marg.update(t.split())
+    n_total = sum(marg.values())
+    for s, cnt in per.items():
+        n_s = sum(cnt.values())
+        kl = round(sum(
+            round((c / n_s) * math.log((float(c) * n_total) / (float(n_s) * marg[t])), 9)
+            for t, c in cnt.items()), 6)
+        assert got[s] == (n_s, kl)
+    # the skewed source drifts hardest from the corpus marginal
+    assert got["s2"][1] > got["s1"][1] and got["s2"][1] > got["s3"][1]
+    assert got["s3"][1] >= 0  # KL is non-negative
