@@ -61,6 +61,12 @@ HEADLINE = [
     # jobs would dominate bench wall-clock without exercising a new shape)
     "search_bm25", "ann_pq_adc", "dedup_semantic", "sample_dsir",
     "text_chunks",
+    # round-2g: fuzzy dictionary match (FastSS variant join), HLL sketch,
+    # weighted sampling, PMI collocations, skew-safe domain cap, normalized
+    # dedup, KL drift monitor
+    "search_fuzzy", "sketch_hll_distinct", "sample_weighted",
+    "text_pmi_collocations", "web_domain_cap", "dedup_normalized",
+    "text_source_kl",
 ]
 
 
