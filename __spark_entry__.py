@@ -618,6 +618,21 @@ def sketch_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy gibberish signal: per-row HOFs only (sequence/
+    substr/array_distinct/filter), map-only, round-9 terms → round-6 sum."""
+    from ocr_redaction_engine_spark.analytics.text import char_entropy
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def web_hits(spark, sf_dir):
+    """HITS hubs/authorities, 2 integer-exact iterations in micro-units:
+    half-iteration shuffles on dst then src, L1 normalization by integer
+    division with the 1-row total broadcast via pmod key."""
+    from ocr_redaction_engine_spark.analytics.webgraph import hits
+    return hits(_t(spark, sf_dir, "documents"), iters=2)
+
+
 def text_source_kl(spark, sf_dir):
     """KL(source ‖ corpus) token-distribution drift per source: one
     (source, token) hash-agg + vocab-sized broadcast marginals; fixed
@@ -1299,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_filter": web_robots_filter,
         "text_length_outliers": text_length_outliers,
         "text_source_kl": text_source_kl,
+        "web_hits": web_hits,
+        "text_char_entropy": text_char_entropy,
         "text_repetition": text_repetition,
         "text_stopwords": text_stopwords,
         "text_contamination": text_contamination,
@@ -1958,6 +1975,58 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(63 / (CAST(h_k AS DOUBLE) / 1152921504606846976.0), 6)
                         ELSE CAST(n_distinct AS DOUBLE) END AS est_distinct
             FROM g
+        """,
+        "text_char_entropy": """
+            WITH c AS (
+              SELECT doc_id, text, length(text) AS n,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> substr(text, i, 1)) AS chars
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_chars_used,
+                   CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+                   CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+                     round(list_sum(list_transform(list_distinct(chars), d ->
+                       round((CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
+                             * ln(CAST(n AS DOUBLE) /
+                                  len(list_filter(chars, x -> x = d))), 9))), 6)
+                   END AS entropy_nats
+            FROM c
+        """,
+        "web_hits": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            h0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS score FROM nodes),
+            a1r AS (SELECT e.dst, SUM(h.score) AS raw FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+            a1 AS (SELECT n.node,
+                          CAST(coalesce(r.raw, 0) * 1000000000 // (SELECT SUM(raw) FROM a1r) AS BIGINT) AS score
+                   FROM nodes n LEFT JOIN a1r r ON r.dst = n.node),
+            h1r AS (SELECT e.src, SUM(a.score) AS raw FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+            h1 AS (SELECT n.node,
+                          CAST(coalesce(r.raw, 0) * 1000000000 // (SELECT SUM(raw) FROM h1r) AS BIGINT) AS score
+                   FROM nodes n LEFT JOIN h1r r ON r.src = n.node),
+            a2r AS (SELECT e.dst, SUM(h.score) AS raw FROM edges e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+            a2 AS (SELECT n.node,
+                          CAST(coalesce(r.raw, 0) * 1000000000 // (SELECT SUM(raw) FROM a2r) AS BIGINT) AS score
+                   FROM nodes n LEFT JOIN a2r r ON r.dst = n.node),
+            h2r AS (SELECT e.src, SUM(a.score) AS raw FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+            h2 AS (SELECT n.node,
+                          CAST(coalesce(r.raw, 0) * 1000000000 // (SELECT SUM(raw) FROM h2r) AS BIGINT) AS score
+                   FROM nodes n LEFT JOIN h2r r ON r.src = n.node)
+            SELECT n.doc_id, a2.score AS auth_micro, h2.score AS hub_micro
+            FROM nodes n JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node
         """,
         "text_source_kl": f"""
             WITH st AS (

@@ -824,3 +824,32 @@ def source_kl_divergence(docs: DataFrame) -> DataFrame:
         .agg(F.first("n_s").alias("n_tokens"),
              F.round(F.sum("contrib"), 6).alias("kl"))
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    base64-blob / keyboard-mash detector (natural language sits ~3.5–4.5
+    bits; runs of one char near 0; random base64 near 6).
+
+    Entirely per-row higher-order functions (sequence → substr chars,
+    array_distinct, filter-count per distinct char): map-only, zero
+    shuffles, O(distinct·len) per row bounded by the alphabet. Per-char
+    contributions p·ln(1/p) are round-9 over exact integer count ratios,
+    the sum round-6 (list order may differ per engine; drift is 1e-15).
+
+    Output: (doc_id, n_chars_used, n_distinct_chars, entropy_nats)."""
+    chars = "transform(sequence(1, length(text)), i -> substr(text, i, 1))"
+    cnt = f"size(filter({chars}, c -> c = d))"
+    e = (
+        f"CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"round(aggregate(array_distinct({chars}), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + round((CAST({cnt} AS DOUBLE) / length(text)) * "
+        f"ln(CAST(length(text) AS DOUBLE) / {cnt}), 9)), 6) END"
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_used"),
+        F.size(F.expr(f"array_distinct({chars})")).cast("long")
+        .alias("n_distinct_chars"),
+        F.expr(e).alias("entropy_nats"),
+    )

@@ -294,3 +294,62 @@ def robots_filter(urls: DataFrame,
                 F.coalesce("match_len", F.lit(0)).alias("match_len"),
                 F.coalesce("allowed", F.lit(True)).alias("allowed"))
     )
+
+
+HITS_SCALE = 10**9  # L1 micro-units: raw·SCALE stays < 2^63 at outdeg ≤ 4
+
+
+def hits(docs: DataFrame, iters: int = 2,
+         edges: DataFrame | None = None) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the synthetic outlink
+    graph — the query-independent companion of [[pagerank]] for crawl
+    seed-list curation (authorities = well-cited pages, hubs = good link
+    pages).
+
+    Same integer discipline as pagerank: scores live in micro-units,
+    authority(v) = Σ hub(u) over in-edges then L1-normalized as
+    ``raw · SCALE div total`` (integer division — exact, order-independent
+    distributed sums), hub(u) = Σ authority(v) over out-edges likewise.
+    One shuffle per half-iteration (agg on dst, then src); the total is a
+    1-row aggregate attached via the pmod-key BroadcastHashJoin trick.
+
+    Returns (doc_id, auth_micro, hub_micro) after ``iters`` rounds.
+    ``edges`` (src, dst node ids) overrides the synthetic graph — that is
+    how a real crawl's extracted link table plugs in."""
+    n_nodes = docs.select("doc_id").distinct().count()
+    nodes = _doc_nodes(docs)
+    if edges is None:
+        edges = synth_edges(docs, n_nodes).select("src", "dst")
+    edges = edges.persist()
+
+    def l1_norm(raw: DataFrame, key: str) -> DataFrame:
+        """(key, raw) → every node's score = raw·SCALE div Σraw (missing
+        nodes get 0 before normalization)."""
+        tot = (raw.agg(F.sum("raw").alias("tot"))
+               .withColumn("__k", F.pmod(F.col("tot"), F.lit(1))))
+        return (
+            nodes.join(raw.withColumnRenamed(key, "node"), "node", "left")
+            .select("node", F.coalesce("raw", F.lit(0)).alias("raw"))
+            .withColumn("__k", F.pmod(F.col("raw"), F.lit(1)))
+            .join(F.broadcast(tot), "__k")
+            .select("node",
+                    F.expr(f"CAST(raw * {HITS_SCALE} div tot AS BIGINT)")
+                    .alias("score"))
+        )
+
+    hub = nodes.select(
+        "node", F.lit(HITS_SCALE // n_nodes).cast("long").alias("score"))
+    auth = None
+    for _ in range(iters):
+        raw_a = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst").agg(F.sum("score").alias("raw")))
+        auth = l1_norm(raw_a, "dst")
+        raw_h = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src").agg(F.sum("score").alias("raw")))
+        hub = l1_norm(raw_h, "src")
+    out = (nodes
+           .join(auth.withColumnRenamed("score", "auth_micro"), "node")
+           .join(hub.withColumnRenamed("score", "hub_micro"), "node")
+           .select("doc_id", "auth_micro", "hub_micro"))
+    edges.unpersist()
+    return out

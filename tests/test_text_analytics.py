@@ -367,3 +367,23 @@ def test_source_kl_divergence_reference(spark):
     # the skewed source drifts hardest from the corpus marginal
     assert got["s2"][1] > got["s1"][1] and got["s2"][1] > got["s3"][1]
     assert got["s3"][1] >= 0  # KL is non-negative
+
+
+def test_char_entropy_reference(spark):
+    import math
+    from collections import Counter
+    from ocr_redaction_engine_spark.analytics.text import char_entropy
+    texts = ["aaaa", "abab", "the quick brown fox", "a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        n = len(t)
+        cnt = Counter(t)
+        ref = round(sum(round((c / n) * math.log(n / c), 9)
+                        for c in cnt.values()), 6)
+        assert got[i]["entropy_nats"] == ref
+        assert got[i]["n_distinct_chars"] == len(cnt)
+    assert got[0]["entropy_nats"] == 0.0          # single-symbol run
+    assert got[1]["entropy_nats"] == round(math.log(2), 6)
+    assert got[2]["entropy_nats"] > got[1]["entropy_nats"] > got[0]["entropy_nats"]

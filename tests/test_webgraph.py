@@ -168,3 +168,30 @@ def test_robots_filter_longest_match_and_ties(spark):
     assert got[4] == (1, True)
     assert got[5] == (0, True)   # unmatched URL kept, allowed by default
     assert got[6] == (4, True)   # tie at len 4: Allow beats Disallow
+
+
+def test_hits_matches_sequential_reference(spark):
+    """Integer-exact HITS vs an independent sequential Python reference on a
+    planted hub/authority graph."""
+    from ocr_redaction_engine_spark.analytics.webgraph import HITS_SCALE, hits
+    # nodes 0..4 (doc order): 0 and 1 are hubs pointing at 3 and 4; 2 points
+    # only at 3 -> 3 is the top authority, 0/1 the top hubs
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    edge_list = [(0, 3), (0, 4), (1, 3), (1, 4), (2, 3)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["doc_id"]: (r["auth_micro"], r["hub_micro"])
+           for r in hits(docs, iters=2, edges=edges).collect()}
+
+    n = 5
+    hub = {u: HITS_SCALE // n for u in range(n)}
+    auth = {}
+    for _ in range(2):
+        raw_a = {v: sum(hub[u] for u, w in edge_list if w == v) for v in range(n)}
+        ta = sum(raw_a.values())
+        auth = {v: raw_a[v] * HITS_SCALE // ta for v in range(n)}
+        raw_h = {u: sum(auth[v] for w, v in edge_list if w == u) for u in range(n)}
+        th = sum(raw_h.values())
+        hub = {u: raw_h[u] * HITS_SCALE // th for u in range(n)}
+    assert got == {i: (auth[i], hub[i]) for i in range(5)}
+    assert max(got, key=lambda i: got[i][0]) == 3   # planted authority
+    assert got[0][1] == got[1][1] > got[2][1]       # planted hubs tie, beat 2
