@@ -1037,6 +1037,20 @@ def multimodal_resample(spark, sf_dir):
     return resample_bytes(synthesize_binary(spark, N_MEDIA), every_n=4)
 
 
+N_TWINS = 50
+
+
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over opaque media payloads: aHash
+    60-bit signatures (one Arrow stage) -> 4x15-bit LSH band join ->
+    exact Hamming verify. 50 planted one-byte-retouched twins give the
+    detector real positives; organic md5-chain collisions ride along."""
+    from ocr_redaction_engine_spark.analytics.multimodal import (
+        phash_near_dup_pairs, phash_signatures, synthesize_binary_with_twins)
+    media = synthesize_binary_with_twins(spark, N_MEDIA, N_TWINS)
+    return phash_near_dup_pairs(phash_signatures(media))
+
+
 def extract_block_stats(spark, sf_dir):
     """HTML boilerplate strip, block level: segment deterministic markup
     around each document into DOM blocks and score text length / link
@@ -1345,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_window_energy": multimodal_window_energy,
         "multimodal_resample": multimodal_resample,
+        "multimodal_phash_dedup": multimodal_phash_dedup,
         "extract_block_stats": extract_block_stats,
         "extract_main_text": extract_main_text,
         "extract_dom_main": extract_dom_main,
@@ -3128,6 +3143,66 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resample": _MEDIA_CTE + """
             SELECT media_id, i // 4 AS out_idx, CAST(v AS BIGINT) AS v
             FROM bytes WHERE i % 4 = 0
+        """,
+        # twin-aware payload CTE: ids >= N_MEDIA reuse the source chain with
+        # the first byte zeroed ('00' || substring(hx, 3)) — the DuckDB twin
+        # of multimodal.twin_payload / synthesize_binary_with_twins.
+        "multimodal_phash_dedup": f"""
+            WITH RECURSIVE ids AS (
+              SELECT CAST(r.range AS BIGINT) AS media_id,
+                     CAST(r.range AS BIGINT) AS src_id
+              FROM range({N_MEDIA}) r
+              UNION ALL
+              SELECT {N_MEDIA} + CAST(r.range AS BIGINT), CAST(r.range AS BIGINT)
+              FROM range({N_TWINS}) r
+            ),
+            base AS (
+              SELECT media_id, src_id,
+                     256 + (CAST('0x' || substring(md5('42:' || CAST(src_id AS VARCHAR) || ':len'), 1, 4) AS INT) % 1024) AS ln
+              FROM ids),
+            chain AS (
+              SELECT media_id, ln, md5('42:' || CAST(src_id AS VARCHAR)) AS hx,
+                     md5('42:' || CAST(src_id AS VARCHAR)) AS acc
+              FROM base
+              UNION ALL
+              SELECT media_id, ln, md5(hx), acc || md5(hx) FROM chain WHERE length(acc) < 2*ln
+            ),
+            payload AS (
+              SELECT media_id, ln,
+                     CASE WHEN media_id >= {N_MEDIA}
+                          THEN '00' || substring(substring(acc, 1, CAST(2*ln AS INT)), 3)
+                          ELSE substring(acc, 1, CAST(2*ln AS INT)) END AS hx
+              FROM chain WHERE length(acc) >= 2*ln),
+            bytes AS (
+              SELECT media_id, ln, CAST(i.range AS BIGINT) AS i,
+                     CAST('0x' || substring(hx, CAST(2*i.range+1 AS INT), 2) AS INT) AS v
+              FROM payload CROSS JOIN range(1280) i
+              WHERE i.range < ln),
+            cells AS (
+              SELECT media_id, (i*60)//ln AS j, SUM(v) AS s, COUNT(*) AS c
+              FROM bytes GROUP BY media_id, (i*60)//ln),
+            tot AS (
+              SELECT media_id, (SUM(v)*1000000)//ln AS gfp
+              FROM bytes GROUP BY media_id, ln),
+            bits AS (
+              SELECT c.media_id, c.j,
+                     CASE WHEN (c.s*1000000)//c.c > t.gfp THEN 1 ELSE 0 END AS bit
+              FROM cells c JOIN tot t USING (media_id)),
+            ph AS (
+              SELECT media_id,
+                     SUM(CAST(bit AS BIGINT) << CAST(j AS INT)) AS phash
+              FROM bits GROUP BY media_id),
+            bandt AS (
+              SELECT media_id, phash, CAST(b.range AS INT) AS band_idx,
+                     (phash >> CAST(15*b.range AS INT)) & 32767 AS band_val
+              FROM ph CROSS JOIN range(4) b),
+            cand AS (
+              SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+                     CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+              FROM bandt x JOIN bandt y
+                ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+               AND x.media_id < y.media_id)
+            SELECT a, b, hamming FROM cand WHERE hamming <= 14
         """,
         "multimodal_frame_sample": _MEDIA_CTE + """
             , frames AS (

@@ -301,3 +301,107 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     raise NotImplementedError(
         "video frame sampling requires a codec; sample_frames_bytes "
         "exercises the identical 1-to-N mapInPandas shape")
+
+
+def twin_payload(seed: int, i: int) -> bytes:
+    """Near-duplicate of ``_payload(seed, i)``: identical bytes except the
+    first byte is zeroed — the 'same image, one pixel retouched' case a
+    perceptual hash must still catch. Mirrored in the oracle CTE as
+    ``'00' || substring(hx, 3)``."""
+    p = bytearray(_payload(seed, i))
+    p[0] = 0x00
+    return bytes(p)
+
+
+def synthesize_binary_with_twins(spark, n: int, twins: int, seed: int = 42,
+                                 partitions: int = 8) -> DataFrame:
+    """``synthesize_binary`` plus ``twins`` planted near-duplicates: media_id
+    in [n, n+twins) carries ``twin_payload(seed, media_id - n)``. Gives the
+    perceptual-hash dedup path real positives to find (pure md5-chain
+    payloads are mutually random, so organic near-dups are vanishingly
+    rare)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = twin_payload(seed, i - n) if i >= n else _payload(seed, i)
+                out.append((i, payload, "image/fake"))
+            yield pd.DataFrame(out, columns=["media_id", "content", "mime"])
+
+    return spark.range(n + twins).repartition(partitions).mapInPandas(
+        gen, schema="media_id long, content binary, mime string")
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def phash_signatures(media: DataFrame, cells: int = 60) -> DataFrame:
+    """Perceptual average-hash (aHash) over opaque payloads: map byte ``i``
+    of an ``n``-byte payload to grid cell ``i*cells//n`` (the byte-stream
+    analog of resizing an image to a fixed cells-pixel grid), take the
+    fixed-point mean per cell, and set bit ``j`` iff cell ``j``'s mean
+    exceeds the whole-payload mean. 60 bits so the hash stays a positive
+    int64 (same budget as the SimHash kernel). Integer-exact: means are
+    ``sum*10^6 // count``, comparison is strict ``>`` — Spark and the DuckDB
+    oracle agree bit-for-bit. numpy-vectorized per Arrow batch; a real image
+    pipeline swaps the byte view for decoded grayscale pixels and nothing
+    downstream changes."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            mids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                idx = (np.arange(n, dtype=np.int64) * cells) // n
+                sums = np.bincount(idx, weights=arr, minlength=cells).astype(np.int64)
+                cnts = np.bincount(idx, minlength=cells).astype(np.int64)
+                cell_fp = sums * 1_000_000 // cnts
+                g_fp = int(arr.sum()) * 1_000_000 // n
+                bits = (cell_fp > g_fp).astype(np.int64)
+                ph = int((bits << np.arange(cells, dtype=np.int64)).sum())
+                mids.append(int(mid))
+                hashes.append(ph)
+            yield pd.DataFrame({"media_id": pd.Series(mids, dtype="int64"),
+                                "phash": pd.Series(hashes, dtype="int64")})
+
+    return media.select("media_id", "content").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(sigs: DataFrame, bands: int = 4, band_bits: int = 15,
+                         max_hamming: int = 14) -> DataFrame:
+    """LSH-banded perceptual near-dup pairs: split each 60-bit hash into
+    ``bands`` contiguous ``band_bits``-bit bands, equi-join on
+    (band_idx, band_val) — candidates are hash-bucket collisions, never
+    all-pairs — then verify with exact Hamming distance
+    ``bit_count(phash_a ^ phash_b) <= max_hamming``. All Catalyst after the
+    signature stage: one explode, one shuffle on the band key, one distinct.
+    At 100 TB a pathological hot band (e.g. billions of all-black frames)
+    gets the same salting/cap treatment as ``webgraph.domain_cap``; for the
+    organic distribution the band key is uniform."""
+    from pyspark.sql import functions as F
+
+    band_rows = sigs.select(
+        "media_id", "phash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.shiftright("phash", b * band_bits)
+                      .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_val"))
+            for b in range(bands)])).alias("band"),
+    ).select("media_id", "phash", "band.band_idx", "band.band_val")
+
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    return (
+        x.join(y, on=[F.col("x.band_idx") == F.col("y.band_idx"),
+                      F.col("x.band_val") == F.col("y.band_val"),
+                      F.col("x.media_id") < F.col("y.media_id")])
+        .select(F.col("x.media_id").alias("a"), F.col("y.media_id").alias("b"),
+                F.expr("CAST(bit_count(x.phash ^ y.phash) AS INT)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -115,3 +115,72 @@ def test_resize_image_stub_raises(media):
     from ocr_redaction_engine_spark.analytics.multimodal import resize_image
     with pytest.raises(NotImplementedError):
         resize_image(media, 32, 32)
+
+
+def _phash_py(buf: bytes, cells: int = 60) -> int:
+    """Independent pure-Python aHash oracle (no numpy)."""
+    n = len(buf)
+    sums = [0] * cells
+    cnts = [0] * cells
+    total = 0
+    for i, v in enumerate(buf):
+        j = i * cells // n
+        sums[j] += v
+        cnts[j] += 1
+        total += v
+    gfp = total * 1_000_000 // n
+    ph = 0
+    for j in range(cells):
+        if sums[j] * 1_000_000 // cnts[j] > gfp:
+            ph |= 1 << j
+    return ph
+
+
+def test_phash_signatures_match_pure_python(spark):
+    from ocr_redaction_engine_spark.analytics.multimodal import (
+        phash_signatures, synthesize_binary_with_twins, twin_payload)
+
+    media = synthesize_binary_with_twins(spark, 30, 10, seed=42, partitions=4)
+    got = {r.media_id: r.phash for r in phash_signatures(media).collect()}
+    assert len(got) == 40
+    for mid, ph in got.items():
+        buf = twin_payload(42, mid - 30) if mid >= 30 else _payload(42, mid)
+        assert ph == _phash_py(buf), mid
+        assert 0 <= ph < 1 << 60
+
+
+def test_phash_band_join_finds_planted_twins(spark):
+    """Every one-byte-retouched twin must collide in >=1 band (the retouch
+    perturbs at most cell 0 + any global-mean borderline bits; with 4x15-bit
+    bands a handful of flipped bits still leaves an exact band) and pass the
+    Hamming verify; the pair set must equal an all-pairs brute force of the
+    same banding, i.e. the LSH join loses nothing the bands could find."""
+    from ocr_redaction_engine_spark.analytics.multimodal import (
+        phash_near_dup_pairs, phash_signatures, synthesize_binary_with_twins,
+        twin_payload)
+
+    n, twins = 30, 10
+    media = synthesize_binary_with_twins(spark, n, twins, seed=42, partitions=4)
+    pairs = {(r.a, r.b): r.hamming
+             for r in phash_near_dup_pairs(phash_signatures(media)).collect()}
+
+    sigs = {}
+    for mid in range(n + twins):
+        buf = twin_payload(42, mid - n) if mid >= n else _payload(42, mid)
+        sigs[mid] = _phash_py(buf)
+
+    def bands(ph):
+        return {(b, (ph >> (15 * b)) & 0x7FFF) for b in range(4)}
+
+    expect = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bands(sigs[a]) & bands(sigs[b]):
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 14:
+                    expect[(a, b)] = h
+    assert pairs == expect
+    for t in range(twins):
+        assert (t, n + t) in pairs, f"planted twin {t} missed"
+        assert pairs[(t, n + t)] <= 6
