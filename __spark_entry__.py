@@ -550,6 +550,14 @@ def text_quality(spark, sf_dir):
     return quality(_t(spark, sf_dir, "documents"))
 
 
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style line-shape quality rules over a deterministic decorated
+    line view (bullet / ellipsis / terminal-punctuation / duplicate-line
+    fractions + keep flag). Map-only per-row HOFs, zero shuffles."""
+    from ocr_redaction_engine_spark.analytics.text import gopher_line_stats
+    return gopher_line_stats(_t(spark, sf_dir, "documents"))
+
+
 def text_langid(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.text import langid
     return langid(_t(spark, sf_dir, "documents"))
@@ -700,6 +708,14 @@ def dedup_normalized(spark, sf_dir):
         .when(draw == 1, F.concat("text", F.lit(" !!! ???")))
         .otherwise(F.regexp_replace("text", " ", "   ")).alias("text"))
     return dn(docs.unionByName(mangled))
+
+
+def storage_compaction(spark, sf_dir):
+    """Small-file compaction plan (Iceberg rewrite_data_files analog):
+    running-offset bin packing of a deterministic per-source file inventory
+    — one window over metadata-scale rows, never touches data bytes."""
+    from ocr_redaction_engine_spark.storage import compaction_plan, synth_file_inventory
+    return compaction_plan(synth_file_inventory(_t(spark, sf_dir, "documents")))
 
 
 def storage_zorder_key(spark, sf_dir):
@@ -1107,6 +1123,15 @@ def web_pagerank(spark, sf_dir):
     return pagerank(_t(spark, sf_dir, "documents"), iters=3)
 
 
+def web_triangles(spark, sf_dir):
+    """Per-node triangle counts over the undirected synthetic link graph,
+    degree-ordered orientation (each triangle = one wedge + one closing
+    edge) so the wedge self-join is bounded by oriented out-degree — the
+    hub-safe shape at crawl scale."""
+    from ocr_redaction_engine_spark.analytics.webgraph import triangles
+    return triangles(_t(spark, sf_dir, "documents"))
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-frontier URL canonicalization: lowercase scheme/host, strip :80
     and fragment, drop utm_*/ref params, sort the survivors."""
@@ -1311,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "ann_cosine_topk": ann_cosine_topk,
         "text_quality": text_quality,
+        "text_gopher_rules": text_gopher_rules,
         "text_langid": text_langid,
         "text_vocab": text_vocab,
         "text_winnow_fp": text_winnow_fp,
@@ -1322,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_collocations": text_pmi_collocations,
         "web_domain_cap": web_domain_cap,
         "storage_zorder_key": storage_zorder_key,
+        "storage_compaction": storage_compaction,
         "dedup_normalized": dedup_normalized,
         "text_encoding_quality": text_encoding_quality,
         "profile_documents": profile_documents,
@@ -1368,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_links": web_links,
         "web_anchor_stats": web_anchor_stats,
         "web_pagerank": web_pagerank,
+        "web_triangles": web_triangles,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
@@ -1922,6 +1950,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 10
         """,
+        "text_gopher_rules": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            linest AS (
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS INT)), i ->
+                       concat(
+                         CASE WHEN CAST('0x' || substring(md5(doc_id || ':ln:' || CAST(i AS VARCHAR)), 1, 1) AS INT) < 3
+                              THEN '- ' ELSE '' END,
+                         array_to_string(tk[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)], ' '),
+                         CASE WHEN CAST('0x' || substring(md5(doc_id || ':ln:' || CAST(i AS VARCHAR)), 1, 1) AS INT) BETWEEN 3 AND 4
+                              THEN '...'
+                              WHEN CAST('0x' || substring(md5(doc_id || ':ln:' || CAST(i AS VARCHAR)), 1, 1) AS INT) BETWEEN 5 AND 10
+                              THEN '.' ELSE '' END)) AS lines
+              FROM toks)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   round(CAST(len(list_filter(lines, x -> x LIKE '- %')) AS DOUBLE) / len(lines), 6) AS bullet_frac,
+                   round(CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+                   round(CAST(len(list_filter(lines, x -> x LIKE '%.')) AS DOUBLE) / len(lines), 6) AS punct_end_frac,
+                   round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_frac,
+                   (CAST(len(list_filter(lines, x -> x LIKE '- %')) AS DOUBLE) / len(lines) <= 0.9
+                    AND CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE) / len(lines) <= 0.3) AS keep
+            FROM linest
+        """,
         "text_quality": f"""
             SELECT doc_id,
                    len({_TOK}) AS n_tokens,
@@ -2173,6 +2226,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT norm_fp, MIN(doc_id) AS rep_doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_members
             FROM n GROUP BY norm_fp
+        """,
+        "storage_compaction": """
+            WITH inv AS (
+              SELECT source,
+                     CAST('0x' || substring(md5(doc_id || ':file'), 1, 8) AS BIGINT) % 40 AS file_id,
+                     SUM(n_chars) AS file_bytes
+              FROM documents GROUP BY 1, 2),
+            planned AS (
+              SELECT source, file_id, file_bytes,
+                     CAST((SUM(file_bytes) OVER (PARTITION BY source ORDER BY file_id)
+                           - file_bytes) // 60000 AS BIGINT) AS bin
+              FROM inv)
+            SELECT source, file_id, file_bytes, bin,
+                   CAST(row_number() OVER (PARTITION BY source, bin ORDER BY file_id)
+                        AS BIGINT) AS bin_seq
+            FROM planned
         """,
         "storage_zorder_key": """
             WITH base AS (
@@ -3263,6 +3332,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS BIGINT) AS n_anchor_texts,
                    min(regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS first_anchor
             FROM m GROUP BY 1
+        """,
+        "web_triangles": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            degsrc AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM degsrc),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src <> dst),
+            degr AS (
+              SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+              GROUP BY node),
+            orient AS (
+              SELECT CASE WHEN x.d < y.d OR (x.d = y.d AND e.u < e.v)
+                          THEN e.u ELSE e.v END AS a,
+                     CASE WHEN x.d < y.d OR (x.d = y.d AND e.u < e.v)
+                          THEN e.v ELSE e.u END AS b
+              FROM und e JOIN degr x ON x.node = e.u JOIN degr y ON y.node = e.v),
+            tri AS (
+              SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
+              FROM orient e1
+              JOIN orient e2 ON e2.a = e1.b
+              JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (
+              SELECT wa AS node FROM tri
+              UNION ALL SELECT wb FROM tri
+              UNION ALL SELECT wc FROM tri),
+            cnt AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node)
+            SELECT n.doc_id, CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri
+            FROM nodes n LEFT JOIN cnt c ON c.node = n.node
         """,
         "web_pagerank": r"""
             WITH nodes AS (

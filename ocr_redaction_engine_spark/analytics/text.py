@@ -853,3 +853,57 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         .alias("n_distinct_chars"),
         F.expr(e).alias("entropy_nats"),
     )
+
+
+def decorated_lines(docs: DataFrame, per_line: int = 8) -> DataFrame:
+    """Deterministic 'web-shaped' line view of the token corpus: chunk each
+    document's tokens into ``per_line``-token lines, then decorate line i
+    from the first hex digit d of md5(doc_id:ln:i) — bullet prefix ``- ``
+    for d<3, trailing ``...`` for d in 3..4, terminal ``.`` for d in 5..10,
+    bare otherwise. Pure Catalyst HOFs, mirrored 1:1 by the DuckDB oracle
+    (same construction discipline as extraction.as_html): the corpus tables
+    carry no line structure, so the structure a Gopher-rule pass consumes is
+    synthesized; only the synthesis is fake, the rule engine below is the
+    product."""
+    return docs.withColumn(
+        "lines",
+        F.expr(f"""
+          transform(
+            sequence(0, CAST(ceil(size(split(text, ' ')) / {per_line}) AS INT) - 1),
+            i -> concat(
+              CASE WHEN conv(substring(md5(concat(doc_id, ':ln:', CAST(i AS STRING))), 1, 1), 16, 10) < 3
+                   THEN '- ' ELSE '' END,
+              array_join(slice(split(text, ' '), i*{per_line} + 1, {per_line}), ' '),
+              CASE WHEN conv(substring(md5(concat(doc_id, ':ln:', CAST(i AS STRING))), 1, 1), 16, 10) BETWEEN 3 AND 4
+                   THEN '...'
+                   WHEN conv(substring(md5(concat(doc_id, ':ln:', CAST(i AS STRING))), 1, 1), 16, 10) BETWEEN 5 AND 10
+                   THEN '.' ELSE '' END))
+        """))
+
+
+def gopher_line_stats(docs: DataFrame,
+                      max_bullet_frac: float = 0.9,
+                      max_ellipsis_frac: float = 0.3) -> DataFrame:
+    """Gopher-style line-shape quality rules (Rae et al. 2021 §A1.1): the
+    fraction of lines that are bullets, that trail off in an ellipsis, that
+    end in terminal punctuation, and the duplicate-line fraction — plus the
+    keep flag at the paper's thresholds (<=90% bullets, <=30% ellipses).
+    Map-only per-row HOF arithmetic over the decorated-line view: zero
+    shuffles, embarrassingly scalable; ratios are round-6 over exact integer
+    counts so engines agree."""
+    d = decorated_lines(docs)
+    n = F.size("lines")
+    bullets = F.size(F.expr("filter(lines, x -> x LIKE '- %')"))
+    ellipses = F.size(F.expr("filter(lines, x -> x LIKE '%...')"))
+    punctend = F.size(F.expr("filter(lines, x -> x LIKE '%.')"))
+    distinct = F.size(F.array_distinct("lines"))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_lines"),
+        F.round(bullets / n, 6).alias("bullet_frac"),
+        F.round(ellipses / n, 6).alias("ellipsis_frac"),
+        F.round(punctend / n, 6).alias("punct_end_frac"),
+        F.round(F.lit(1.0) - distinct / n, 6).alias("dup_line_frac"),
+        ((bullets / n <= max_bullet_frac) & (ellipses / n <= max_ellipsis_frac))
+        .alias("keep"),
+    )

@@ -353,3 +353,60 @@ def hits(docs: DataFrame, iters: int = 2,
            .select("doc_id", "auth_micro", "hub_micro"))
     edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (graph clustering signal for crawl-quality scoring)
+# ---------------------------------------------------------------------------
+
+def triangles(docs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected synthetic link graph,
+    degree-ordered: each undirected edge is oriented from its
+    (degree, node)-smaller endpoint to the larger, so every triangle is a
+    single wedge (a->b, b->c) closed by (a->c) — counted exactly once, and
+    the wedge fan-out at any node is bounded by its *oriented* out-degree
+    (O(sqrt(m)) on any graph), which is what keeps the self-join from
+    exploding on crawl-scale hub nodes where naive wedge counting dies.
+    Two shuffling joins on node keys + one hash-agg; integer-exact, so the
+    DuckDB oracle matches bit-for-bit.
+
+    Returns (doc_id, n_tri) for every document, zero-filled.
+    """
+    n_nodes = docs.select("doc_id").distinct().count()  # metadata-scale scalar
+    nodes = _doc_nodes(docs)
+    und = (
+        synth_edges(docs, n_nodes)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node")).unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u").join(dv, "v")
+        .select(
+            F.when((F.col("du") < F.col("dv")) |
+                   ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                   F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when((F.col("du") < F.col("dv")) |
+                   ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                   F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+    e2 = oriented.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+    wedges = e1.join(e2, "wb")
+    closing = oriented.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+    tri = wedges.join(closing, ["wa", "wc"])  # (wa, wb, wc) each exactly once
+    corners = (
+        tri.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        nodes.join(corners, "node", "left")
+        .select("doc_id", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"))
+    )

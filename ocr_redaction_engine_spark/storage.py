@@ -80,3 +80,47 @@ def write_zordered(df: DataFrame, path: str, x: str, y: str,
      .sortWithinPartitions("__z")
      .drop("__z")
      .write.mode(mode).parquet(path))
+
+
+def synth_file_inventory(docs: DataFrame, files_per_source: int = 40) -> DataFrame:
+    """Deterministic small-file inventory from the corpus: model each
+    (source, doc-hash bucket) as one written parquet file whose size is the
+    summed n_chars of its documents — the post-ingest state an Iceberg
+    maintenance pass sees (real clusters read this from the table's file
+    manifest; only the synthesis is fake, the planner below is the product)."""
+    from pyspark.sql import functions as F
+    return (
+        docs.withColumn(
+            "file_id",
+            (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("file"))), 1, 8), 16, 10)
+             .cast("long") % files_per_source))
+        .groupBy("source", "file_id")
+        .agg(F.sum("n_chars").alias("file_bytes"))
+    )
+
+
+def compaction_plan(files: DataFrame, target_bytes: int = 60_000,
+                    part: str = "source", key: str = "file_id",
+                    size: str = "file_bytes") -> DataFrame:
+    """Small-file compaction planner (Iceberg ``rewrite_data_files`` /
+    bin-packing analog): within each table partition, order files by key and
+    assign file f to output bin ``floor(running_offset(f) / target_bytes)``
+    — the same running-offset packing Spark's own FilePartition planner
+    uses. Every bin's payload is < target_bytes + one file (the classic
+    next-fit bound), bins are contiguous in key order (preserves any sort
+    clustering the files already have), and the whole plan is one window
+    over metadata-scale rows: the planner never touches data bytes, so it
+    costs the same at 100 TB as at 100 MB. Integer-exact and deterministic.
+
+    Returns (part, key, size, bin, bin_seq) — bin_seq is the file's position
+    inside its output bin (what a rewrite task iterates over).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(part).orderBy(key)
+    offset = (F.sum(size).over(w) - F.col(size)).alias("offset")
+    planned = files.select(part, key, size, (
+        F.floor(offset / F.lit(target_bytes)).cast("long").alias("bin")))
+    wb = Window.partitionBy(part, "bin").orderBy(key)
+    return planned.withColumn("bin_seq", F.row_number().over(wb).cast("long"))

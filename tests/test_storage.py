@@ -89,3 +89,37 @@ def test_zorder_key_reference_and_file_bounding_boxes(spark, tmp_path):
     sx, sy = spans(spath)
     assert max(sy) == 63          # x-sorted stripes span ALL of y
     assert max(zy) < max(sy) / 2  # z-order beats 1-D sort on the 2nd dim
+
+
+def test_compaction_plan_next_fit_bound_and_python_parity(spark):
+    """Running-offset packing: bins are contiguous in key order, every bin's
+    payload minus its last file stays under target (the next-fit bound), and
+    the distributed plan equals a sequential pure-Python replan."""
+    from collections import defaultdict
+
+    from ocr_redaction_engine_spark.storage import compaction_plan
+
+    rows = [("s%d" % (i % 3), i, 1000 + (i * 7919) % 9000) for i in range(60)]
+    files = spark.createDataFrame(rows, "source string, file_id long, file_bytes long")
+    target = 10_000
+    got = compaction_plan(files, target_bytes=target).collect()
+
+    by_part = defaultdict(list)
+    for r in sorted(rows, key=lambda t: (t[0], t[1])):
+        by_part[r[0]].append(r)
+    expect = {}
+    for part, fs in by_part.items():
+        offset = 0
+        for src, fid, size in fs:
+            expect[(part, fid)] = offset // target
+            offset += size
+
+    bins = defaultdict(list)
+    for r in got:
+        assert r.bin == expect[(r.source, r.file_id)]
+        bins[(r.source, r.bin)].append((r.file_id, r.file_bytes, r.bin_seq))
+    for (part, b), fs in bins.items():
+        fs.sort()
+        assert [seq for _, _, seq in fs] == list(range(1, len(fs) + 1))
+        total, last = sum(s for _, s, _ in fs), fs[-1][1]
+        assert total - last < target

@@ -387,3 +387,34 @@ def test_char_entropy_reference(spark):
     assert got[0]["entropy_nats"] == 0.0          # single-symbol run
     assert got[1]["entropy_nats"] == round(math.log(2), 6)
     assert got[2]["entropy_nats"] > got[1]["entropy_nats"] > got[0]["entropy_nats"]
+
+
+def test_gopher_line_stats_match_pure_python(spark):
+    import hashlib
+
+    from ocr_redaction_engine_spark.analytics.text import gopher_line_stats
+
+    rows = [("gd%d" % i, " ".join("tok%d" % (j * 31 % 17) for j in range(5 + i * 7)))
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in gopher_line_stats(docs).collect()}
+
+    for doc_id, text in rows:
+        tk = text.split(" ")
+        lines = []
+        for i in range((len(tk) + 7) // 8):
+            d = int(hashlib.md5(f"{doc_id}:ln:{i}".encode()).hexdigest()[0], 16)
+            body = " ".join(tk[i * 8:(i + 1) * 8])
+            pre = "- " if d < 3 else ""
+            suf = "..." if 3 <= d <= 4 else ("." if 5 <= d <= 10 else "")
+            lines.append(pre + body + suf)
+        n = len(lines)
+        r = got[doc_id]
+        assert r.n_lines == n
+        assert r.bullet_frac == round(sum(x.startswith("- ") for x in lines) / n, 6)
+        assert r.ellipsis_frac == round(sum(x.endswith("...") for x in lines) / n, 6)
+        assert r.punct_end_frac == round(sum(x.endswith(".") for x in lines) / n, 6)
+        assert r.dup_line_frac == round(1.0 - len(set(lines)) / n, 6)
+        b = sum(x.startswith("- ") for x in lines) / n
+        e = sum(x.endswith("...") for x in lines) / n
+        assert r.keep == (b <= 0.9 and e <= 0.3)

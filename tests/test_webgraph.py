@@ -195,3 +195,30 @@ def test_hits_matches_sequential_reference(spark):
     assert got == {i: (auth[i], hub[i]) for i in range(5)}
     assert max(got, key=lambda i: got[i][0]) == 3   # planted authority
     assert got[0][1] == got[1][1] > got[2][1]       # planted hubs tie, beat 2
+
+
+def test_triangles_match_bruteforce(spark, docs):
+    """Degree-ordered counting == brute-force enumeration over all node
+    triples of the same synthetic undirected graph, every node zero-filled."""
+    from itertools import combinations
+
+    from ocr_redaction_engine_spark.analytics.webgraph import (
+        _doc_nodes, synth_edges, triangles)
+
+    got = {r.doc_id: r.n_tri for r in triangles(docs).collect()}
+
+    n = docs.count()
+    node_of = {r.doc_id: r.node for r in _doc_nodes(docs).collect()}
+    und = set()
+    for r in synth_edges(docs, n).collect():
+        if r.src != r.dst:
+            und.add((min(r.src, r.dst), max(r.src, r.dst)))
+    per_node = {v: 0 for v in node_of.values()}
+    for a, b, c in combinations(sorted(per_node), 3):
+        if (a, b) in und and (a, c) in und and (b, c) in und:
+            per_node[a] += 1
+            per_node[b] += 1
+            per_node[c] += 1
+    expect = {d: per_node[v] for d, v in node_of.items()}
+    assert got == expect
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
