@@ -589,6 +589,14 @@ def q33_range_join(spark, sf_dir):
     return range_join_count(_t(spark, sf_dir, "events"), minutes=5)
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup→click→purchase with strict temporal
+    ordering: three filtered min-aggs chained by user_id equi-joins — fully
+    user-partitioned, no per-user full-history windows."""
+    from ocr_redaction_engine_spark.analytics.temporal import funnel
+    return funnel(_t(spark, sf_dir, "events"))
+
+
 def q34_skew_join(spark, sf_dir):
     """Skew-safe split-union join: events × per-user profile; users with
     ≥80 events ride the broadcast path, the cold tail shuffles. Result is
@@ -755,6 +763,14 @@ def sample_weighted(spark, sf_dir):
     of ln(u)/weight via TakeOrderedAndProject — no global sort shuffle."""
     from ocr_redaction_engine_spark.analytics.sampling import weighted_sample
     return weighted_sample(_t(spark, sf_dir, "documents"), k=50)
+
+
+def sketch_hist_quantiles(spark, sf_dir):
+    """Mergeable equi-width histogram sketch -> interpolated p50/p90/p99 of
+    n_chars per source. One tiny broadcast pre-agg + one (group, bin)
+    hash-agg (partial sums = sketch merge); integer-exact read-out."""
+    from ocr_redaction_engine_spark.analytics.sampling import hist_quantile_sketch
+    return hist_quantile_sketch(_t(spark, sf_dir, "documents"))
 
 
 def sketch_hll_distinct(spark, sf_dir):
@@ -1132,6 +1148,14 @@ def web_triangles(spark, sf_dir):
     return triangles(_t(spark, sf_dir, "documents"))
 
 
+def web_frontier(spark, sf_dir):
+    """Politeness-constrained crawl-frontier schedule: one fetch per host
+    per wave, md5-priority order, budget flag — one window over per-host
+    partitions whose size IS the politeness bound."""
+    from ocr_redaction_engine_spark.analytics.webgraph import crawl_frontier
+    return crawl_frontier(_t(spark, sf_dir, "documents"), budget_waves=3)
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-frontier URL canonicalization: lowercase scheme/host, strip :80
     and fragment, drop utm_*/ref params, sort the survivors."""
@@ -1327,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_session_windows": q31_session_windows,
         "q32_asof_join": q32_asof_join,
         "q33_range_join": q33_range_join,
+        "events_funnel": events_funnel,
         "q34_skew_join": q34_skew_join,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
@@ -1344,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_hll_distinct": sketch_hll_distinct,
+        "sketch_hist_quantiles": sketch_hist_quantiles,
         "sample_weighted": sample_weighted,
         "text_pmi_collocations": text_pmi_collocations,
         "web_domain_cap": web_domain_cap,
@@ -1396,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_stats": web_anchor_stats,
         "web_pagerank": web_pagerank,
         "web_triangles": web_triangles,
+        "web_frontier": web_frontier,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
@@ -1832,6 +1859,25 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ref_id
               FROM events)
             WHERE event_type = 'click'
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t1
+              FROM events WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND CAST(floor(epoch(e.ts)) AS BIGINT) > s1.t1
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) > s2.t2
+              GROUP BY 1)
+            SELECT s1.user_id, t1, t2, t3,
+                   1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         """,
         "q33_range_join": """
             SELECT a.event_id,
@@ -2311,6 +2357,30 @@ def oracle_sql() -> dict[str, str]:
                          AS BIGINT) + 1) / 1152921504606846976.0) / n_chars DESC,
                      doc_id ASC
             LIMIT 50
+        """,
+        "sketch_hist_quantiles": """
+            WITH ext AS (
+              SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+                     COUNT(*) AS n,
+                     (MAX(n_chars) - MIN(n_chars)) // 32 + 1 AS width
+              FROM documents GROUP BY source),
+            hist AS (
+              SELECT d.source, e.mn, e.width, e.n,
+                     CAST((d.n_chars - e.mn) // e.width AS BIGINT) AS bin,
+                     COUNT(*) AS cnt
+              FROM documents d JOIN ext e USING (source)
+              GROUP BY 1, 2, 3, 4, 5),
+            cum AS (
+              SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+              FROM hist),
+            qq AS (
+              SELECT c.*, CAST(q.qv AS INT) AS q,
+                     (c.n * q.qv + 99) // 100 AS target
+              FROM cum c CROSS JOIN (SELECT unnest([50, 90, 99]) AS qv) q)
+            SELECT source, q, n,
+                   CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS est
+            FROM qq
+            WHERE cum >= target AND cum - cnt < target
         """,
         "sketch_hll_distinct": f"""
             WITH h AS (
@@ -3332,6 +3402,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS BIGINT) AS n_anchor_texts,
                    min(regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS first_anchor
             FROM m GROUP BY 1
+        """,
+        "web_frontier": """
+            WITH base AS (
+              SELECT doc_id,
+                     'www.domain' || length(bin(CAST(('0x' ||
+                        substring(md5(doc_id || ':host'), 1, 2)) AS BIGINT))) || '.com' AS host,
+                     CAST(('0x' || substring(md5(doc_id || ':prio'), 1, 15)) AS BIGINT) AS prio
+              FROM documents)
+            SELECT doc_id, host, prio,
+                   CAST(row_number() OVER (PARTITION BY host
+                                           ORDER BY prio DESC, doc_id) - 1 AS BIGINT) AS wave,
+                   (row_number() OVER (PARTITION BY host
+                                       ORDER BY prio DESC, doc_id) - 1 < 3) AS scheduled
+            FROM base
         """,
         "web_triangles": r"""
             WITH nodes AS (

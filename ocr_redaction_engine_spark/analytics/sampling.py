@@ -393,3 +393,47 @@ def leakage_safe_split(docs: DataFrame,
         )
         .select("doc_id", "group_id", "group_size", "split")
     )
+
+
+def hist_quantile_sketch(docs: DataFrame, group: str = "source",
+                         value: str = "n_chars", bins: int = 32,
+                         qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Mergeable equi-width histogram sketch → interpolated per-group
+    quantiles, fully integer-exact.
+
+    The sketch is a fixed ``bins``-counter grid per group: one tiny
+    min/max/count pre-agg (broadcast back), then ``bin = (v - mn) DIV width``
+    and a hash-agg on (group, bin) — map-side partial sums ARE the sketch
+    merge, so the shuffle moves at most ``groups x bins`` counters no matter
+    how many rows feed it (the same one-shuffle discipline as hll_distinct).
+    Quantile read-out walks the ≤``bins``-row cumulative window per group and
+    linearly interpolates inside the containing bin with integer division:
+
+        target(q) = (n*q + 99) DIV 100          # 1-based ceil rank
+        est(q)    = mn + bin*width + ((target - cum_before - 1) * width) DIV cnt
+
+    Exact-integer arithmetic end to end, so Spark and the DuckDB oracle
+    agree bit-for-bit. Returns (group, q, n, est).
+    """
+    ext = docs.groupBy(group).agg(
+        F.min(value).alias("mn"), F.max(value).alias("mx"),
+        F.count("*").alias("n"))
+    ext = ext.withColumn("width", F.expr(f"(mx - mn) DIV {bins} + 1").cast("long"))
+    binned = docs.join(F.broadcast(ext), group).select(
+        group, "mn", "width", "n",
+        F.expr(f"CAST(({value} - mn) DIV width AS BIGINT)").alias("bin"))
+    hist = binned.groupBy(group, "mn", "width", "n", "bin").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy(group).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qdf = cum.select(
+        "*", F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"))
+    qdf = qdf.withColumn("target", F.expr("(n * q + 99) DIV 100"))
+    return (
+        qdf.filter((F.col("cum") >= F.col("target")) &
+                   (F.col("cum") - F.col("cnt") < F.col("target")))
+        .select(
+            group, F.col("q").cast("int").alias("q"), "n",
+            F.expr("CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) DIV cnt AS BIGINT)")
+            .alias("est"))
+    )

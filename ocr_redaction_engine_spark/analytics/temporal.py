@@ -87,3 +87,40 @@ def range_join_count(events: DataFrame, minutes: int = 5) -> DataFrame:
             F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
         )
     )
+
+
+def funnel(events: DataFrame, steps: tuple = ("signup", "click", "purchase")) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time of step 1,
+    the earliest step-2 event strictly AFTER it, the earliest step-3 event
+    strictly after that — the classic conversion funnel with strict temporal
+    ordering (a purchase before the signup does not count).
+
+    Shape: one filtered min-agg per step plus an equi-join on user_id between
+    steps — every agg is map-side partial, every join keys on user_id, so the
+    whole funnel is user-partitioned and skew-free (no per-user windows over
+    full event history, no event-type cross join). Emits epoch seconds so the
+    output is engine-portable.
+
+    Returns (user_id, t1, t2, t3, steps_reached) for users who reached step 1.
+    """
+    # parquet timestamps arrive as TIMESTAMP_NTZ (no direct long cast);
+    # session tz is pinned UTC so the two-step cast is exact epoch seconds
+    ep = F.col("ts").cast("timestamp").cast("long")
+    s1 = (events.filter(F.col("event_type") == steps[0])
+          .groupBy("user_id").agg(F.min(ep).alias("t1")))
+    s2 = (events.filter(F.col("event_type") == steps[1])
+          .join(s1, "user_id")
+          .filter(ep > F.col("t1"))
+          .groupBy("user_id").agg(F.min(ep).alias("t2")))
+    s3 = (events.filter(F.col("event_type") == steps[2])
+          .join(s2, "user_id")
+          .filter(ep > F.col("t2"))
+          .groupBy("user_id").agg(F.min(ep).alias("t3")))
+    return (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            (F.lit(1)
+             + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+             + F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("steps_reached"))
+    )

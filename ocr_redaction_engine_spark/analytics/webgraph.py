@@ -410,3 +410,29 @@ def triangles(docs: DataFrame) -> DataFrame:
         nodes.join(corners, "node", "left")
         .select("doc_id", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier scheduling (politeness-constrained fetch waves)
+# ---------------------------------------------------------------------------
+
+def crawl_frontier(docs: DataFrame, budget_waves: int = 3) -> DataFrame:
+    """Politeness-constrained frontier schedule: each host serves at most ONE
+    fetch per wave, higher-priority URLs first — i.e. a URL's wave is its
+    priority rank *within its host*. ``scheduled`` marks URLs inside the
+    crawl budget (first ``budget_waves`` waves).
+
+    One window partitioned by host (per-host fan-in is the politeness bound
+    itself, so partitions stay small even on Zipf-skewed crawls where one
+    domain owns half the frontier — the window never needs a global sort);
+    the priority is a deterministic md5 draw standing in for a
+    PageRank/freshness score. Integer-exact, engine-portable."""
+    hosts = synth_hosts(docs)
+    prio = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("prio"))), 1, 15), 16, 10)
+            .cast("long").alias("prio"))
+    w = Window.partitionBy("host").orderBy(F.desc("prio"), "doc_id")
+    return (
+        hosts.select("doc_id", "host", prio)
+        .withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("scheduled", F.col("wave") < budget_waves)
+    )

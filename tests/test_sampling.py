@@ -195,3 +195,39 @@ def test_weighted_sample_matches_reference_and_plan(spark):
     # no global sort: top-k compiles to TakeOrderedAndProject
     plan = weighted_sample(docs, k=20)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hist_quantile_sketch_accuracy_and_python_parity(spark):
+    """Sketch read-out equals a sequential pure-Python recompute of the same
+    histogram, and every estimate lands within one bin width of the exact
+    ceil-rank quantile."""
+    from ocr_redaction_engine_spark.analytics.sampling import hist_quantile_sketch
+
+    rows = [("s%d" % (i % 2), "d%03d" % i, 100 + (i * 37) % 900) for i in range(120)]
+    docs = spark.createDataFrame(rows, "source string, doc_id string, n_chars long")
+    got = {(r.source, r.q): (r.n, r.est)
+           for r in hist_quantile_sketch(docs, bins=16).collect()}
+
+    from collections import defaultdict
+    vals = defaultdict(list)
+    for s, _, v in rows:
+        vals[s].append(v)
+    for s, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        mn, mx = vs[0], vs[-1]
+        width = (mx - mn) // 16 + 1
+        hist = defaultdict(int)
+        for v in vs:
+            hist[(v - mn) // width] += 1
+        for q in (50, 90, 99):
+            target = (n * q + 99) // 100
+            cum = 0
+            for b in sorted(hist):
+                if cum + hist[b] >= target:
+                    est = mn + b * width + ((target - cum - 1) * width) // hist[b]
+                    break
+                cum += hist[b]
+            assert got[(s, q)] == (n, est)
+            exact = vs[target - 1]
+            assert abs(est - exact) <= width

@@ -68,3 +68,40 @@ def test_range_join_bin_boundary(spark):
               "value double, props string")
     got = {r["event_id"]: r["n_prior"] for r in range_join_count(events, minutes=5).collect()}
     assert got == {0: 2, 2: 2, 1: 0, 3: 1}
+
+
+def test_funnel_strict_ordering(spark):
+    """Funnel counts a step only when it happens STRICTLY after the prior
+    step's earliest time; out-of-order conversions are dropped."""
+    from ocr_redaction_engine_spark.analytics.temporal import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (0, _ts(0), 1, "signup", 0.0, "{}"),
+        (1, _ts(1), 1, "click", 0.0, "{}"),
+        (2, _ts(2), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE click -> only 2 steps reached
+        (3, _ts(0), 2, "signup", 0.0, "{}"),
+        (4, _ts(5), 2, "click", 0.0, "{}"),
+        (5, _ts(3), 2, "purchase", 0.0, "{}"),
+        # user 3: click before signup doesn't count; later click does
+        (6, _ts(2), 3, "click", 0.0, "{}"),
+        (7, _ts(4), 3, "signup", 0.0, "{}"),
+        (8, _ts(6), 3, "click", 0.0, "{}"),
+        # user 4: never signed up -> absent from output
+        (9, _ts(0), 4, "purchase", 0.0, "{}"),
+        # user 5: same-ts click as signup is NOT strictly after -> 1 step
+        (10, _ts(7), 5, "signup", 0.0, "{}"),
+        (11, _ts(7), 5, "click", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {r["user_id"]: (r["steps_reached"], r["t1"], r["t2"], r["t3"])
+           for r in funnel(events).collect()}
+    e = lambda m: int(_ts(m).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1] == (3, e(0), e(1), e(2))
+    assert got[2] == (2, e(0), e(5), None)
+    assert got[3] == (2, e(4), e(6), None)
+    assert got[5] == (1, e(7), None, None)

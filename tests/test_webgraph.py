@@ -222,3 +222,22 @@ def test_triangles_match_bruteforce(spark, docs):
     expect = {d: per_node[v] for d, v in node_of.items()}
     assert got == expect
     assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+def test_crawl_frontier_politeness_invariant(spark, docs):
+    """Per host: waves are exactly 0..k (one fetch per wave), ordered by
+    descending priority; scheduled == wave < budget."""
+    from collections import defaultdict
+
+    from ocr_redaction_engine_spark.analytics.webgraph import crawl_frontier
+
+    rows = crawl_frontier(docs, budget_waves=2).collect()
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r.host].append(r)
+        assert r.scheduled == (r.wave < 2)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r.wave)
+        assert [r.wave for r in rs] == list(range(len(rs)))
+        prios = [(-r.prio, r.doc_id) for r in rs]
+        assert prios == sorted(prios)
