@@ -597,6 +597,29 @@ def events_funnel(spark, sf_dir):
     return funnel(_t(spark, sf_dir, "events"))
 
 
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: first-seen epoch-week cohorts ×
+    week offsets, distinct-active counts, integer basis-point retention.
+    All user-/cohort-keyed hash-aggs — no event-history windows."""
+    from ocr_redaction_engine_spark.analytics.temporal import retention_cohorts
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def events_transitions(spark, sf_dir):
+    """First-order Markov event-type transition matrix: per-user lag window
+    → (prev,next) hash-agg → broadcast row totals, integer bp shares."""
+    from ocr_redaction_engine_spark.analytics.temporal import event_transitions
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def events_hourly_anomaly(spark, sf_dir):
+    """Integer-exact spike detector over the hourly count series: trailing
+    24h mean/variance with cleared denominators, so both engines compare
+    identical BIGINTs (never a floating stddev)."""
+    from ocr_redaction_engine_spark.analytics.temporal import hourly_anomalies
+    return hourly_anomalies(_t(spark, sf_dir, "events"), trailing=24, k=3)
+
+
 def q34_skew_join(spark, sf_dir):
     """Skew-safe split-union join: events × per-user profile; users with
     ≥80 events ride the broadcast path, the cold tail shuffles. Result is
@@ -1352,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_asof_join": q32_asof_join,
         "q33_range_join": q33_range_join,
         "events_funnel": events_funnel,
+        "events_retention": events_retention,
+        "events_transitions": events_transitions,
+        "events_hourly_anomaly": events_hourly_anomaly,
         "q34_skew_join": q34_skew_join,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
@@ -1878,6 +1904,58 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "events_retention": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week
+              FROM events),
+            cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+            active AS (SELECT DISTINCT user_id, week FROM ev),
+            cells AS (
+              SELECT cohort_week, week - cohort_week AS week_offset,
+                     COUNT(DISTINCT a.user_id) AS n_active
+              FROM active a JOIN cohort c USING (user_id) GROUP BY 1, 2),
+            sizes AS (
+              SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+              FROM cohort GROUP BY 1)
+            SELECT cohort_week, week_offset, n_active, cohort_size,
+                   CAST(n_active * 10000 // cohort_size AS BIGINT) AS retention_bp
+            FROM cells JOIN sizes USING (cohort_week)
+        """,
+        "events_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS prev_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS next_type
+              FROM events),
+            counts AS (
+              SELECT prev_type, next_type, COUNT(*) AS n
+              FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            totals AS (
+              SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+              FROM counts GROUP BY 1)
+            SELECT prev_type, next_type, n,
+                   CAST(n * 10000 // row_total AS BIGINT) AS share_bp
+            FROM counts JOIN totals USING (prev_type)
+        """,
+        "events_hourly_anomaly": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT event_type, hour, n,
+                     CAST(COUNT(n) OVER w AS BIGINT) AS w,
+                     CAST(SUM(n) OVER w AS BIGINT) AS s,
+                     CAST(SUM(n * n) OVER w AS BIGINT) AS ss
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, hour, n, s, ss,
+                   ((w*n - s) * (w*n - s) * (w - 1)) > (9 * (w*ss - s*s) * w) AS is_spike
+            FROM stats WHERE w = 24
         """,
         "q33_range_join": """
             SELECT a.event_id,

@@ -124,3 +124,95 @@ def funnel(events: DataFrame, steps: tuple = ("signup", "click", "purchase")) ->
              + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
              + F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("steps_reached"))
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users are assigned to the epoch-week
+    of their FIRST event (cohort); for each (cohort, week_offset) cell,
+    the distinct users active that many weeks later and the cohort-relative
+    retention in basis points (integer-exact: bp = active*10000 DIV size).
+
+    Shape: one min-agg per user (cohort), one distinct (user, week) agg,
+    one equi-join on user_id, one (cohort, offset) count-distinct — every
+    stage is a user- or cohort-keyed hash-agg with map-side partials; no
+    windows over event history, no cross join, so the plan is flat at any
+    corpus size. Epoch weeks (days DIV 7) keep both engines integer-exact.
+    """
+    week = (F.col("ts").cast("timestamp").cast("long") / F.lit(86400)).cast("long")
+    ev = events.select("user_id", (week / 7).cast("long").alias("week"))
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    cells = (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.countDistinct("user_id").alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_size",
+            F.expr("CAST(n_active * 10000 DIV cohort_size AS BIGINT)").alias("retention_bp"),
+        )
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream:
+    (prev_type, next_type, n, share_bp of the prev_type row). The classic
+    product-analytics 'what do users do next' matrix.
+
+    One lag window per user partition (per-user history is bounded and the
+    key count is huge, so partitions stay balanced) feeding a
+    (prev, next) hash-agg; row shares are integer basis points so both
+    engines agree bit-for-bit. Ties on ts are broken by event_id — the
+    deterministic order both engines can reproduce.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(F.col("event_type").alias("prev_type"), "next_type").agg(
+        F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select("prev_type", "next_type", "n",
+                F.expr("CAST(n * 10000 DIV row_total AS BIGINT)").alias("share_bp"))
+    )
+
+
+def hourly_anomalies(events: DataFrame, trailing: int = 24, k: int = 3) -> DataFrame:
+    """Spike detector on the hourly event-count series, integer-exact: an
+    hour is anomalous when its count deviates from the trailing-``trailing``
+    -hour mean by more than ``k`` sample standard deviations. All arithmetic
+    stays in integers by clearing denominators:
+
+        (w*n - s)^2  >  k^2 * (w*ss - s^2) / (w-1)   (cross-multiplied by w-1)
+
+    where s/ss are the trailing sum and sum-of-squares over w full prior
+    hours — so Spark and the oracle compare identical BIGINTs, never a
+    floating stddev. One hourly hash-agg then one ordered window over the
+    (tiny) per-hour series per event_type; at warehouse scale the windowed
+    series is hours × types, not rows, so this is driver-cheap by design.
+    """
+    hour = (F.col("ts").cast("timestamp").cast("long") / F.lit(3600)).cast("long")
+    hourly = events.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count("*").alias("n"))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-trailing, -1))
+    stats = hourly.select(
+        "event_type", "hour", "n",
+        F.count("n").over(w).alias("w"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+    ).filter(F.col("w") == trailing)
+    dev = (F.col("w") * F.col("n") - F.col("s"))
+    var_num = F.col("w") * F.col("ss") - F.col("s") * F.col("s")
+    return stats.select(
+        "event_type", "hour", "n", "s", "ss",
+        ((dev * dev * (F.col("w") - 1)) > (F.lit(k * k) * var_num * F.col("w")))
+        .alias("is_spike"),
+    )

@@ -105,3 +105,77 @@ def test_funnel_strict_ordering(spark):
     assert got[2] == (2, e(0), e(5), None)
     assert got[3] == (2, e(4), e(6), None)
     assert got[5] == (1, e(7), None, None)
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """Two cohorts a week apart; retention cells match hand arithmetic."""
+    from ocr_redaction_engine_spark.analytics.temporal import retention_cohorts
+
+    def at(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    rows = [
+        # cohort A (week of 2024-01-01): users 1,2 — user 1 returns week+1
+        (0, at(0), 1, "view", 0.0, "{}"),
+        (1, at(1), 2, "view", 0.0, "{}"),
+        (2, at(8), 1, "view", 0.0, "{}"),
+        # cohort B (next week): user 3 only, active twice the SAME week
+        (3, at(8), 3, "view", 0.0, "{}"),
+        (4, at(9), 3, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {(r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention_bp)
+           for r in retention_cohorts(events).collect()}
+    wk = (int(at(0).replace(tzinfo=dt.timezone.utc).timestamp()) // 86400) // 7
+    wk3 = (int(at(8).replace(tzinfo=dt.timezone.utc).timestamp()) // 86400) // 7
+    assert got[(wk, 0)] == (2, 2, 10000)
+    assert got[(wk, wk3 - wk)] == (1, 2, 5000)
+    assert got[(wk3, 0)] == (1, 1, 10000)
+    assert len(got) == 3
+
+
+def test_event_transitions_counts_and_shares(spark):
+    """Per-user ordered lag pairs; same-ts ties break on event_id; shares
+    are integer basis points of the prev-type row."""
+    from ocr_redaction_engine_spark.analytics.temporal import event_transitions
+
+    rows = [
+        (0, _ts(0), 1, "a", 0.0, "{}"),
+        (1, _ts(1), 1, "b", 0.0, "{}"),
+        (2, _ts(2), 1, "a", 0.0, "{}"),
+        # user 2: same-ts pair ordered by event_id: a(3) -> b(4)
+        (3, _ts(5), 2, "a", 0.0, "{}"),
+        (4, _ts(5), 2, "b", 0.0, "{}"),
+        (5, _ts(9), 3, "c", 0.0, "{}"),   # lone event: no transition
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {(r.prev_type, r.next_type): (r.n, r.share_bp)
+           for r in event_transitions(events).collect()}
+    assert got == {("a", "b"): (2, 10000), ("b", "a"): (1, 10000)}
+
+
+def test_hourly_anomalies_planted_spike(spark):
+    """24 calm hours then a 10x spike hour: only the spike is flagged, and
+    hours with an incomplete trailing window are excluded."""
+    from ocr_redaction_engine_spark.analytics.temporal import hourly_anomalies
+
+    rows = []
+    eid = 0
+    for h in range(26):
+        # calm: 3 events/hour with a tiny wobble; hour 25: 30 events
+        n = 30 if h == 25 else (3 + (h % 2))
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, seconds=i),
+                         1, "view", 0.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    out = {r.hour: r.is_spike for r in hourly_anomalies(events, trailing=24, k=3).collect()}
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert set(out) == {base + 24, base + 25}  # first 24 hours lack a full window
+    assert out[base + 25] is True and out[base + 24] is False
