@@ -620,6 +620,25 @@ def events_hourly_anomaly(spark, sf_dir):
     return hourly_anomalies(_t(spark, sf_dir, "events"), trailing=24, k=3)
 
 
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit over (nation, segment) QI groups:
+    one hash-agg computing group size + exact distinct sensitive buckets,
+    boolean risk flags — |QI-domain| output rows at any scale."""
+    from ocr_redaction_engine_spark.analytics.privacy import k_anonymity_audit
+    return k_anonymity_audit(_t(spark, sf_dir, "customer"), k=5, l=3)
+
+
+def privacy_pseudonymize(spark, sf_dir):
+    """Consistent surrogate substitution: 6+-digit identifier runs →
+    stable md5-derived ID_xxxxxxxx surrogates (same value, same surrogate
+    corpus-wide; per-doc + per-source planted identifiers make consistency
+    observable). Map-only HOF fold of replace(); no shuffle, no UDF."""
+    from ocr_redaction_engine_spark.analytics.privacy import (
+        pseudonymize, synth_identifiers)
+    return pseudonymize(synth_identifiers(_t(spark, sf_dir, "documents")),
+                        min_digits=6)
+
+
 def q34_skew_join(spark, sf_dir):
     """Skew-safe split-union join: events × per-user profile; users with
     ≥80 events ride the broadcast path, the cold tail shuffles. Result is
@@ -1378,6 +1397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
+        "privacy_k_anonymity": privacy_k_anonymity,
+        "privacy_pseudonymize": privacy_pseudonymize,
         "q34_skew_join": q34_skew_join,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
@@ -1904,6 +1925,38 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "privacy_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS group_n,
+                   COUNT(DISTINCT CAST(trunc(c_acctbal / 1000) AS BIGINT)) AS l_distinct,
+                   COUNT(*) < 5 AS k_risk,
+                   COUNT(DISTINCT CAST(trunc(c_acctbal / 1000) AS BIGINT)) < 3 AS l_risk
+            FROM customer GROUP BY 1, 2
+        """,
+        "privacy_pseudonymize": """
+            WITH base AS (
+              SELECT doc_id,
+                     text || ' acct ' ||
+                     lpad(CAST(CAST(('0x' || substring(md5(doc_id || ':acct'), 1, 12)) AS BIGINT) AS VARCHAR), 12, '0')
+                     || ' ref ' ||
+                     lpad(CAST(CAST(('0x' || substring(md5(source || ':acct'), 1, 12)) AS BIGINT) AS VARCHAR), 12, '0')
+                     AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id, text,
+                     list_reverse(list_sort(list_transform(
+                        list_distinct(regexp_extract_all(text, '[0-9]{6,}')),
+                        s -> lpad(CAST(length(s) AS VARCHAR), 4, '0') || s))) AS ordered
+              FROM base)
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(text, ordered),
+                     (acc, key) -> replace(acc, substring(key, 5),
+                                           'ID_' || substring(md5(substring(key, 5)), 1, 8))
+                   ) AS clean_text,
+                   CAST(len(ordered) AS BIGINT) AS n_ids
+            FROM t
         """,
         "events_retention": """
             WITH ev AS (

@@ -1,0 +1,108 @@
+"""Privacy-risk auditing and pseudonymization — the analytics the reference
+engine's redaction mission implies but its per-document design cannot run:
+corpus-wide re-identification risk (k-anonymity / l-diversity over
+quasi-identifier groups) and consistent surrogate substitution (the step
+after redaction when joinability must survive but raw identifiers must not).
+
+The reference (Devopcasting/OCR-Redaction-Engine) stops at per-document
+masking (process_documents/process_queue_documents.py); these operators are
+the warehouse-scale companions. All paths are pure Catalyst expressions —
+hash-aggs and per-row HOFs, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_audit(customers: DataFrame,
+                      qi: tuple = ("c_nationkey", "c_mktsegment"),
+                      sensitive: str = "c_acctbal",
+                      k: int = 5, l: int = 3,
+                      sens_bucket: int = 1000) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier groups.
+
+    A release is k-anonymous when every QI combination covers ≥ k rows, and
+    l-diverse when each group carries ≥ l distinct (bucketed) sensitive
+    values — the two standard re-identification risk gates (Sweeney 2002;
+    Machanavasjhala et al. 2007). One hash-agg on the QI key computes both:
+    group size and exact distinct sensitive buckets (count-distinct rides
+    the same shuffle via Expand, as in profile_table). Output is one row
+    per QI group with integer sizes and boolean risk flags — at any corpus
+    scale the result is |QI-domain| rows, so the audit is free relative to
+    the scan.
+    """
+    sens = (F.col(sensitive).cast("double") / F.lit(sens_bucket)).cast("long")
+    return (
+        customers.groupBy(*qi)
+        .agg(
+            F.count("*").alias("group_n"),
+            F.countDistinct(sens).alias("l_distinct"),
+        )
+        .select(
+            *qi, "group_n", "l_distinct",
+            (F.col("group_n") < k).alias("k_risk"),
+            (F.col("l_distinct") < l).alias("l_risk"),
+        )
+    )
+
+
+def synth_identifiers(docs: DataFrame) -> DataFrame:
+    """Plant deterministic account-number-shaped digit runs into the corpus
+    text (the driver's synthetic documents contain none): one identifier
+    unique per document and one SHARED by every document of a source — so
+    surrogate *consistency* (same value → same surrogate across rows) is an
+    observable property, not a vacuous one. Pure expressions (md5 → hex →
+    decimal, zero-padded to 12 digits) so the oracle rebuilds identical
+    input, same discipline as webgraph.synth_hosts."""
+    def acct(*cols):
+        return F.lpad(
+            F.conv(F.substring(F.md5(F.concat_ws(":", *cols)), 1, 12), 16, 10),
+            12, "0")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", "text", F.lit("acct"), acct(F.col("doc_id"), F.lit("acct")),
+                    F.lit("ref"), acct(F.col("source"), F.lit("acct"))).alias("text"),
+    )
+
+
+def pseudonymize(docs: DataFrame, min_digits: int = 6) -> DataFrame:
+    """Consistent surrogate substitution: every maximal digit run of
+    ``min_digits``+ characters (account/Aadhaar/phone-shaped identifiers)
+    is replaced by a stable 8-hex surrogate ``ID_xxxxxxxx`` derived from
+    md5 of the digits — the same value maps to the same surrogate
+    corpus-wide, so joins across documents still link while the raw
+    identifier is destroyed (tokenization, the post-redaction step real
+    privacy pipelines need; the reference only blanks boxes in place).
+
+    Entirely per-row JVM expressions: extract maximal runs, dedupe, order
+    longest-first (so a run that re-occurs as a substring of a longer run
+    elsewhere in the document cannot corrupt it — the length-prefixed sort
+    is reproducible in any engine without comparator lambdas), then one
+    ``aggregate`` HOF folding ``replace`` over the tokens. Map-only: no
+    shuffle, no UDF, scales as a pure scan.
+
+    Returns (doc_id, clean_text, n_ids) with n_ids = distinct identifiers
+    replaced.
+    """
+    toks = F.array_distinct(
+        F.expr(f"regexp_extract_all(text, '[0-9]{{{min_digits},}}', 0)"))
+    # length-desc order via a sortable length-prefixed key (lpad to 4: runs
+    # longer than 9999 digits do not occur in natural text)
+    ordered = F.reverse(F.array_sort(
+        F.transform(toks, lambda t: F.concat(F.lpad(F.length(t), 4, "0"), t))))
+    folded = F.aggregate(
+        ordered,
+        F.col("text"),
+        lambda acc, key: F.replace(
+            acc,
+            F.substring(key, 5, 1 << 30),
+            F.concat(F.lit("ID_"), F.substring(F.md5(F.substring(key, 5, 1 << 30)), 1, 8)),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        folded.alias("clean_text"),
+        F.size(toks).cast("long").alias("n_ids"),
+    )
