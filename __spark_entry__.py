@@ -620,6 +620,16 @@ def events_hourly_anomaly(spark, sf_dir):
     return hourly_anomalies(_t(spark, sf_dir, "events"), trailing=24, k=3)
 
 
+def dedup_prefix_jaccard(spark, sf_dir):
+    """Exact (complete, no LSH recall loss) set-similarity self-join at
+    Jaccard ≥ 7/10 via prefix filtering: rarest-token prefixes bound the
+    candidate space; all pruning is integer cross-multiplication. The
+    oracle is the BRUTE-FORCE all-pairs join, so completeness is verified,
+    not assumed."""
+    from ocr_redaction_engine_spark.analytics.dedup import prefix_jaccard_join
+    return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
+
+
 def privacy_k_anonymity(spark, sf_dir):
     """k-anonymity / l-diversity audit over (nation, segment) QI groups:
     one hash-agg computing group size + exact distinct sensitive buckets,
@@ -1397,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
+        "dedup_prefix_jaccard": dedup_prefix_jaccard,
         "privacy_k_anonymity": privacy_k_anonymity,
         "privacy_pseudonymize": privacy_pseudonymize,
         "q34_skew_join": q34_skew_join,
@@ -1925,6 +1936,22 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "dedup_prefix_jaccard": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+              FROM toks ta JOIN toks tb
+                ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+              GROUP BY 1, 2)
+            SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb,
+                   round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.inter * 10 >= 7 * (sa.n + sb.n - i.inter)
         """,
         "privacy_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

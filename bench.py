@@ -67,6 +67,11 @@ HEADLINE = [
     "search_fuzzy", "sketch_hll_distinct", "sample_weighted",
     "text_pmi_collocations", "web_domain_cap", "dedup_normalized",
     "text_source_kl",
+    # round-2h: event analytics (funnel / retention / spike detector),
+    # histogram quantile sketch, politeness frontier, privacy layer
+    "events_funnel", "events_retention", "events_hourly_anomaly",
+    "sketch_hist_quantiles", "web_frontier", "privacy_k_anonymity",
+    "privacy_pseudonymize",
 ]
 
 

@@ -543,3 +543,69 @@ def minhash_decontaminate(train: DataFrame, eval_docs: DataFrame,
             F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
         )
     )
+
+
+def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> DataFrame:
+    """Exact set-similarity self-join by prefix filtering (the SSJoin/PPJoin
+    family — Chaudhuri et al. 2006, Xiao et al. 2008): COMPLETE at Jaccard ≥
+    t_num/t_den — unlike MinHash-LSH there is no recall loss — while never
+    forming the all-pairs space.
+
+    Every doc's distinct tokens are ordered by the one global total order
+    (document-frequency asc, token asc): rarest first. If J(A,B) ≥ t then
+    |A∩B| ≥ ⌈t·max(na,nb)⌉, so the O-smallest common token sits inside each
+    doc's first ``n − ⌈t·n⌉ + 1`` tokens — candidates are exactly the pairs
+    sharing a *prefix* token, and prefixes are built from the RAREST tokens,
+    so join fan-out per key is small by construction. The threshold is a
+    rational t_num/t_den and every pruning comparison is integer
+    cross-multiplication — no ``0.8 * n`` float edge can drop a legitimate
+    boundary pair (5·0.8 > 4.0 in binary floating point).
+
+    Stages, all equi-joins/hash-aggs: df count (token-keyed agg) → per-doc
+    ordered array (collect + array_sort of (df, token) structs; doc token
+    lists are bounded by doc length) → prefix explode → self equi-join on
+    the prefix token with integer length filters (t·na ≤ nb ≤ na/t) →
+    distinct pairs → exact-intersection verify join (candidates only pay
+    it). Returns (a, b, inter, na, nb, jaccard) with the filter applied as
+    ``inter·t_den ≥ t_num·(na+nb−inter)`` in BIGINTs.
+    """
+    toks = doc_tokens_distinct(docs)
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    per_doc = (
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("arr"))
+        .withColumn("n", F.size("arr").cast("long"))
+    )
+    plen = (F.col("n") - F.expr(f"(n * {t_num} + {t_den} - 1) DIV {t_den}") + 1).cast("int")
+    pref = per_doc.select(
+        "doc_id", "n", F.explode(F.slice("arr", F.lit(1), plen)).alias("s"))
+    pa = pref.select(F.col("doc_id").alias("a"), F.col("n").alias("na"),
+                     F.col("s.token").alias("token"))
+    pb = pref.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"),
+                     F.col("s.token").alias("token"))
+    cands = (
+        pa.join(pb, "token")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("na") * t_num <= F.col("nb") * t_den)
+        .filter(F.col("nb") * t_num <= F.col("na") * t_den)
+        .select("a", "b").distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), "token")
+    tb = toks.select(F.col("doc_id").alias("b"), "token")
+    inter = (
+        cands.join(ta, "a").join(tb, ["b", "token"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .filter(F.col("inter") * t_den >= t_num * (F.col("na") + F.col("nb") - F.col("inter")))
+        .select(
+            "a", "b", "inter", "na", "nb",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+            .alias("jaccard"),
+        )
+    )

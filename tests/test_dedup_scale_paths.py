@@ -186,3 +186,31 @@ def test_sparse_cosine_matches_pure_python_reference(spark):
     got = {(r["a"], r["b"]): (r["dot"], r["na2"], r["nb2"], r["cos_lb"])
            for r in sparse_cosine_pairs(df, n=3, max_df=10**6, min_dot=1).collect()}
     assert got == expected
+
+
+def test_prefix_jaccard_join_complete_vs_bruteforce(spark, docs):
+    """Prefix filtering must be COMPLETE: identical pair set to a pure-Python
+    all-pairs scan at the same rational threshold, including boundary pairs
+    where inter*t_den == t_num*union exactly."""
+    from ocr_redaction_engine_spark.analytics.dedup import prefix_jaccard_join
+
+    rows = [(str(r.doc_id), r.text) for r in docs.select("doc_id", "text").collect()]
+    # plant a boundary pair: |A|=7, |B|=7, inter=6 -> J = 6/8 = 3/4 exactly
+    rows.append(("zz-bound-a", "pa pb pc pd pe pf pg"))
+    rows.append(("zz-bound-b", "pa pb pc pd pe pf qq"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    got = {(r.a, r.b): (r.inter, r.na, r.nb)
+           for r in prefix_jaccard_join(df, t_num=3, t_den=4).collect()}
+
+    sets = {d: set(t.split()) for d, t in rows}
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 4 >= 3 * union:
+                expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == expect
+    assert ("zz-bound-a", "zz-bound-b") in got  # the exact-boundary pair survived
