@@ -620,6 +620,14 @@ def events_hourly_anomaly(spark, sf_dir):
     return hourly_anomalies(_t(spark, sf_dir, "events"), trailing=24, k=3)
 
 
+def ann_recall_eval(spark, sf_dir):
+    """Recall@k harness: exact cosine top-k (ground truth) vs the LSH
+    bucketed index, per-query integer-bp recall — the metric that gates
+    switching off brute force. Eval itself is one k-rows-per-query join."""
+    from ocr_redaction_engine_spark.analytics.similarity import ann_recall
+    return ann_recall(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def dedup_prefix_jaccard(spark, sf_dir):
     """Exact (complete, no LSH recall loss) set-similarity self-join at
     Jaccard ≥ 7/10 via prefix filtering: rarest-token prefixes bound the
@@ -1407,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
+        "ann_recall_eval": ann_recall_eval,
         "dedup_prefix_jaccard": dedup_prefix_jaccard,
         "privacy_k_anonymity": privacy_k_anonymity,
         "privacy_pseudonymize": privacy_pseudonymize,
@@ -1936,6 +1945,54 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "ann_recall_eval": """
+            WITH dims AS (
+              SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     unnest(range(len(embedding))) AS d
+              FROM embeddings),
+            qv AS (SELECT vec_id, d, CAST(floor(x*1000000) AS BIGINT) AS q FROM dims),
+            planes AS (
+              SELECT CAST(p.range AS INT) AS p, CAST(dd.range AS BIGINT) AS d,
+                     CAST(md5_number_upper('7:' || CAST(p.range AS VARCHAR) || ':' || CAST(dd.range AS VARCHAR)) >> 44 AS BIGINT) - 524288 AS w
+              FROM range(8) p CROSS JOIN range(64) dd),
+            dots AS (SELECT vec_id, p, SUM(q*w) AS dot FROM qv JOIN planes USING(d) GROUP BY vec_id, p),
+            buckets AS (
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id),
+            e AS (SELECT b.vec_id, b.bucket, CAST(emb.embedding AS DOUBLE[]) AS emb
+                  FROM buckets b JOIN embeddings emb USING (vec_id)),
+            lsh_s AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                     round(list_cosine_similarity(q.emb, c.emb), 6) AS sim
+              FROM e q JOIN e c ON q.bucket = c.bucket
+              WHERE q.vec_id < 5 AND c.vec_id >= 5),
+            lsh_r AS (SELECT q_id, c_id,
+                             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+                      FROM lsh_s),
+            approx AS (SELECT q_id, c_id FROM lsh_r WHERE rank <= 10),
+            tq AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) q_emb
+                   FROM embeddings WHERE vec_id < 5),
+            tc AS (SELECT vec_id c_id, CAST(embedding AS DOUBLE[]) c_emb
+                   FROM embeddings WHERE vec_id >= 5),
+            ts AS (SELECT q_id, c_id,
+                          round(list_cosine_similarity(q_emb, c_emb), 6) AS sim
+                   FROM tq, tc),
+            tr AS (SELECT q_id, c_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+                   FROM ts),
+            truth AS (SELECT q_id, c_id FROM tr WHERE rank <= 10),
+            hits AS (
+              SELECT t.q_id, COUNT(*) AS n_hit
+              FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.c_id = a.c_id
+              GROUP BY 1)
+            SELECT q.q_id,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   CAST(10 AS BIGINT) AS k,
+                   CAST(coalesce(h.n_hit, 0) * 10000 // 10 AS BIGINT) AS recall_bp
+            FROM (SELECT DISTINCT q_id FROM truth) q
+            LEFT JOIN hits h USING (q_id)
         """,
         "dedup_prefix_jaccard": f"""
             WITH toks AS (

@@ -581,3 +581,36 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "c_id", "adist", "rank"))
+
+
+def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+               n_planes: int = 8) -> DataFrame:
+    """Recall@k evaluation harness for the LSH index: per query, the
+    fraction of the exact cosine top-k that the bucketed ANN retrieves —
+    the metric every index deployment must publish before brute force is
+    switched off. Recall is reported in integer basis points
+    (hits*10000 DIV k) so both engines agree bit-for-bit.
+
+    Composition of the two existing operators (exact ``cosine_topk`` as
+    ground truth, ``lsh_bucketed_topk`` as the candidate) joined on
+    (q_id, c_id) — evaluation costs one extra equi-join over results that
+    are k rows per query, i.e. nothing at any scale; the expensive parts
+    are the operators being measured. Queries whose ANN bucket found no
+    truth neighbours still emit a row (recall 0).
+    """
+    truth = cosine_topk(embeddings, n_queries, k).select("q_id", "c_id")
+    approx = lsh_bucketed_topk(embeddings, n_queries, k, n_planes).select("q_id", "c_id")
+    hits = (
+        truth.join(approx, ["q_id", "c_id"])
+        .groupBy("q_id").agg(F.count("*").alias("n_hit"))
+    )
+    qs = truth.select("q_id").distinct()
+    return (
+        qs.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.lit(k).cast("long").alias("k"),
+            F.expr(f"CAST(coalesce(n_hit, 0) * 10000 DIV {k} AS BIGINT)").alias("recall_bp"),
+        )
+    )

@@ -181,3 +181,24 @@ def test_pq_planted_neighbors_rank_first(spark):
         worst_planted = max(d for _, c, d in ranked if c in planted)
         best_decoy = min(d for _, c, d in ranked if c >= 13)
         assert worst_planted < best_decoy
+
+
+def test_ann_recall_harness_matches_manual(spark, embeddings):
+    """ann_recall's per-query bp equals a manual set-intersection of the two
+    operators it composes, and every query emits a row."""
+    from ocr_redaction_engine_spark.analytics.similarity import (
+        ann_recall, lsh_bucketed_topk)
+
+    got = {r.q_id: (r.n_hit, r.k, r.recall_bp)
+           for r in ann_recall(embeddings, n_queries=5, k=10).collect()}
+
+    truth, approx = {}, {}
+    for r in cosine_topk(embeddings, n_queries=5, k=10).collect():
+        truth.setdefault(r.q_id, set()).add(r.c_id)
+    for r in lsh_bucketed_topk(embeddings, n_queries=5, k=10).collect():
+        approx.setdefault(r.q_id, set()).add(r.c_id)
+
+    assert set(got) == set(truth)  # zero-hit queries still present
+    for q, t in truth.items():
+        hits = len(t & approx.get(q, set()))
+        assert got[q] == (hits, 10, hits * 10000 // 10)
