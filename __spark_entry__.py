@@ -1216,6 +1216,14 @@ def web_frontier(spark, sf_dir):
     return crawl_frontier(_t(spark, sf_dir, "documents"), budget_waves=3)
 
 
+def web_bfs_depth(spark, sf_dir):
+    """Crawl-depth BFS layers: min hop count from the seed set within 4
+    hops — one edge join + min-agg per round (Pregel-in-DataFrames),
+    INF-sentinel arithmetic so no NULL-logic drift between engines."""
+    from ocr_redaction_engine_spark.analytics.webgraph import crawl_depth
+    return crawl_depth(_t(spark, sf_dir, "documents"), iters=4, seed_mod=97)
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-frontier URL canonicalization: lowercase scheme/host, strip :80
     and fragment, drop utm_*/ref params, sort the survivors."""
@@ -1490,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": web_pagerank,
         "web_triangles": web_triangles,
         "web_frontier": web_frontier,
+        "web_bfs_depth": web_bfs_depth,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
@@ -3617,6 +3626,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS BIGINT) AS n_anchor_texts,
                    min(regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS first_anchor
             FROM m GROUP BY 1
+        """,
+        "web_bfs_depth": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            d0 AS (SELECT node, CASE WHEN node % 97 = 0 THEN 0
+                                     ELSE 1099511627776 END AS d FROM nodes),
+            u1 AS (SELECT e.dst AS node, MIN(d.d) + 1 AS nd
+                   FROM edges e JOIN d0 d ON d.node = e.src GROUP BY 1),
+            d1 AS (SELECT d0.node, least(d0.d, coalesce(u1.nd, 1099511627776)) AS d
+                   FROM d0 LEFT JOIN u1 USING (node)),
+            u2 AS (SELECT e.dst AS node, MIN(d.d) + 1 AS nd
+                   FROM edges e JOIN d1 d ON d.node = e.src GROUP BY 1),
+            d2 AS (SELECT d1.node, least(d1.d, coalesce(u2.nd, 1099511627776)) AS d
+                   FROM d1 LEFT JOIN u2 USING (node)),
+            u3 AS (SELECT e.dst AS node, MIN(d.d) + 1 AS nd
+                   FROM edges e JOIN d2 d ON d.node = e.src GROUP BY 1),
+            d3 AS (SELECT d2.node, least(d2.d, coalesce(u3.nd, 1099511627776)) AS d
+                   FROM d2 LEFT JOIN u3 USING (node)),
+            u4 AS (SELECT e.dst AS node, MIN(d.d) + 1 AS nd
+                   FROM edges e JOIN d3 d ON d.node = e.src GROUP BY 1),
+            d4 AS (SELECT d3.node, least(d3.d, coalesce(u4.nd, 1099511627776)) AS d
+                   FROM d3 LEFT JOIN u4 USING (node))
+            SELECT n.doc_id,
+                   CASE WHEN d.d < 1099511627776 THEN d.d END AS depth,
+                   d.d < 1099511627776 AS reached
+            FROM nodes n JOIN d4 d USING (node)
         """,
         "web_frontier": """
             WITH base AS (

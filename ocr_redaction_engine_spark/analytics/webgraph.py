@@ -436,3 +436,58 @@ def crawl_frontier(docs: DataFrame, budget_waves: int = 3) -> DataFrame:
         .withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
         .withColumn("scheduled", F.col("wave") < budget_waves)
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-depth BFS layers (distance from the seed set)
+# ---------------------------------------------------------------------------
+
+_BFS_INF = 1 << 40
+
+
+def crawl_depth(docs: DataFrame, iters: int = 4, seed_mod: int = 97) -> DataFrame:
+    """BFS layers over the outlink graph: the minimum hop count from the
+    seed set (nodes ≡ 0 mod ``seed_mod`` — the deterministic stand-in for a
+    curated seed list) within ``iters`` hops — the 'crawl depth' facet crawl
+    QA dashboards slice by (shallow pages are navigational, deep pages are
+    long-tail).
+
+    Each round is one edge join + one min-agg on dst:
+    ``d'(n) = min(d(n), min over incoming edges of d(src)+1)`` — min is
+    order-independent so the distributed agg is bit-identical to the
+    sequential oracle; unreached-within-iters nodes surface as NULL depth
+    (internally an integer INF sentinel, so no NULL-vs-three-valued-logic
+    drift between engines). One shuffle per round, frontier state is one
+    long per node — the textbook Pregel-in-DataFrames shape.
+
+    Returns (doc_id, depth, reached).
+    """
+    n_nodes = docs.select("doc_id").distinct().count()  # metadata-scale scalar
+    nodes = _doc_nodes(docs)
+    edges = synth_edges(docs, n_nodes).select("src", "dst").persist()
+    depth = nodes.select(
+        "node",
+        F.when(F.col("node") % seed_mod == 0, F.lit(0))
+        .otherwise(F.lit(_BFS_INF)).cast("long").alias("d"))
+    for _ in range(iters):
+        relaxed = (
+            edges.join(depth, edges.src == depth.node)
+            .groupBy("dst").agg((F.min("d") + 1).alias("nd"))
+        )
+        depth = (
+            depth.join(relaxed, depth.node == relaxed.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("d"), F.coalesce("nd", F.lit(_BFS_INF))).alias("d"),
+            )
+        )
+    out = (
+        nodes.join(depth, "node")
+        .select(
+            "doc_id",
+            F.when(F.col("d") < _BFS_INF, F.col("d")).alias("depth"),
+            (F.col("d") < _BFS_INF).alias("reached"),
+        )
+    )
+    edges.unpersist()
+    return out

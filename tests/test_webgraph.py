@@ -241,3 +241,37 @@ def test_crawl_frontier_politeness_invariant(spark, docs):
         assert [r.wave for r in rs] == list(range(len(rs)))
         prios = [(-r.prio, r.doc_id) for r in rs]
         assert prios == sorted(prios)
+
+
+def test_crawl_depth_matches_sequential_bfs(spark, docs):
+    """Distributed layer relaxation equals a sequential BFS capped at the
+    same hop budget; seeds are depth 0; unreached rows are NULL + False."""
+    from collections import defaultdict
+
+    from ocr_redaction_engine_spark.analytics.webgraph import (
+        crawl_depth, synth_edges, _doc_nodes)
+
+    iters, seed_mod = 3, 97
+    n = docs.select("doc_id").distinct().count()
+    node_of = {r.doc_id: r.node for r in _doc_nodes(docs).collect()}
+    adj = defaultdict(set)
+    for r in synth_edges(docs, n).collect():
+        adj[r.src].add(r.dst)
+
+    INF = float("inf")
+    dist = {v: (0 if v % seed_mod == 0 else INF) for v in node_of.values()}
+    for _ in range(iters):
+        nxt = dict(dist)
+        for src, ds in adj.items():
+            for dst in ds:
+                if dist[src] + 1 < nxt.get(dst, INF):
+                    nxt[dst] = dist[src] + 1
+        dist = nxt
+
+    got = {r.doc_id: (r.depth, r.reached)
+           for r in crawl_depth(docs, iters=iters, seed_mod=seed_mod).collect()}
+    expect = {d: (dist[v] if dist[v] != INF else None,
+                  dist[v] != INF) for d, v in node_of.items()}
+    assert got == expect
+    depths = [v[0] for v in got.values() if v[0] is not None]
+    assert 0 in depths and max(depths) <= iters and any(v > 0 for v in depths)
