@@ -638,6 +638,16 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
 
 
+def events_quarantine(spark, sf_dir):
+    """Dead-letter routing: one from_json pass classifies every row
+    (malformed / missing_field / out_of_range / ok); valid + quarantine
+    lanes are filters over the same scan. Corruption is md5-planted so the
+    oracle rebuilds identical input."""
+    from ocr_redaction_engine_spark.analytics.ingest import (
+        quarantine_events, synth_corrupt_props)
+    return quarantine_events(synth_corrupt_props(_t(spark, sf_dir, "events")))
+
+
 def privacy_k_anonymity(spark, sf_dir):
     """k-anonymity / l-diversity audit over (nation, segment) QI groups:
     one hash-agg computing group size + exact distinct sensitive buckets,
@@ -1423,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
+        "events_quarantine": events_quarantine,
         "ann_recall_eval": ann_recall_eval,
         "dedup_prefix_jaccard": dedup_prefix_jaccard,
         "privacy_k_anonymity": privacy_k_anonymity,
@@ -1954,6 +1965,27 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "events_quarantine": """
+            WITH c AS (
+              SELECT event_id,
+                     CASE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':corrupt'), 1, 2)) AS BIGINT) % 10
+                       WHEN 0 THEN substring(props, 1, length(props) - 1)
+                       WHEN 1 THEN replace(props, '"k"', '"x"')
+                       WHEN 2 THEN regexp_replace(props, '[0-9]+', '99999')
+                       ELSE props END AS props
+              FROM events),
+            r AS (
+              SELECT event_id, props,
+                     CASE WHEN NOT json_valid(props) THEN 'malformed'
+                          WHEN json_extract(props, '$.k') IS NULL THEN 'missing_field'
+                          WHEN CAST(json_extract(props, '$.k') AS BIGINT) NOT BETWEEN 0 AND 100 THEN 'out_of_range'
+                          ELSE 'ok' END AS reason
+              FROM c)
+            SELECT event_id, reason, reason = 'ok' AS valid,
+                   CASE WHEN reason = 'ok'
+                        THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+            FROM r
         """,
         "ann_recall_eval": """
             WITH dims AS (

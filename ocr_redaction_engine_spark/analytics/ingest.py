@@ -1,0 +1,65 @@
+"""Ingest hygiene: dead-letter routing of malformed payload rows.
+
+Every warehouse-scale pipeline needs a quarantine lane — rows whose payload
+fails to parse must neither kill the job (the reference engine's per-document
+try/except just drops them, process_documents/process_queue_documents.py)
+nor silently vanish. The Spark-native shape is a single projection that
+classifies each row (`from_json` is null-safe: a broken document yields a
+NULL struct, a missing field a NULL field), after which valid/quarantined
+lanes are two filters over the same scan — no second parse, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def synth_corrupt_props(events: DataFrame) -> DataFrame:
+    """Deterministically corrupt ~30% of props payloads three ways
+    (truncated JSON, renamed field, out-of-domain value) — md5-gated like
+    encoding_quality's injection, pure expressions so the oracle rebuilds
+    identical input."""
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":corrupt"))),
+            1, 2), 16, 10).cast("long") % 10)
+    props = (
+        F.when(h == 0, F.expr("substring(props, 1, length(props) - 1)"))
+        .when(h == 1, F.regexp_replace("props", '"k"', '"x"'))
+        .when(h == 2, F.regexp_replace("props", "[0-9]+", "99999"))
+        .otherwise(F.col("props"))
+    )
+    return events.select("event_id", props.alias("props"))
+
+
+def quarantine_events(events: DataFrame, k_min: int = 0, k_max: int = 100) -> DataFrame:
+    """Classify every row in ONE map-only pass: parse props once with
+    ``from_json`` and route to (reason, valid) —
+
+        malformed      unparseable JSON (NULL struct)
+        missing_field  parsed, but the expected key is absent
+        out_of_range   parsed, key present, value outside [k_min, k_max]
+        ok             the valid lane
+
+    Returns (event_id, reason, valid, k). Downstream, the valid and
+    dead-letter sinks are two filters over this projection — the scan and
+    the parse are paid once. Scales as a pure scan; no shuffle, no UDF.
+    """
+    # PERMISSIVE from_json yields a null-FIELDED struct for broken JSON (not
+    # a null struct), so malformed-vs-missing needs the corrupt-record column
+    parsed = F.from_json(
+        "props", "k INT, _bad STRING",
+        {"columnNameOfCorruptRecord": "_bad"})
+    d = events.select("event_id", "props", parsed.alias("p"))
+    reason = (
+        F.when(F.col("p").isNull() | F.col("p._bad").isNotNull(), "malformed")
+        .when(F.col("p.k").isNull(), "missing_field")
+        .when(~F.col("p.k").between(k_min, k_max), "out_of_range")
+        .otherwise("ok")
+    )
+    return d.select(
+        "event_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("valid"),
+        F.when(reason == "ok", F.col("p.k")).cast("long").alias("k"),
+    )

@@ -1,0 +1,50 @@
+"""Units for dead-letter quarantine routing: each corruption class lands in
+its lane, the parse happens once, and the valid lane carries the value."""
+
+from __future__ import annotations
+
+from ocr_redaction_engine_spark.analytics.ingest import (
+    quarantine_events,
+    synth_corrupt_props,
+)
+
+
+def test_quarantine_lanes(spark):
+    rows = [
+        (0, '{"k": 7}'),          # ok
+        (1, '{"k": 7'),           # malformed (truncated)
+        (2, '{"x": 7}'),          # missing field
+        (3, '{"k": 99999}'),      # out of range
+        (4, 'not json at all'),   # malformed
+        (5, '{"k": 0}'),          # boundary ok
+        (6, '{"k": 100}'),        # boundary ok
+        (7, '{"k": -1}'),         # out of range (below)
+    ]
+    events = spark.createDataFrame(rows, "event_id long, props string")
+    got = {r.event_id: (r.reason, r.valid, r.k)
+           for r in quarantine_events(events).collect()}
+    assert got == {
+        0: ("ok", True, 7),
+        1: ("malformed", False, None),
+        2: ("missing_field", False, None),
+        3: ("out_of_range", False, None),
+        4: ("malformed", False, None),
+        5: ("ok", True, 0),
+        6: ("ok", True, 100),
+        7: ("out_of_range", False, None),
+    }
+
+
+def test_quarantine_plan_is_map_only(spark):
+    events = spark.createDataFrame([(0, '{"k": 1}')], "event_id long, props string")
+    plan = quarantine_events(events)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_synth_corruption_classes_cover_all_lanes(spark):
+    events = spark.createDataFrame(
+        [(i, '{"k": %d}' % (i % 100)) for i in range(300)],
+        "event_id long, props string")
+    lanes = {r.reason for r in
+             quarantine_events(synth_corrupt_props(events)).collect()}
+    assert lanes == {"ok", "malformed", "missing_field", "out_of_range"}
