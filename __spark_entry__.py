@@ -638,6 +638,38 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
 
 
+def audit_referential(spark, sf_dir):
+    """FK audit across the star schema: orphan anti-joins + parent
+    utilization per relationship; one summary row each. Zero orphans is
+    the passing result — utilization carries the non-vacuous signal."""
+    from ocr_redaction_engine_spark.analytics.governance import referential_audit
+    return referential_audit({
+        "lineitem.l_orderkey->orders": (
+            _t(spark, sf_dir, "lineitem"), "l_orderkey",
+            _t(spark, sf_dir, "orders"), "o_orderkey"),
+        "orders.o_custkey->customer": (
+            _t(spark, sf_dir, "orders"), "o_custkey",
+            _t(spark, sf_dir, "customer"), "c_custkey"),
+        "customer.c_nationkey->nation": (
+            _t(spark, sf_dir, "customer"), "c_nationkey",
+            _t(spark, sf_dir, "nation"), "n_nationkey"),
+        "lineitem.l_partkey->part": (
+            _t(spark, sf_dir, "lineitem"), "l_partkey",
+            _t(spark, sf_dir, "part"), "p_partkey"),
+        "lineitem.l_suppkey->supplier": (
+            _t(spark, sf_dir, "lineitem"), "l_suppkey",
+            _t(spark, sf_dir, "supplier"), "s_suppkey"),
+    })
+
+
+def orders_scd_intervals(spark, sf_dir):
+    """SCD2 validity intervals per customer: lag detects status changes,
+    lead over the compressed rows closes intervals (valid_to NULL =
+    current). Two bounded per-key windows, one shuffle."""
+    from ocr_redaction_engine_spark.analytics.governance import scd_intervals
+    return scd_intervals(_t(spark, sf_dir, "orders"))
+
+
 def events_quarantine(spark, sf_dir):
     """Dead-letter routing: one from_json pass classifies every row
     (malformed / missing_field / out_of_range / ok); valid + quarantine
@@ -1434,6 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
+        "audit_referential": audit_referential,
+        "orders_scd_intervals": orders_scd_intervals,
         "ann_recall_eval": ann_recall_eval,
         "dedup_prefix_jaccard": dedup_prefix_jaccard,
         "privacy_k_anonymity": privacy_k_anonymity,
@@ -1965,6 +1999,80 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "audit_referential": """
+            WITH r1 AS (
+              SELECT 'lineitem.l_orderkey->orders' AS relationship,
+                     (SELECT COUNT(*) FROM lineitem) AS child_rows,
+                     (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+                     (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l WHERE NOT EXISTS
+                        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_keys,
+                     (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS parent_keys,
+                     (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l WHERE EXISTS
+                        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS referenced_keys),
+            r2 AS (
+              SELECT 'orders.o_custkey->customer',
+                     (SELECT COUNT(*) FROM orders),
+                     (SELECT COUNT(*) FROM orders x WHERE NOT EXISTS
+                        (SELECT 1 FROM customer p WHERE p.c_custkey = x.o_custkey)),
+                     (SELECT COUNT(DISTINCT o_custkey) FROM orders x WHERE NOT EXISTS
+                        (SELECT 1 FROM customer p WHERE p.c_custkey = x.o_custkey)),
+                     (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+                     (SELECT COUNT(DISTINCT o_custkey) FROM orders x WHERE EXISTS
+                        (SELECT 1 FROM customer p WHERE p.c_custkey = x.o_custkey))),
+            r3 AS (
+              SELECT 'customer.c_nationkey->nation',
+                     (SELECT COUNT(*) FROM customer),
+                     (SELECT COUNT(*) FROM customer x WHERE NOT EXISTS
+                        (SELECT 1 FROM nation p WHERE p.n_nationkey = x.c_nationkey)),
+                     (SELECT COUNT(DISTINCT c_nationkey) FROM customer x WHERE NOT EXISTS
+                        (SELECT 1 FROM nation p WHERE p.n_nationkey = x.c_nationkey)),
+                     (SELECT COUNT(DISTINCT n_nationkey) FROM nation),
+                     (SELECT COUNT(DISTINCT c_nationkey) FROM customer x WHERE EXISTS
+                        (SELECT 1 FROM nation p WHERE p.n_nationkey = x.c_nationkey))),
+            r4 AS (
+              SELECT 'lineitem.l_partkey->part',
+                     (SELECT COUNT(*) FROM lineitem),
+                     (SELECT COUNT(*) FROM lineitem x WHERE NOT EXISTS
+                        (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey)),
+                     (SELECT COUNT(DISTINCT l_partkey) FROM lineitem x WHERE NOT EXISTS
+                        (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey)),
+                     (SELECT COUNT(DISTINCT p_partkey) FROM part),
+                     (SELECT COUNT(DISTINCT l_partkey) FROM lineitem x WHERE EXISTS
+                        (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey))),
+            r5 AS (
+              SELECT 'lineitem.l_suppkey->supplier',
+                     (SELECT COUNT(*) FROM lineitem),
+                     (SELECT COUNT(*) FROM lineitem x WHERE NOT EXISTS
+                        (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey)),
+                     (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem x WHERE NOT EXISTS
+                        (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey)),
+                     (SELECT COUNT(DISTINCT s_suppkey) FROM supplier),
+                     (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem x WHERE EXISTS
+                        (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey))),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+                  UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
+            SELECT relationship, child_rows, orphan_rows, orphan_keys, parent_keys,
+                   referenced_keys,
+                   CAST(referenced_keys * 10000 // parent_keys AS BIGINT) AS utilization_bp
+            FROM u
+        """,
+        "orders_scd_intervals": """
+            WITH d AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                     lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders),
+            ch AS (
+              SELECT * FROM d WHERE prev IS NULL OR prev <> o_orderstatus)
+            SELECT o_custkey, o_orderstatus,
+                   CAST(o_orderdate AS VARCHAR) AS valid_from,
+                   CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS valid_to,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+            FROM ch
         """,
         "events_quarantine": """
             WITH c AS (

@@ -1,0 +1,82 @@
+"""Warehouse governance operators: referential-integrity auditing across
+the star schema and SCD2 (slowly-changing-dimension) interval builds.
+
+The reference engine trusts its MongoDB queue rows blindly (an id that
+matches no stored file is just skipped, process_documents/
+process_queue_documents.py); at warehouse scale dangling references must be
+*measured*, not skipped. Both operators are pure joins/windows — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def referential_audit(pairs: dict[str, tuple[DataFrame, str, DataFrame, str]]) -> DataFrame:
+    """Foreign-key audit over named (child, fk, parent, pk) relationships:
+    per relationship — child rows, orphan rows (fk with no parent, the
+    anti-join), distinct orphan keys, distinct referenced keys and parent
+    utilization in basis points (referenced*10000 DIV parents).
+
+    Each relationship costs one anti-join + one semi-join-shaped distinct
+    agg, all keyed shuffles (no broadcast assumption: parents may be the
+    big side); the result is one row per relationship, unioned. Zero
+    orphans is the PASSING audit — utilization gives the non-vacuous
+    signal on healthy data.
+    """
+    outs = []
+    for name, (child, fk, parent, pk) in pairs.items():
+        ckeys = child.select(F.col(fk).alias("k"))
+        pkeys = parent.select(F.col(pk).alias("k")).distinct()
+        orphans = ckeys.join(pkeys, "k", "left_anti")
+        stats = ckeys.agg(
+            F.count("*").alias("child_rows"),
+            F.countDistinct("k").alias("child_keys"))
+        ostats = orphans.agg(
+            F.count("*").alias("orphan_rows"),
+            F.countDistinct("k").alias("orphan_keys"))
+        pstats = pkeys.agg(F.count("*").alias("parent_keys"))
+        refs = ckeys.join(pkeys, "k", "left_semi").agg(
+            F.countDistinct("k").alias("referenced_keys"))
+        row = (
+            stats.crossJoin(ostats).crossJoin(pstats).crossJoin(refs)
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows", "orphan_rows", "orphan_keys", "parent_keys",
+                "referenced_keys",
+                F.expr("CAST(referenced_keys * 10000 DIV parent_keys AS BIGINT)")
+                .alias("utilization_bp"),
+            )
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def scd_intervals(orders: DataFrame) -> DataFrame:
+    """SCD2 interval build from an ordered change stream: per customer,
+    consecutive orders carrying the same o_orderstatus compress into one
+    validity interval [valid_from, valid_to) (valid_to NULL = current) —
+    the standard slowly-changing-dimension type-2 shape, built with two
+    per-customer windows (lag to detect changes, lead over the compressed
+    rows to close intervals). Per-key history is bounded, keys are many:
+    balanced partitions, one shuffle. Dates emitted as strings so both
+    engines hash identically.
+
+    Returns (o_custkey, o_orderstatus, valid_from, valid_to, version).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = orders.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev"))
+    changes = d.filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")))
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        "o_custkey", "o_orderstatus",
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("string")).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

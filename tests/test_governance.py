@@ -1,0 +1,56 @@
+"""Units for warehouse governance: FK audit detects planted orphans and
+reports utilization; SCD2 intervals compress runs and close correctly."""
+
+from __future__ import annotations
+
+from ocr_redaction_engine_spark.analytics.governance import (
+    referential_audit,
+    scd_intervals,
+)
+
+
+def test_referential_audit_detects_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, 77)],
+        "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    rows = referential_audit({"child.fk->parent": (child, "fk", parent, "pk")}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.relationship == "child.fk->parent"
+    assert r.child_rows == 6
+    assert r.orphan_rows == 3            # fks 99, 99, 77
+    assert r.orphan_keys == 2            # {99, 77}
+    assert r.parent_keys == 3
+    assert r.referenced_keys == 2        # {10, 20}; 30 unused
+    assert r.utilization_bp == 2 * 10000 // 3
+
+
+def test_scd_intervals_compress_and_close(spark):
+    import datetime as dt
+
+    def d(n):
+        return dt.date(2024, 1, n)
+
+    rows = [
+        # cust 1: O,O,F,O -> three intervals (runs compressed)
+        (1, 1, "O", d(1)), (2, 1, "O", d(2)), (3, 1, "F", d(5)), (4, 1, "O", d(9)),
+        # cust 2: single status -> one open interval
+        (5, 2, "P", d(3)), (6, 2, "P", d(4)),
+        # cust 3: same-date change -> orderkey tiebreak (7 before 8)
+        (7, 3, "O", d(6)), (8, 3, "F", d(6)),
+    ]
+    orders = spark.createDataFrame(
+        [(k, c, s, dd, 0.0, "x") for k, c, s, dd in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate date, o_totalprice double, o_orderpriority string")
+    got = {(r.o_custkey, r.version): (r.o_orderstatus, r.valid_from, r.valid_to)
+           for r in scd_intervals(orders).collect()}
+    assert got == {
+        (1, 1): ("O", "2024-01-01", "2024-01-05"),
+        (1, 2): ("F", "2024-01-05", "2024-01-09"),
+        (1, 3): ("O", "2024-01-09", None),
+        (2, 1): ("P", "2024-01-03", None),
+        (3, 1): ("O", "2024-01-06", "2024-01-06"),
+        (3, 2): ("F", "2024-01-06", None),
+    }
