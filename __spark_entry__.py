@@ -638,6 +638,15 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
 
 
+def events_json_keys(spark, sf_dir):
+    """Semi-structured schema discovery over the (corruption-planted) props
+    feed: per JSON key — rows carrying it, distinct values, min/max string
+    form. Map-only parse + one hash-agg; broken rows contribute nothing."""
+    from ocr_redaction_engine_spark.analytics.ingest import (
+        json_key_profile, synth_corrupt_props)
+    return json_key_profile(synth_corrupt_props(_t(spark, sf_dir, "events")))
+
+
 def audit_referential(spark, sf_dir):
     """FK audit across the star schema: orphan anti-joins + parent
     utilization per relationship; one summary row each. Zero orphans is
@@ -1466,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
+        "events_json_keys": events_json_keys,
         "audit_referential": audit_referential,
         "orders_scd_intervals": orders_scd_intervals,
         "ann_recall_eval": ann_recall_eval,
@@ -1999,6 +2009,24 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "events_json_keys": """
+            WITH c AS (
+              SELECT event_id,
+                     CASE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':corrupt'), 1, 2)) AS BIGINT) % 10
+                       WHEN 0 THEN substring(props, 1, length(props) - 1)
+                       WHEN 1 THEN replace(props, '"k"', '"x"')
+                       WHEN 2 THEN regexp_replace(props, '[0-9]+', '99999')
+                       ELSE props END AS props
+              FROM events),
+            kv AS (
+              SELECT unnest(json_keys(props)) AS key, props
+              FROM c WHERE json_valid(props)),
+            v AS (
+              SELECT key, json_extract_string(props, '$.' || key) AS value FROM kv)
+            SELECT key, COUNT(*) AS n_rows, COUNT(DISTINCT value) AS n_distinct,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM v GROUP BY key
         """,
         "audit_referential": """
             WITH r1 AS (

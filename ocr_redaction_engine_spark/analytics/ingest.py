@@ -63,3 +63,24 @@ def quarantine_events(events: DataFrame, k_min: int = 0, k_max: int = 100) -> Da
         (reason == "ok").alias("valid"),
         F.when(reason == "ok", F.col("p.k")).cast("long").alias("k"),
     )
+
+
+def json_key_profile(events: DataFrame) -> DataFrame:
+    """Semi-structured schema discovery: key-level profile of a JSON payload
+    column — per key, how many rows carry it, how many distinct values it
+    takes, min/max of the string form — the first question against any
+    landed JSON feed ('what's actually in props?').
+
+    One map-only parse to ``map<string,string>`` + explode + one (key)
+    hash-agg; count-distinct rides the same shuffle. Unparseable rows
+    simply contribute no keys (from_json null-safety), so this composes
+    with quarantine_events rather than fighting it.
+    """
+    m = F.from_json("props", "map<string,string>")
+    kv = events.select(F.explode(m).alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

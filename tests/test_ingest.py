@@ -48,3 +48,17 @@ def test_synth_corruption_classes_cover_all_lanes(spark):
     lanes = {r.reason for r in
              quarantine_events(synth_corrupt_props(events)).collect()}
     assert lanes == {"ok", "malformed", "missing_field", "out_of_range"}
+
+
+def test_json_key_profile_null_safe_and_counts(spark):
+    rows = [
+        (0, '{"k": "1", "tag": "a"}'),
+        (1, '{"k": "2"}'),
+        (2, 'broken {'),            # contributes nothing
+        (3, '{"tag": "a"}'),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, props string")
+    from ocr_redaction_engine_spark.analytics.ingest import json_key_profile
+    got = {r.key: (r.n_rows, r.n_distinct, r.min_value, r.max_value)
+           for r in json_key_profile(events).collect()}
+    assert got == {"k": (2, 2, "1", "2"), "tag": (2, 1, "a", "a")}
