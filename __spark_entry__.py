@@ -876,6 +876,14 @@ def sample_weighted(spark, sf_dir):
     return weighted_sample(_t(spark, sf_dir, "documents"), k=50)
 
 
+def sample_quantile_buckets(spark, sf_dir):
+    """Curriculum bucketing via broadcast sketch boundaries: bucket = count
+    of per-source quantile estimates below the doc's length — no global
+    sort/ntile; the only full-data pass is the sketch hash-agg."""
+    from ocr_redaction_engine_spark.analytics.sampling import quantile_bucket_assign
+    return quantile_bucket_assign(_t(spark, sf_dir, "documents"))
+
+
 def sketch_hist_quantiles(spark, sf_dir):
     """Mergeable equi-width histogram sketch -> interpolated p50/p90/p99 of
     n_chars per source. One tiny broadcast pre-agg + one (group, bin)
@@ -1500,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_hll_distinct": sketch_hll_distinct,
         "sketch_hist_quantiles": sketch_hist_quantiles,
+        "sample_quantile_buckets": sample_quantile_buckets,
         "sample_weighted": sample_weighted,
         "text_pmi_collocations": text_pmi_collocations,
         "web_domain_cap": web_domain_cap,
@@ -2773,6 +2782,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS est
             FROM qq
             WHERE cum >= target AND cum - cnt < target
+        """,
+        "sample_quantile_buckets": """
+            WITH ext AS (
+              SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+                     COUNT(*) AS n,
+                     (MAX(n_chars) - MIN(n_chars)) // 32 + 1 AS width
+              FROM documents GROUP BY source),
+            hist AS (
+              SELECT d.source, e.mn, e.width, e.n,
+                     CAST((d.n_chars - e.mn) // e.width AS BIGINT) AS bin,
+                     COUNT(*) AS cnt
+              FROM documents d JOIN ext e USING (source)
+              GROUP BY 1, 2, 3, 4, 5),
+            cum AS (
+              SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+              FROM hist),
+            qq AS (
+              SELECT c.*, CAST(q.qv AS INT) AS q,
+                     (c.n * q.qv + 99) // 100 AS target
+              FROM cum c CROSS JOIN (SELECT unnest([50, 90, 99]) AS qv) q),
+            est AS (
+              SELECT source,
+                     CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS est
+              FROM qq WHERE cum >= target AND cum - cnt < target)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CAST(SUM(CASE WHEN e.est < d.n_chars THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+            FROM documents d JOIN est e USING (source)
+            GROUP BY 1, 2, 3
         """,
         "sketch_hll_distinct": f"""
             WITH h AS (

@@ -437,3 +437,28 @@ def hist_quantile_sketch(docs: DataFrame, group: str = "source",
             F.expr("CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) DIV cnt AS BIGINT)")
             .alias("est"))
     )
+
+
+def quantile_bucket_assign(docs: DataFrame, group: str = "source",
+                           value: str = "n_chars", bins: int = 32,
+                           qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Curriculum bucketing without a global sort: the histogram sketch's
+    interpolated quantile estimates become per-group broadcast boundaries,
+    and each document's bucket is simply the count of boundaries strictly
+    below its value (0..len(qs)). This is how you rank 10^12 docs into
+    quantile bands at scale — a global ntile() would funnel the corpus
+    through one sorted partition; here the only full-data pass is the
+    sketch's (group, bin) hash-agg, and assignment is a broadcast join of
+    |groups|×|qs| boundary rows + a map-side conditional sum.
+
+    Integer-exact end to end (inherits the sketch's integer read-out), so
+    Spark and the oracle agree bit-for-bit. Returns
+    (doc_id, group, value, bucket).
+    """
+    est = hist_quantile_sketch(docs, group, value, bins, qs).select(group, "est")
+    return (
+        docs.join(F.broadcast(est), group)
+        .groupBy("doc_id", group, value)
+        .agg(F.sum(F.when(F.col("est") < F.col(value), 1).otherwise(0))
+             .cast("long").alias("bucket"))
+    )

@@ -231,3 +231,26 @@ def test_hist_quantile_sketch_accuracy_and_python_parity(spark):
             assert got[(s, q)] == (n, est)
             exact = vs[target - 1]
             assert abs(est - exact) <= width
+
+
+def test_quantile_bucket_assign_monotone_and_consistent(spark):
+    """Buckets are monotone in the value, bounded by len(qs), and agree with
+    a recompute from the sketch's own boundary estimates."""
+    from ocr_redaction_engine_spark.analytics.sampling import (
+        hist_quantile_sketch, quantile_bucket_assign)
+
+    rows = [("s%d" % (i % 2), "d%03d" % i, 100 + (i * 37) % 900) for i in range(120)]
+    docs = spark.createDataFrame(rows, "source string, doc_id string, n_chars long")
+    bounds = {}
+    for r in hist_quantile_sketch(docs, bins=16).collect():
+        bounds.setdefault(r.source, []).append(r.est)
+    got = {r.doc_id: (r.source, r.n_chars, r.bucket)
+           for r in quantile_bucket_assign(docs, bins=16).collect()}
+    assert len(got) == 120
+    for doc_id, (src, v, bucket) in got.items():
+        assert bucket == sum(1 for b in bounds[src] if b < v)
+        assert 0 <= bucket <= 3
+    # monotone within a source
+    for src in ("s0", "s1"):
+        pts = sorted((v, b) for _, (s, v, b) in got.items() if s == src)
+        assert all(b1 <= b2 for (_, b1), (_, b2) in zip(pts, pts[1:]))
