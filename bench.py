@@ -72,6 +72,12 @@ HEADLINE = [
     "events_funnel", "events_retention", "events_hourly_anomaly",
     "sketch_hist_quantiles", "web_frontier", "privacy_k_anonymity",
     "privacy_pseudonymize",
+    # round-2h tail: exact prefix-filter similarity join, recall harness,
+    # quarantine routing, governance, BFS depth, curriculum bucketing,
+    # JSON key profiling
+    "dedup_prefix_jaccard", "ann_recall_eval", "events_quarantine",
+    "audit_referential", "orders_scd_intervals", "web_bfs_depth",
+    "sample_quantile_buckets", "events_json_keys",
 ]
 
 
