@@ -638,6 +638,32 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
 
 
+def q35_snowflake_rollup(spark, sf_dir):
+    """Snowflake dim-chain rollup: region -> nation -> customer + supplier,
+    every dim joined via broadcast (no shuffle on the chain), one final
+    hash-agg per region. Decimal-summed balances keep the distributed sum
+    order-independent."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    cust = customer.join(F.broadcast(nr), customer.c_nationkey == nr.n_nationkey)
+    supp = supplier.join(F.broadcast(nr), supplier.s_nationkey == nr.n_nationkey)
+    c = cust.groupBy("r_name").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("cust_balance"),
+    )
+    s = supp.groupBy("r_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("supp_balance"),
+    )
+    return c.join(s, "r_name").select(
+        "r_name", "n_nations", "n_customers", "cust_balance",
+        "n_suppliers", "supp_balance")
+
+
 def events_json_keys(spark, sf_dir):
     """Semi-structured schema discovery over the (corruption-planted) props
     feed: per JSON key — rows carrying it, distinct values, min/max string
@@ -1483,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
+        "q35_snowflake_rollup": q35_snowflake_rollup,
         "events_json_keys": events_json_keys,
         "audit_referential": audit_referential,
         "orders_scd_intervals": orders_scd_intervals,
@@ -2018,6 +2045,27 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "q35_snowflake_rollup": """
+            WITH nr AS (
+              SELECT n.n_nationkey, r.r_name
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+            c AS (
+              SELECT nr.r_name,
+                     COUNT(DISTINCT c.c_nationkey) AS n_nations,
+                     COUNT(*) AS n_customers,
+                     CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_balance
+              FROM customer c JOIN nr ON c.c_nationkey = nr.n_nationkey
+              GROUP BY 1),
+            s AS (
+              SELECT nr.r_name,
+                     COUNT(*) AS n_suppliers,
+                     CAST(SUM(CAST(sp.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_balance
+              FROM supplier sp JOIN nr ON sp.s_nationkey = nr.n_nationkey
+              GROUP BY 1)
+            SELECT c.r_name, c.n_nations, c.n_customers, c.cust_balance,
+                   s.n_suppliers, s.supp_balance
+            FROM c JOIN s USING (r_name)
         """,
         "events_json_keys": """
             WITH c AS (
