@@ -638,6 +638,14 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
 
 
+def events_value_trend(spark, sf_dir):
+    """Grouped OLS trend: slope/intercept of value-vs-time per event_type
+    from five exact decimal sufficient statistics in ONE hash-agg; floating
+    point appears once, in the final division."""
+    from ocr_redaction_engine_spark.analytics.temporal import value_trend
+    return value_trend(_t(spark, sf_dir, "events"))
+
+
 def q35_snowflake_rollup(spark, sf_dir):
     """Snowflake dim-chain rollup: region -> nation -> customer + supplier,
     every dim joined via broadcast (no shuffle on the chain), one final
@@ -1509,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
+        "events_value_trend": events_value_trend,
         "q35_snowflake_rollup": q35_snowflake_rollup,
         "events_json_keys": events_json_keys,
         "audit_referential": audit_referential,
@@ -2045,6 +2054,23 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "events_value_trend": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DECIMAL(38,0))
+                              * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                     CAST(SUM(CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DECIMAL(38,0))
+                              * CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+              FROM events GROUP BY event_type)
+            SELECT event_type, n,
+                   CAST(round(((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * 1e9) AS BIGINT) AS slope_e9,
+                   CAST(round(((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd) * 1e9) AS BIGINT) AS intercept_e9
+            FROM s
         """,
         "q35_snowflake_rollup": """
             WITH nr AS (

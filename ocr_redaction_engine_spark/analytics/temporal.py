@@ -216,3 +216,50 @@ def hourly_anomalies(events: DataFrame, trailing: int = 24, k: int = 3) -> DataF
         ((dev * dev * (F.col("w") - 1)) > (F.lit(k * k) * var_num * F.col("w")))
         .alias("is_spike"),
     )
+
+
+def value_trend(events: DataFrame, epoch0: int = 1704067200) -> DataFrame:
+    """Per-group least-squares trend (is this metric drifting?): OLS slope
+    of ``value`` against time for each event_type, computed from the five
+    classic sufficient statistics in ONE hash-agg:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Exactness discipline: x (seconds since ``epoch0``) stays integral and y
+    is cast to DECIMAL(18,2), so every Σ is an exact DECIMAL(38,·) — the
+    distributed, order-free sums match DuckDB's HUGEINT/decimal arithmetic
+    digit for digit; floating point appears exactly once, in the final
+    single division (deterministic given exact operands). Map-side partial
+    aggregation makes the shuffle |groups| rows of five numbers — the
+    textbook reduction for any moment-based statistic at 100 TB.
+
+    Returns (event_type, n, slope_e9, intercept_e9) with slope/intercept
+    scaled ×1e9 and rounded to integers for engine-portable hashing.
+    """
+    x = (F.col("ts").cast("timestamp").cast("long") - F.lit(epoch0)).cast("decimal(38,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    s = events.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).cast("decimal(38,2)").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
+    )
+    # combine in DOUBLE (decimal×decimal at p38 would trigger Spark's
+    # precision-loss rounding): each sufficient statistic is cast once —
+    # the decimal→double conversion of the same exact integer rounds
+    # identically in any IEEE engine — and the oracle mirrors this
+    # expression order operation for operation
+    nd, sxd, syd = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                    F.col("sy").cast("double"))
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    slope = num / den
+    intercept = (syd - slope * sxd) / nd
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope * 1e9).cast("long").alias("slope_e9"),
+        F.round(intercept * 1e9).cast("long").alias("intercept_e9"),
+    )

@@ -179,3 +179,34 @@ def test_hourly_anomalies_planted_spike(spark):
     base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // 3600
     assert set(out) == {base + 24, base + 25}  # first 24 hours lack a full window
     assert out[base + 25] is True and out[base + 24] is False
+
+
+def test_value_trend_matches_numpy_lstsq(spark):
+    """Distributed sufficient-statistic OLS equals numpy's polyfit slope and
+    intercept on a planted linear-plus-step series."""
+    import numpy as np
+    from ocr_redaction_engine_spark.analytics.temporal import value_trend
+
+    rows, eid = [], 0
+    e0 = dt.datetime(2024, 1, 1)
+    series = {"up": lambda i: 2.0 + 0.5 * i, "flat": lambda i: 7.25}
+    for typ, f in series.items():
+        for i in range(40):
+            rows.append((eid, e0 + dt.timedelta(seconds=100 * i), 1, typ, f(i), "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {r.event_type: (r.n, r.slope_e9, r.intercept_e9)
+           for r in value_trend(events).collect()}
+    epoch0 = 1704067200
+    base = int(e0.replace(tzinfo=dt.timezone.utc).timestamp()) - epoch0
+    for typ, f in series.items():
+        xs = np.array([base + 100 * i for i in range(40)], dtype=float)
+        ys = np.array([round(f(i), 2) for i in range(40)])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        n, s9, i9 = got[typ]
+        assert n == 40
+        assert abs(s9 - round(slope * 1e9)) <= 1
+        assert abs(i9 - round(intercept * 1e9)) <= 1
+    assert got["flat"][1] == 0  # flat series: exactly zero slope
