@@ -638,6 +638,17 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
 
 
+def events_interval_pairs(spark, sf_dir):
+    """Keyed interval join (the stream-stream operator run in batch mode —
+    watermarks no-op): each click paired with same-user errors in the
+    preceding 30 minutes; symmetric-hash-join shape with bounded state."""
+    from ocr_redaction_engine_spark.streaming import stream_interval_join
+    ev = _t(spark, sf_dir, "events")
+    return stream_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"), minutes=30)
+
+
 def events_value_trend(spark, sf_dir):
     """Grouped OLS trend: slope/intercept of value-vs-time per event_type
     from five exact decimal sufficient statistics in ONE hash-agg; floating
@@ -1517,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
+        "events_interval_pairs": events_interval_pairs,
         "events_value_trend": events_value_trend,
         "q35_snowflake_rollup": q35_snowflake_rollup,
         "events_json_keys": events_json_keys,
@@ -2054,6 +2066,16 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "events_interval_pairs": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   CAST(c.ts AS VARCHAR) AS click_ts,
+                   e.event_id AS error_id,
+                   CAST(e.ts AS VARCHAR) AS error_ts
+            FROM events c JOIN events e
+              ON c.event_type = 'click' AND e.event_type = 'error'
+             AND e.user_id = c.user_id
+             AND e.ts < c.ts AND e.ts >= c.ts - INTERVAL 30 MINUTE
         """,
         "events_value_trend": """
             WITH s AS (

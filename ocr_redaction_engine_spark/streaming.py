@@ -270,3 +270,42 @@ def stream_extraction(spark: SparkSession, documents_path: str,
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_interval_join(clicks: DataFrame, errors: DataFrame,
+                         minutes: int = 5,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: each click pairs with same-user errors
+    from the preceding ``minutes`` (half-open ``[click-5m, click)``), both
+    sides watermarked so the join state is bounded — the engine can discard
+    an error row once no future click can reach back to it. This is the
+    one Structured Streaming join class the stateless pipeline doesn't
+    exercise (stream-static covers the media resolve; this covers
+    bounded-state event correlation).
+
+    Works identically on batch DataFrames (watermarks become no-ops), which
+    is exactly how the differential test pins the streamed result to the
+    batch join. Equi-key (user_id) + time-range predicate = the shape
+    Spark's symmetric hash join handles with per-key state eviction.
+    """
+    c = (clicks.withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"), "user_id",
+                 F.col("ts").alias("click_ts")))
+    e = (errors.withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("error_id"),
+                 F.col("user_id").alias("e_user"),
+                 F.col("ts").alias("error_ts")))
+    cond = (
+        (c.user_id == e.e_user)
+        & (e.error_ts < c.click_ts)
+        & (e.error_ts >= c.click_ts - F.expr(f"INTERVAL {minutes} MINUTES"))
+    )
+    return (
+        c.join(e, cond)
+        .select("click_id", "user_id",
+                F.col("click_ts").cast("string").alias("click_ts"),
+                "error_id",
+                F.col("error_ts").cast("string").alias("error_ts"))
+    )

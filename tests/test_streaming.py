@@ -297,3 +297,59 @@ def test_stream_extraction_equals_batch(spark, tmp_path):
     again = sorted((r.doc_id, r.order, r.kind, r.text, r.media_ref)
                    for r in spark.read.parquet(f"{base}/out/main_spans").collect())
     assert again == got
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join drained over multiple micro-batches emits
+    exactly the batch join's pairs (bounded state, no loss, no dupes)."""
+    import datetime as dt
+
+    from ocr_redaction_engine_spark.streaming import stream_interval_join
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    click_rows = [
+        (100, ts(6), 1, "click", 0.0, "{}"),   # errors at 2,4 in window
+        (101, ts(20), 1, "click", 0.0, "{}"),  # error 16 in window
+        (102, ts(6), 2, "click", 0.0, "{}"),   # other-user errors invisible
+    ]
+    error_rows = [
+        (200, ts(2), 1, "error", 0.0, "{}"),
+        (201, ts(4), 1, "error", 0.0, "{}"),
+        (202, ts(16), 1, "error", 0.0, "{}"),
+        (203, ts(6), 1, "error", 0.0, "{}"),   # == click ts -> excluded
+        (204, ts(5), 3, "error", 0.0, "{}"),
+    ]
+    ddl = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    clicks_df = spark.createDataFrame(click_rows, ddl)
+    errors_df = spark.createDataFrame(error_rows, ddl)
+
+    expect = {(r.click_id, r.error_id) for r in
+              stream_interval_join(clicks_df, errors_df).collect()}
+    assert expect == {(100, 200), (100, 201), (101, 202)}
+
+    cdir, edir = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    # two files per side = multiple micro-batches
+    for i, df in enumerate((clicks_df.filter("event_id <= 100"),
+                            clicks_df.filter("event_id > 100"))):
+        df.coalesce(1).write.mode("append").parquet(cdir)
+    for df in (errors_df.filter("event_id <= 201"),
+               errors_df.filter("event_id > 201")):
+        df.coalesce(1).write.mode("append").parquet(edir)
+
+    schema = spark.read.parquet(cdir).schema
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    es = spark.readStream.schema(schema).parquet(edir)
+    q = (
+        stream_interval_join(cs, es).writeStream
+        .format("memory").queryName("sj_stream").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.click_id, r.error_id)
+           for r in spark.sql("SELECT click_id, error_id FROM sj_stream").collect()}
+    assert got == expect
