@@ -638,6 +638,16 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_join(_t(spark, sf_dir, "documents"), t_num=7, t_den=10)
 
 
+def storage_merge_upsert(spark, sf_dir):
+    """MERGE INTO (CDC apply): full-outer equi-join of the table with a
+    planted update batch — update/insert/keep action per row, one shuffle
+    on the merge key (Exchange-free under the bucketed layout)."""
+    from ocr_redaction_engine_spark.storage import merge_upsert, synth_updates
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return merge_upsert(docs, synth_updates(docs))
+
+
 def events_interval_pairs(spark, sf_dir):
     """Keyed interval join (the stream-stream operator run in batch mode —
     watermarks no-op): each click paired with same-user errors in the
@@ -1528,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
+        "storage_merge_upsert": storage_merge_upsert,
         "events_interval_pairs": events_interval_pairs,
         "events_value_trend": events_value_trend,
         "q35_snowflake_rollup": q35_snowflake_rollup,
@@ -2066,6 +2077,28 @@ def oracle_sql() -> dict[str, str]:
                    1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
                      + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS steps_reached
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "storage_merge_upsert": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+            upd AS (
+              SELECT doc_id, text || ' [rev2]' AS text
+              FROM tgt
+              WHERE CAST(('0x' || substring(md5(doc_id || ':upd'), 1, 4)) AS BIGINT) % 10 = 0
+              UNION ALL
+              SELECT doc_id || '-new', 'fresh: ' || text
+              FROM tgt
+              WHERE CAST(('0x' || substring(md5(doc_id || ':new'), 1, 4)) AS BIGINT) % 37 = 0),
+            j AS (
+              SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+                     t.text AS t_text, u.text AS u_text
+              FROM tgt t FULL OUTER JOIN upd u ON t.doc_id = u.doc_id)
+            SELECT doc_id,
+                   CASE WHEN t_text IS NULL THEN 'insert'
+                        WHEN u_text IS NULL THEN 'keep'
+                        ELSE 'update' END AS action,
+                   coalesce(u_text, t_text) AS text
+            FROM j
         """,
         "events_interval_pairs": """
             SELECT c.event_id AS click_id, c.user_id,

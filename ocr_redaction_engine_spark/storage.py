@@ -124,3 +124,46 @@ def compaction_plan(files: DataFrame, target_bytes: int = 60_000,
         F.floor(offset / F.lit(target_bytes)).cast("long").alias("bin")))
     wb = Window.partitionBy(part, "bin").orderBy(key)
     return planned.withColumn("bin_seq", F.row_number().over(wb).cast("long"))
+
+
+def synth_updates(docs: DataFrame) -> "DataFrame":
+    """Deterministic CDC batch against the documents table: ~10% of existing
+    docs arrive with revised text (md5-gated), plus a sprinkling of brand-new
+    doc_ids — pure expressions so the oracle rebuilds the identical batch."""
+    from pyspark.sql import functions as F
+    upd_gate = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("upd"))), 1, 4),
+                       16, 10).cast("long") % 10 == 0)
+    revised = (docs.filter(upd_gate)
+               .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text")))
+    new_gate = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("new"))), 1, 4),
+                       16, 10).cast("long") % 37 == 0)
+    created = (docs.filter(new_gate)
+               .select(F.concat(F.col("doc_id"), F.lit("-new")).alias("doc_id"),
+                       F.concat(F.lit("fresh: "), F.col("text")).alias("text")))
+    return revised.unionByName(created)
+
+
+def merge_upsert(target: DataFrame, updates: "DataFrame") -> "DataFrame":
+    """MERGE INTO semantics as one full-outer equi-join (the engine-level
+    shape Delta/Iceberg MERGE compiles to): update rows replace matched
+    targets, unmatched updates insert, untouched targets carry forward —
+    each output row tagged with its action for CDC auditability.
+
+    One shuffle on the merge key; at rest this pairs with the bucketed
+    writer (write_bucketed) so repeated merge cycles co-locate both sides
+    and the join plans Exchange-free. Returns (doc_id, action, text).
+    """
+    from pyspark.sql import functions as F
+    t = target.select("doc_id", F.col("text").alias("t_text"))
+    u = updates.select("doc_id", F.col("text").alias("u_text"))
+    j = t.join(u, "doc_id", "full_outer")
+    action = (
+        F.when(F.col("t_text").isNull(), "insert")
+        .when(F.col("u_text").isNull(), "keep")
+        .otherwise("update")
+    )
+    return j.select(
+        "doc_id",
+        action.alias("action"),
+        F.coalesce("u_text", "t_text").alias("text"),
+    )

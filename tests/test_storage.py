@@ -123,3 +123,21 @@ def test_compaction_plan_next_fit_bound_and_python_parity(spark):
         assert [seq for _, _, seq in fs] == list(range(1, len(fs) + 1))
         total, last = sum(s for _, s, _ in fs), fs[-1][1]
         assert total - last < target
+
+
+def test_merge_upsert_actions(spark):
+    """MERGE semantics: matched rows update, unmatched updates insert,
+    untouched targets keep; output covers target ∪ updates exactly once."""
+    from ocr_redaction_engine_spark.storage import merge_upsert
+
+    target = spark.createDataFrame(
+        [("a", "old-a"), ("b", "old-b"), ("c", "old-c")], "doc_id string, text string")
+    updates = spark.createDataFrame(
+        [("b", "new-b"), ("d", "new-d")], "doc_id string, text string")
+    got = {r.doc_id: (r.action, r.text) for r in merge_upsert(target, updates).collect()}
+    assert got == {
+        "a": ("keep", "old-a"),
+        "b": ("update", "new-b"),
+        "c": ("keep", "old-c"),
+        "d": ("insert", "new-d"),
+    }
