@@ -78,6 +78,10 @@ HEADLINE = [
     "dedup_prefix_jaccard", "ann_recall_eval", "events_quarantine",
     "audit_referential", "orders_scd_intervals", "web_bfs_depth",
     "sample_quantile_buckets", "events_json_keys",
+    # round-2i: OLS trend, interval join (stream-stream twin), snowflake
+    # rollup, MERGE upsert
+    "events_value_trend", "events_interval_pairs", "q35_snowflake_rollup",
+    "storage_merge_upsert",
 ]
 
 
