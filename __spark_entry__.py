@@ -648,6 +648,15 @@ def storage_merge_upsert(spark, sf_dir):
     return merge_upsert(docs, synth_updates(docs))
 
 
+def events_type_correlation(spark, sf_dir):
+    """Pearson correlation between hourly event-type count series: densify
+    the (hour x type) grid (pmod-key broadcast, zero-filled) so absent
+    hours don't bias the estimate; exact BIGINT sufficient sums, doubles
+    only in the final corr expression."""
+    from ocr_redaction_engine_spark.analytics.temporal import type_correlation
+    return type_correlation(_t(spark, sf_dir, "events"))
+
+
 def events_interval_pairs(spark, sf_dir):
     """Keyed interval join (the stream-stream operator run in batch mode —
     watermarks no-op): each click paired with same-user errors in the
@@ -1539,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
         "storage_merge_upsert": storage_merge_upsert,
+        "events_type_correlation": events_type_correlation,
         "events_interval_pairs": events_interval_pairs,
         "events_value_trend": events_value_trend,
         "q35_snowflake_rollup": q35_snowflake_rollup,
@@ -2099,6 +2109,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'update' END AS action,
                    coalesce(u_text, t_text) AS text
             FROM j
+        """,
+        "events_type_correlation": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            hours AS (SELECT DISTINCT hour FROM hourly),
+            types AS (SELECT DISTINCT event_type FROM hourly),
+            dense AS (
+              SELECT h.hour, t.event_type, coalesce(x.n, 0) AS n
+              FROM hours h CROSS JOIN types t
+              LEFT JOIN hourly x ON x.hour = h.hour AND x.event_type = t.event_type),
+            pairs AS (
+              SELECT a.hour, a.event_type AS type_a, b.event_type AS type_b,
+                     a.n AS x, b.n AS y
+              FROM dense a JOIN dense b
+                ON a.hour = b.hour AND a.event_type < b.event_type),
+            s AS (
+              SELECT type_a, type_b, COUNT(*) AS n_hours,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x*y) AS BIGINT) AS sxy,
+                     CAST(SUM(x*x) AS BIGINT) AS sxx,
+                     CAST(SUM(y*y) AS BIGINT) AS syy
+              FROM pairs GROUP BY 1, 2)
+            SELECT type_a, type_b, n_hours,
+                   CAST(round(
+                     (CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS corr_e6
+            FROM s
         """,
         "events_interval_pairs": """
             SELECT c.event_id AS click_id, c.user_id,

@@ -263,3 +263,50 @@ def value_trend(events: DataFrame, epoch0: int = 1704067200) -> DataFrame:
         F.round(slope * 1e9).cast("long").alias("slope_e9"),
         F.round(intercept * 1e9).cast("long").alias("intercept_e9"),
     )
+
+
+def type_correlation(events: DataFrame) -> DataFrame:
+    """Pearson correlation between every pair of event-type hourly count
+    series — the 'which metrics co-move' matrix behind incident dashboards.
+
+    The statistical trap at scale is the grid, not the math: an inner
+    self-join on hour silently drops hours where one series is zero and
+    biases the correlation, so the series are first DENSIFIED onto the
+    (hour × type) grid — built with the pmod-key broadcast join (equi-key,
+    always 0, not constant-foldable), never a CartesianProduct — and
+    zero-filled with a left join. Per pair, the five sufficient sums are
+    exact BIGINTs (hour counts are small); doubles appear only in the
+    final corr expression, mirrored operation-for-operation in the oracle.
+
+    Returns (type_a, type_b, n_hours, corr_e6).
+    """
+    hour = (F.col("ts").cast("timestamp").cast("long") / F.lit(3600)).cast("long")
+    hourly = events.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count("*").alias("n"))
+    hours = hourly.select("hour").distinct() \
+        .withColumn("__k", F.pmod(F.col("hour"), F.lit(1)) * 0)
+    types = hourly.select("event_type").distinct() \
+        .withColumn("__k", F.pmod(F.length("event_type"), F.lit(1)))
+    grid = hours.join(F.broadcast(types), "__k").select("hour", "event_type")
+    dense = (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = dense.select("hour", F.col("event_type").alias("type_a"), F.col("n").alias("x"))
+    b = dense.select("hour", F.col("event_type").alias("type_b"), F.col("n").alias("y"))
+    pairs = a.join(b, "hour").filter(F.col("type_a") < F.col("type_b"))
+    s = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_hours").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    dx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return s.select(
+        "type_a", "type_b", "n_hours",
+        F.round(num / F.sqrt(dx * dy) * 1e6).cast("long").alias("corr_e6"),
+    )

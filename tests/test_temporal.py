@@ -210,3 +210,36 @@ def test_value_trend_matches_numpy_lstsq(spark):
         assert abs(s9 - round(slope * 1e9)) <= 1
         assert abs(i9 - round(intercept * 1e9)) <= 1
     assert got["flat"][1] == 0  # flat series: exactly zero slope
+
+
+def test_type_correlation_matches_numpy_and_zero_fill(spark):
+    """Pairwise corr equals numpy corrcoef on ZERO-FILLED series (the dense
+    grid matters: type 'b' is absent in some hours), perfectly correlated
+    planted series hit 1e6, anti-correlated hit -1e6."""
+    import numpy as np
+    from ocr_redaction_engine_spark.analytics.temporal import type_correlation
+
+    rows, eid = [], 0
+    e0 = dt.datetime(2024, 1, 1)
+    # per hour h in 0..5: a: 2+h events; b: 8-h events but NONE in hours 4,5;
+    # c: constant-free ramp equal to a (perfect correlation with a)
+    counts = {"a": [2, 3, 4, 5, 6, 7], "b": [8, 7, 6, 0, 0, 0],
+              "c": [4, 6, 8, 10, 12, 14]}
+    for typ, per_hour in counts.items():
+        for h, n in enumerate(per_hour):
+            for i in range(n):
+                rows.append((eid, e0 + dt.timedelta(hours=h, seconds=i), 1,
+                             typ, 0.0, "{}"))
+                eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {(r.type_a, r.type_b): (r.n_hours, r.corr_e6)
+           for r in type_correlation(events).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (ta, tb), (nh, c6) in got.items():
+        assert nh == 6
+        expect = np.corrcoef(np.array(counts[ta], dtype=float),
+                             np.array(counts[tb], dtype=float))[0, 1]
+        assert abs(c6 - round(expect * 1e6)) <= 1
+    assert got[("a", "c")][1] == 1000000  # exact perfect correlation
