@@ -563,6 +563,14 @@ def text_langid(spark, sf_dir):
     return langid(_t(spark, sf_dir, "documents"))
 
 
+def text_langid_eval(spark, sf_dir):
+    """Language-ID eval cross-tab: predicted-class distribution per true
+    lang label in integer bp — one hash-agg + broadcast totals over the
+    operator under test."""
+    from ocr_redaction_engine_spark.analytics.text import langid_confusion
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
 def text_winnow_fp(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints — k-gram md5 mins per
     sliding window, pure Catalyst HOFs."""
@@ -1570,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_gopher_rules": text_gopher_rules,
         "text_langid": text_langid,
+        "text_langid_eval": text_langid_eval,
         "text_vocab": text_vocab,
         "text_winnow_fp": text_winnow_fp,
         "sample_bernoulli": sample_bernoulli,
@@ -2615,6 +2624,21 @@ def oracle_sql() -> dict[str, str]:
                               / len({_TOK}) >= 5.0 THEN 'compounding'
                         ELSE 'analytic' END AS lang_guess
             FROM documents
+        """,
+        "text_langid_eval": f"""
+            WITH p AS (
+              SELECT lang,
+                     CASE WHEN round(CAST(len(list_filter({_TOK}, t -> regexp_matches(t, '[aeiou]$'))) AS DOUBLE)
+                                / len({_TOK}), 6) >= 0.5 THEN 'romance'
+                          WHEN CAST(list_sum(list_transform({_TOK}, t -> length(t))) AS DOUBLE)
+                                / len({_TOK}) >= 5.0 THEN 'compounding'
+                          ELSE 'analytic' END AS lang_guess
+              FROM documents),
+            c AS (SELECT lang, lang_guess, COUNT(*) AS n FROM p GROUP BY 1, 2),
+            t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+            SELECT c.lang, c.lang_guess, c.n,
+                   CAST(c.n * 10000 // t.row_total AS BIGINT) AS share_bp
+            FROM c JOIN t USING (lang)
         """,
         "text_winnow_fp": """
             WITH g AS (

@@ -81,7 +81,7 @@ HEADLINE = [
     # round-2i: OLS trend, interval join (stream-stream twin), snowflake
     # rollup, MERGE upsert
     "events_value_trend", "events_interval_pairs", "q35_snowflake_rollup",
-    "storage_merge_upsert", "events_type_correlation",
+    "storage_merge_upsert", "events_type_correlation", "text_langid_eval",
 ]
 
 

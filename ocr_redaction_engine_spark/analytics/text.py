@@ -907,3 +907,22 @@ def gopher_line_stats(docs: DataFrame,
         ((bullets / n <= max_bullet_frac) & (ellipses / n <= max_ellipsis_frac))
         .alias("keep"),
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Classifier-eval cross-tab for the language-ID heuristic: predicted
+    class distribution per true ``lang`` label, shares in integer basis
+    points — the audit a real pipeline publishes before trusting a cheap
+    classifier to route 10^12 documents.
+
+    Composition over :func:`langid` (the operator under test pays the scan;
+    evaluation is one (label, prediction) hash-agg + a broadcast of the
+    |labels|-row totals). Returns (lang, lang_guess, n, share_bp)."""
+    p = langid(docs).select("lang", "lang_guess")
+    counts = p.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("lang").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(totals), "lang")
+        .select("lang", "lang_guess", "n",
+                F.expr("CAST(n * 10000 DIV row_total AS BIGINT)").alias("share_bp"))
+    )

@@ -418,3 +418,21 @@ def test_gopher_line_stats_match_pure_python(spark):
         b = sum(x.startswith("- ") for x in lines) / n
         e = sum(x.endswith("...") for x in lines) / n
         assert r.keep == (b <= 0.9 and e <= 0.3)
+
+
+def test_langid_confusion_rows_sum_and_shares(spark):
+    """Cross-tab rows per label sum to the label's doc count; shares are
+    integer bp of the row total."""
+    from collections import Counter
+
+    from ocr_redaction_engine_spark.analytics.text import langid, langid_confusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    preds = [(r.lang, r.lang_guess) for r in langid(docs).collect()]
+    expect = Counter(preds)
+    row_totals = Counter(l for l, _ in preds)
+    got = {(r.lang, r.lang_guess): (r.n, r.share_bp)
+           for r in langid_confusion(docs).collect()}
+    assert {k: v[0] for k, v in got.items()} == dict(expect)
+    for (lang, guess), (n, bp) in got.items():
+        assert bp == n * 10000 // row_totals[lang]
