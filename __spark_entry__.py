@@ -656,6 +656,14 @@ def storage_merge_upsert(spark, sf_dir):
     return merge_upsert(docs, synth_updates(docs))
 
 
+def events_pivot_matrix(spark, sf_dir):
+    """Pivot reshaping: per-user wide activity matrix (one count column per
+    event type + total) — a single hash-agg of conditional counts, type
+    list fixed by contract (no discovery scan)."""
+    from ocr_redaction_engine_spark.analytics.temporal import user_type_pivot
+    return user_type_pivot(_t(spark, sf_dir, "events"))
+
+
 def events_type_correlation(spark, sf_dir):
     """Pearson correlation between hourly event-type count series: densify
     the (hour x type) grid (pmod-key broadcast, zero-filled) so absent
@@ -972,6 +980,15 @@ def sketch_hll_distinct(spark, sf_dir):
     from ocr_redaction_engine_spark.analytics.sampling import hll_distinct
     return hll_distinct(_t(spark, sf_dir, "documents"),
                         group="source", p=4, value="text")
+
+
+def sketch_hll_error(spark, sf_dir):
+    """HLL accuracy audit: estimate vs exact distinct per source with
+    relative error in bp — the eval before swapping COUNT(DISTINCT) for
+    the sketch; exact side is the canary cost."""
+    from ocr_redaction_engine_spark.analytics.sampling import hll_error_audit
+    return hll_error_audit(_t(spark, sf_dir, "documents"),
+                           group="source", p=4, value="text")
 
 
 def text_repetition(spark, sf_dir):
@@ -1556,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
         "storage_merge_upsert": storage_merge_upsert,
+        "events_pivot_matrix": events_pivot_matrix,
         "events_type_correlation": events_type_correlation,
         "events_interval_pairs": events_interval_pairs,
         "events_value_trend": events_value_trend,
@@ -1585,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_hll_distinct": sketch_hll_distinct,
+        "sketch_hll_error": sketch_hll_error,
         "sketch_hist_quantiles": sketch_hist_quantiles,
         "sample_quantile_buckets": sample_quantile_buckets,
         "sample_weighted": sample_weighted,
@@ -2118,6 +2137,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'update' END AS action,
                    coalesce(u_text, t_text) AS text
             FROM j
+        """,
+        "events_pivot_matrix": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+                   CAST(COUNT(*) FILTER (event_type IN ('click','error','purchase','signup','view')) AS BIGINT) AS total
+            FROM events GROUP BY user_id
         """,
         "events_type_correlation": """
             WITH hourly AS (
@@ -3037,6 +3066,43 @@ def oracle_sql() -> dict[str, str]:
                               THEN 16.0 * ln(16.0 / v_zeros)
                               ELSE e_raw END, 6) AS est_distinct
             FROM e
+        """,
+        "sketch_hll_error": f"""
+            WITH h AS (
+              SELECT source,
+                     CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+              FROM documents),
+            r AS (
+              SELECT source, h % 16 AS reg,
+                     CASE WHEN h // 16 = 0 THEN 57
+                          ELSE 57 - length(bin(h // 16)) END AS rank
+              FROM h),
+            regs AS (
+              SELECT source, reg, MAX(rank) AS m FROM r GROUP BY source, reg),
+            g AS (
+              SELECT source, COUNT(*) AS n_regs,
+                     SUM(CAST(1 AS BIGINT) << (57 - m)) AS sum_present
+              FROM regs GROUP BY source),
+            e AS (
+              SELECT source,
+                     CAST(16 - n_regs AS BIGINT) AS v_zeros,
+                     {0.673 * 16 * 16 * float(1 << 57)!r} /
+                       (sum_present + (16 - n_regs) * (CAST(1 AS BIGINT) << 57))
+                       AS e_raw
+              FROM g),
+            est AS (
+              SELECT source,
+                     round(CASE WHEN e_raw <= 40.0 AND v_zeros > 0
+                                THEN 16.0 * ln(16.0 / v_zeros)
+                                ELSE e_raw END, 6) AS est_distinct
+              FROM e),
+            ex AS (
+              SELECT source, COUNT(DISTINCT md5(text)) AS exact_distinct
+              FROM documents GROUP BY source)
+            SELECT est.source, est.est_distinct, ex.exact_distinct,
+                   CAST(round(abs(est.est_distinct - CAST(ex.exact_distinct AS DOUBLE))
+                              / CAST(ex.exact_distinct AS DOUBLE) * 10000) AS BIGINT) AS err_bp
+            FROM est JOIN ex USING (source)
         """,
         "text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

@@ -310,3 +310,21 @@ def type_correlation(events: DataFrame) -> DataFrame:
         "type_a", "type_b", "n_hours",
         F.round(num / F.sqrt(dx * dy) * 1e6).cast("long").alias("corr_e6"),
     )
+
+
+def user_type_pivot(events: DataFrame,
+                    types: tuple = ("click", "error", "purchase", "signup", "view")) -> DataFrame:
+    """Wide activity matrix: one row per user, one count column per event
+    type plus the total — the ``pivot`` reshaping family. The type list is
+    passed explicitly (Spark's pivot without values would scan once just to
+    discover columns; at warehouse scale the schema is a contract, not a
+    discovery). Compiles to a single hash-agg with conditional counts —
+    no joins, no explode, map-side partials carry all five counters.
+    """
+    agg = [F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long").alias(t) for t in types]
+    wide = events.groupBy("user_id").pivot("event_type", list(types)).count()
+    out = wide.select("user_id", *agg)
+    total = None
+    for t in types:
+        total = F.col(t) if total is None else total + F.col(t)
+    return out.withColumn("total", total.cast("long"))

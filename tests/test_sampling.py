@@ -254,3 +254,24 @@ def test_quantile_bucket_assign_monotone_and_consistent(spark):
     for src in ("s0", "s1"):
         pts = sorted((v, b) for _, (s, v, b) in got.items() if s == src)
         assert all(b1 <= b2 for (_, b1), (_, b2) in zip(pts, pts[1:]))
+
+
+def test_hll_error_audit_matches_python_reference(spark):
+    """err_bp equals a recompute from the sketch estimate and an exact
+    Python distinct count; exact side is truly exact."""
+    from ocr_redaction_engine_spark.analytics.sampling import (
+        hll_distinct, hll_error_audit)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = {r.source: r.est_distinct for r in
+           hll_distinct(docs, "source", 4, "text").collect()}
+    exact = {}
+    for r in docs.select("source", "text").collect():
+        exact.setdefault(r.source, set()).add(r.text)
+    got = {r.source: (r.est_distinct, r.exact_distinct, r.err_bp)
+           for r in hll_error_audit(docs, "source", 4, "text").collect()}
+    assert set(got) == set(exact)
+    for s, (e, x, bp) in got.items():
+        assert x == len(exact[s])
+        assert e == est[s]
+        assert bp == round(abs(e - x) / x * 10000)

@@ -243,3 +243,20 @@ def test_type_correlation_matches_numpy_and_zero_fill(spark):
                              np.array(counts[tb], dtype=float))[0, 1]
         assert abs(c6 - round(expect * 1e6)) <= 1
     assert got[("a", "c")][1] == 1000000  # exact perfect correlation
+
+
+def test_user_type_pivot_counts(spark):
+    from ocr_redaction_engine_spark.analytics.temporal import user_type_pivot
+
+    rows = [
+        (0, _ts(0), 1, "click", 0.0, "{}"),
+        (1, _ts(1), 1, "click", 0.0, "{}"),
+        (2, _ts(2), 1, "error", 0.0, "{}"),
+        (3, _ts(3), 2, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {r.user_id: (r.click, r.error, r.purchase, r.signup, r.view, r.total)
+           for r in user_type_pivot(events).collect()}
+    assert got == {1: (2, 1, 0, 0, 0, 3), 2: (0, 0, 0, 0, 1, 1)}
