@@ -656,6 +656,13 @@ def storage_merge_upsert(spark, sf_dir):
     return merge_upsert(docs, synth_updates(docs))
 
 
+def events_top_paths(spark, sf_dir):
+    """Top user journeys: ordered event-type path per user (collect +
+    array_sort, no window), path hash-agg, TakeOrdered top-20."""
+    from ocr_redaction_engine_spark.analytics.temporal import top_paths
+    return top_paths(_t(spark, sf_dir, "events"), k=20, max_len=20)
+
+
 def events_pivot_matrix(spark, sf_dir):
     """Pivot reshaping: per-user wide activity matrix (one count column per
     event type + total) — a single hash-agg of conditional counts, type
@@ -1573,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
         "storage_merge_upsert": storage_merge_upsert,
+        "events_top_paths": events_top_paths,
         "events_pivot_matrix": events_pivot_matrix,
         "events_type_correlation": events_type_correlation,
         "events_interval_pairs": events_interval_pairs,
@@ -2137,6 +2145,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'update' END AS action,
                    coalesce(u_text, t_text) AS text
             FROM j
+        """,
+        "events_top_paths": """
+            WITH p AS (
+              SELECT user_id,
+                     array_to_string(list_transform(
+                       list_sort(list({'a': ts, 'b': event_id, 'c': event_type}))[:20],
+                       s -> s.c), '>') AS path
+              FROM events GROUP BY user_id),
+            c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+            SELECT path, n_users FROM c
+            ORDER BY n_users DESC, path ASC LIMIT 20
         """,
         "events_pivot_matrix": """
             SELECT user_id,

@@ -328,3 +328,28 @@ def user_type_pivot(events: DataFrame,
     for t in types:
         total = F.col(t) if total is None else total + F.col(t)
     return out.withColumn("total", total.cast("long"))
+
+
+def top_paths(events: DataFrame, k: int = 20, max_len: int = 20) -> DataFrame:
+    """Sequence-mining prep: each user's chronologically ordered event-type
+    path (first ``max_len`` steps, '>'-joined), then the top-``k`` most
+    common paths — 'what journeys do users actually take'.
+
+    Per-user ordering WITHOUT a window: one groupBy(user) collecting
+    (ts, event_id, type) structs, array_sort (struct order = (ts, event_id)
+    tie-break), slice, transform to the path string — per-user history is
+    bounded so the collected arrays are small and the agg stays map-side
+    partial; the path hash-agg and TakeOrdered top-k follow. Returns
+    (path, n_users) ordered by (n_users desc, path asc).
+    """
+    paths = (
+        events.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select(F.concat_ws(">", F.transform(
+            F.slice("evs", 1, max_len), lambda s: s["event_type"])).alias("path"))
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    return (
+        counted.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(k)
+    )

@@ -260,3 +260,23 @@ def test_user_type_pivot_counts(spark):
     got = {r.user_id: (r.click, r.error, r.purchase, r.signup, r.view, r.total)
            for r in user_type_pivot(events).collect()}
     assert got == {1: (2, 1, 0, 0, 0, 3), 2: (0, 0, 0, 0, 1, 1)}
+
+
+def test_top_paths_ordering_and_truncation(spark):
+    from ocr_redaction_engine_spark.analytics.temporal import top_paths
+
+    rows = [
+        # user 1 & 2: same path a>b ; user 3: same-ts tie broken by event_id
+        (0, _ts(0), 1, "a", 0.0, "{}"), (1, _ts(1), 1, "b", 0.0, "{}"),
+        (2, _ts(0), 2, "a", 0.0, "{}"), (3, _ts(1), 2, "b", 0.0, "{}"),
+        (4, _ts(5), 3, "a", 0.0, "{}"), (5, _ts(5), 3, "b", 0.0, "{}"),
+        # user 4: long history truncated at max_len
+        *[(10 + i, _ts(10 + i), 4, "x", 0.0, "{}") for i in range(6)],
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = [(r.path, r.n_users) for r in top_paths(events, k=10, max_len=4).collect()]
+    assert got[0] == ("a>b", 3)            # tie at _ts(5) broken by event_id 4<5
+    assert ("x>x>x>x", 1) in got           # truncated to max_len
+    assert len(got) == 2
