@@ -628,6 +628,14 @@ def events_hourly_anomaly(spark, sf_dir):
     return hourly_anomalies(_t(spark, sf_dir, "events"), trailing=24, k=3)
 
 
+def sample_negative_pairs(spark, sf_dir):
+    """Contrastive negative sampling: k=3 md5-deterministic partners per
+    vector (self-collision shifted, not resampled), map-only draw + one
+    equi-join for partner features."""
+    from ocr_redaction_engine_spark.analytics.similarity import negative_pairs
+    return negative_pairs(_t(spark, sf_dir, "embeddings"), k=3)
+
+
 def ann_recall_eval(spark, sf_dir):
     """Recall@k harness: exact cosine top-k (ground truth) vs the LSH
     bucketed index, per-query integer-bp recall — the metric that gates
@@ -1589,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_keys": events_json_keys,
         "audit_referential": audit_referential,
         "orders_scd_intervals": orders_scd_intervals,
+        "sample_negative_pairs": sample_negative_pairs,
         "ann_recall_eval": ann_recall_eval,
         "dedup_prefix_jaccard": dedup_prefix_jaccard,
         "privacy_k_anonymity": privacy_k_anonymity,
@@ -2362,6 +2371,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN reason = 'ok'
                         THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
             FROM r
+        """,
+        "sample_negative_pairs": """
+            WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+            slots AS (
+              SELECT vec_id, CAST(unnest([0, 1, 2]) AS INT) AS slot
+              FROM embeddings),
+            cand AS (
+              SELECT vec_id, slot,
+                     CASE WHEN d = vec_id THEN (d + 1) % (SELECT n FROM nn)
+                          ELSE d END AS neg_id
+              FROM (
+                SELECT vec_id, slot,
+                       CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':' ||
+                              CAST(slot AS VARCHAR)), 1, 12)) AS BIGINT)
+                         % (SELECT n FROM nn) AS d
+                FROM slots)),
+            feats AS (
+              SELECT vec_id AS neg_id,
+                     CAST(round(sqrt(list_sum(list_transform(
+                         CAST(embedding AS DOUBLE[]), x -> x * x))) * 1e6) AS BIGINT)
+                       AS neg_l2_e6
+              FROM embeddings)
+            SELECT c.vec_id, c.slot, c.neg_id, f.neg_l2_e6
+            FROM cand c JOIN feats f USING (neg_id)
         """,
         "ann_recall_eval": """
             WITH dims AS (

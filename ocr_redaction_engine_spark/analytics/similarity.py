@@ -614,3 +614,33 @@ def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
             F.expr(f"CAST(coalesce(n_hit, 0) * 10000 DIV {k} AS BIGINT)").alias("recall_bp"),
         )
     )
+
+
+def negative_pairs(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Contrastive-training negative sampling: ``k`` deterministic random
+    partners per anchor vector, rejection-free — partner id = md5(anchor:j)
+    mod N, with self-collisions shifted by one (mod N) instead of resampled,
+    so the draw is a pure expression both engines replay identically.
+
+    Shape: map-only id arithmetic (explode of k slots) + ONE equi-join back
+    to the table to attach the partner's embedding-norm as a sanity feature
+    — no candidate generation, no shuffle beyond the join. At 10^12 rows
+    this is the standard way to manufacture in-batch negatives ahead of
+    time. Returns (vec_id, slot, neg_id, neg_l2_e6).
+    """
+    n = embeddings.count()  # metadata-scale scalar
+    slots = embeddings.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot"))
+    draw = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("vec_id").cast("string"),
+                          F.col("slot").cast("string"))), 1, 12), 16, 10)
+        .cast("long") % n)
+    cand = slots.select(
+        "vec_id", "slot",
+        F.when(draw == F.col("vec_id"), (draw + 1) % n).otherwise(draw)
+        .alias("neg_id"))
+    feats = embeddings.select(
+        F.col("vec_id").alias("neg_id"),
+        F.round(_norm("embedding") * 1e6).cast("long").alias("neg_l2_e6"))
+    return cand.join(feats, "neg_id").select("vec_id", "slot", "neg_id", "neg_l2_e6")

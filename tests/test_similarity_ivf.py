@@ -202,3 +202,23 @@ def test_ann_recall_harness_matches_manual(spark, embeddings):
     for q, t in truth.items():
         hits = len(t & approx.get(q, set()))
         assert got[q] == (hits, 10, hits * 10000 // 10)
+
+
+def test_negative_pairs_deterministic_and_self_free(spark, embeddings):
+    """Exactly k negatives per anchor, never the anchor itself, and the
+    draw replays identically (pure expressions, no RNG state)."""
+    import hashlib
+    from ocr_redaction_engine_spark.analytics.similarity import negative_pairs
+
+    n = embeddings.count()
+    rows = negative_pairs(embeddings, k=3).collect()
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r.vec_id, set()).add(r.slot)
+        assert r.neg_id != r.vec_id
+        d = int(hashlib.md5(f"{r.vec_id}:{r.slot}".encode()).hexdigest()[:12], 16) % n
+        assert r.neg_id == (d + 1) % n if d == r.vec_id else r.neg_id == d
+    assert all(slots == {0, 1, 2} for slots in per_anchor.values())
+    assert len(per_anchor) == n
+    again = {(r.vec_id, r.slot, r.neg_id) for r in negative_pairs(embeddings, k=3).collect()}
+    assert again == {(r.vec_id, r.slot, r.neg_id) for r in rows}
