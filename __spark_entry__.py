@@ -987,6 +987,14 @@ def sketch_hist_quantiles(spark, sf_dir):
     return hist_quantile_sketch(_t(spark, sf_dir, "documents"))
 
 
+def sketch_kmv_setops(spark, sf_dir):
+    """Sketch set algebra: per source pair, |A∪B| / |A∩B| / Jaccard
+    estimated from the KMV sketches alone (k smallest of the concatenation,
+    shared-survivor fraction) — cross-corpus overlap at sketch cost."""
+    from ocr_redaction_engine_spark.analytics.sampling import kmv_set_ops
+    return kmv_set_ops(_t(spark, sf_dir, "documents"), group="source", k=64)
+
+
 def sketch_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-document estimate per source (m=16 registers):
     single groupBy(group, register).max(rank) shuffle — the map-side partial
@@ -1619,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
         "sketch_kmv_distinct": sketch_kmv_distinct,
+        "sketch_kmv_setops": sketch_kmv_setops,
         "sketch_hll_distinct": sketch_hll_distinct,
         "sketch_hll_error": sketch_hll_error,
         "sketch_hist_quantiles": sketch_hist_quantiles,
@@ -3089,6 +3098,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN e.est < d.n_chars THEN 1 ELSE 0 END) AS BIGINT) AS bucket
             FROM documents d JOIN est e USING (source)
             GROUP BY 1, 2, 3
+        """,
+        "sketch_kmv_setops": f"""
+            WITH toks AS (
+              SELECT DISTINCT source, unnest({_TOK}) AS token FROM documents),
+            hh AS (SELECT source, token,
+                          CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+                   FROM toks),
+            sk AS (
+              SELECT source, token, h FROM (
+                SELECT source, token, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h, token) AS rk
+                FROM hh)
+              WHERE rk <= 64),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            pr AS (SELECT x.source AS a, y.source AS b
+                   FROM srcs x JOIN srcs y ON x.source < y.source),
+            rows_ab AS (
+              SELECT p.a, p.b, s.token, s.h, 1 AS in_a, 0 AS in_b
+              FROM pr p JOIN sk s ON s.source = p.a
+              UNION ALL
+              SELECT p.a, p.b, s.token, s.h, 0, 1
+              FROM pr p JOIN sk s ON s.source = p.b),
+            comb AS (
+              SELECT a, b, token, MIN(h) AS h,
+                     MAX(in_a) AS in_a, MAX(in_b) AS in_b
+              FROM rows_ab GROUP BY a, b, token),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h, token) AS rk
+              FROM comb),
+            g AS (
+              SELECT a, b, COUNT(*) AS n_comb,
+                     MAX(CASE WHEN rk = 64 THEN h END) AS u_k,
+                     SUM(CASE WHEN rk <= 64 AND in_a = 1 AND in_b = 1
+                              THEN 1 ELSE 0 END) AS shared_topk,
+                     SUM(in_a * in_b) AS shared_all
+              FROM rk GROUP BY a, b),
+            e AS (
+              SELECT a, b,
+                     CASE WHEN u_k IS NOT NULL
+                          THEN round(63 / (CAST(u_k AS DOUBLE) / 1152921504606846976.0), 6)
+                          ELSE CAST(n_comb AS DOUBLE) END AS union_est,
+                     CASE WHEN u_k IS NOT NULL
+                          THEN round(CAST(shared_topk AS DOUBLE) / 64.0, 6)
+                          ELSE round(CAST(shared_all AS DOUBLE) / n_comb, 6) END AS jaccard_est
+              FROM g)
+            SELECT a, b, union_est,
+                   round(union_est * jaccard_est, 6) AS inter_est, jaccard_est
+            FROM e
         """,
         "sketch_hll_distinct": f"""
             WITH h AS (

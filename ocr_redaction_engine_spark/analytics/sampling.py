@@ -487,3 +487,73 @@ def hll_error_audit(docs: DataFrame, group: str = "source", p: int = 4,
         .select(group, "est_distinct", "exact_distinct",
                 err.cast("long").alias("err_bp"))
     )
+
+
+def kmv_set_ops(docs: DataFrame, group: str = "source", k: int = 64) -> DataFrame:
+    """Sketch set algebra (the theta-sketch trick on KMV): estimate
+    |A∪B|, |A∩B| and Jaccard for every pair of groups FROM THE SKETCHES
+    ALONE — the k smallest hashes per group are all that travels, so
+    cross-corpus overlap questions cost |groups|·k rows, not a re-scan.
+
+    Union sketch = k smallest of the two sketches' concatenation (dedupe by
+    token); |A∪B| = (k−1)/u_k as in [[kmv_distinct]]; Jaccard = fraction of
+    the union sketch's k survivors present in BOTH sketches (Beyer et al.
+    2007); |A∩B| = Jaccard × |A∪B|. When the combined sketch holds fewer
+    than k tokens both inputs were exact, so the outputs are exact too.
+    All md5-integer arithmetic until the final divisions — engine-portable.
+
+    Returns (a, b, union_est, inter_est, jaccard_est).
+    """
+    toks = (
+        docs.select(group, F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .distinct()
+    )
+    h = _hash_frac("token")
+    w = Window.partitionBy(group).orderBy(h.asc(), F.col("token").asc())
+    sketch = (
+        toks.withColumn("h", h).withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k).select(group, "token", "h")
+    )
+    srcs = (docs.select(group).distinct()
+            .withColumn("__k", F.pmod(F.length(group), F.lit(1))))
+    pairs = (
+        srcs.select(F.col(group).alias("a"), "__k")
+        .join(F.broadcast(srcs.select(F.col(group).alias("b"), "__k")), "__k")
+        .filter(F.col("a") < F.col("b")).select("a", "b")
+    )
+    ra = pairs.join(sketch.withColumnRenamed(group, "a"), "a").select(
+        "a", "b", "token", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    rb = pairs.join(sketch.withColumnRenamed(group, "b"), "b").select(
+        "a", "b", "token", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    comb = (
+        ra.unionByName(rb)
+        .groupBy("a", "b", "token")
+        .agg(F.min("h").alias("h"), F.max("in_a").alias("in_a"),
+             F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("a", "b").orderBy(F.col("h").asc(), F.col("token").asc())
+    g = (
+        comb.withColumn("rk", F.row_number().over(wp))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_comb"),
+            F.max(F.when(F.col("rk") == k, F.col("h"))).alias("u_k"),
+            F.sum(F.when((F.col("rk") <= k) & (F.col("in_a") == 1)
+                         & (F.col("in_b") == 1), 1).otherwise(0)).alias("shared_topk"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("shared_all"),
+        )
+    )
+    union_est = F.when(
+        F.col("u_k").isNotNull(),
+        F.round((k - 1) / (F.col("u_k") / F.lit(float(_HEX15))), 6),
+    ).otherwise(F.col("n_comb").cast("double"))
+    jacc = F.when(
+        F.col("u_k").isNotNull(),
+        F.round(F.col("shared_topk") / F.lit(float(k)), 6),
+    ).otherwise(F.round(F.col("shared_all") / F.col("n_comb"), 6))
+    return g.select(
+        "a", "b",
+        union_est.alias("union_est"),
+        F.round(union_est * jacc, 6).alias("inter_est"),
+        jacc.alias("jaccard_est"),
+    )

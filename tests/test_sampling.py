@@ -275,3 +275,33 @@ def test_hll_error_audit_matches_python_reference(spark):
         assert x == len(exact[s])
         assert e == est[s]
         assert bp == round(abs(e - x) / x * 10000)
+
+
+def test_kmv_set_ops_exact_and_estimated_paths(spark):
+    """Small vocab (< k combined) -> exact union/intersection/jaccard;
+    large vocab -> estimates land within the KMV error envelope vs truth."""
+    from ocr_redaction_engine_spark.analytics.sampling import kmv_set_ops
+
+    # exact path: tiny vocabularies
+    docs = spark.createDataFrame(
+        [("sA", "d1", "w1 w2 w3 w4"), ("sB", "d2", "w3 w4 w5"),
+         ("sC", "d3", "w9")],
+        "source string, doc_id string, text string")
+    got = {(r.a, r.b): (r.union_est, r.inter_est, r.jaccard_est)
+           for r in kmv_set_ops(docs, k=64).collect()}
+    assert got[("sA", "sB")] == (5.0, 2.0, 0.4)
+    assert got[("sA", "sC")] == (5.0, 0.0, 0.0)
+    assert got[("sB", "sC")] == (4.0, 0.0, 0.0)
+
+    # estimated path: 600 tokens per side, 300 shared -> J=1/3, union=900
+    rows = []
+    for i in range(600):
+        rows.append(("bigA", "a%03d" % i, "tok%04d" % i))              # 0..599
+    for i in range(300, 900):
+        rows.append(("bigB", "b%03d" % i, "tok%04d" % i))              # 300..899
+    big = spark.createDataFrame(rows, "source string, doc_id string, text string")
+    est = {(r.a, r.b): r for r in kmv_set_ops(big, k=64).collect()}
+    r = est[("bigA", "bigB")]
+    # KMV stderr ~ 1/sqrt(k-1) ~ 12.6%; allow 4 sigma
+    assert abs(r.union_est - 900) / 900 < 0.5
+    assert abs(r.jaccard_est - 1 / 3) < 0.25
