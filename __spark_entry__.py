@@ -664,6 +664,14 @@ def storage_merge_upsert(spark, sf_dir):
     return merge_upsert(docs, synth_updates(docs))
 
 
+def events_sax_symbols(spark, sf_dir):
+    """PAA+SAX symbolic series: 16 equal-width segments per event_type,
+    integer milli-unit levels, 4-letter mean-relative alphabet — two
+    hash-aggs + broadcast extents; the raw series never moves."""
+    from ocr_redaction_engine_spark.analytics.temporal import sax_symbols
+    return sax_symbols(_t(spark, sf_dir, "events"), segments=16)
+
+
 def events_top_paths(spark, sf_dir):
     """Top user journeys: ordered event-type path per user (collect +
     array_sort, no window), path hash-agg, TakeOrdered top-20."""
@@ -1596,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
         "storage_merge_upsert": storage_merge_upsert,
+        "events_sax_symbols": events_sax_symbols,
         "events_top_paths": events_top_paths,
         "events_pivot_matrix": events_pivot_matrix,
         "events_type_correlation": events_type_correlation,
@@ -2163,6 +2172,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'update' END AS action,
                    coalesce(u_text, t_text) AS text
             FROM j
+        """,
+        "events_sax_symbols": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            ext AS (
+              SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx,
+                     CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nh
+              FROM hourly GROUP BY 1),
+            segd AS (
+              SELECT h.event_type,
+                     (h.hour - e.mn) * 16 // (e.mx - e.mn + 1) AS segment,
+                     COUNT(*) AS n_hours, CAST(SUM(h.n) AS BIGINT) AS s,
+                     ANY_VALUE(e.total) AS total, ANY_VALUE(e.nh) AS nh
+              FROM hourly h JOIN ext e USING (event_type)
+              GROUP BY 1, 2)
+            SELECT event_type, segment, n_hours,
+                   CAST(s * 1000 // n_hours AS BIGINT) AS paa_e3,
+                   CASE WHEN (s * 1000 // n_hours) * 2 < (total * 1000 // nh) THEN 'a'
+                        WHEN (s * 1000 // n_hours) <= (total * 1000 // nh) THEN 'b'
+                        WHEN (s * 1000 // n_hours) * 2 <= (total * 1000 // nh) * 3 THEN 'c'
+                        ELSE 'd' END AS symbol
+            FROM segd
         """,
         "events_top_paths": """
             WITH p AS (

@@ -353,3 +353,47 @@ def top_paths(events: DataFrame, k: int = 20, max_len: int = 20) -> DataFrame:
     return (
         counted.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(k)
     )
+
+
+def sax_symbols(events: DataFrame, segments: int = 16) -> DataFrame:
+    """Symbolic time-series representation (PAA + SAX, Lin/Keogh 2003): the
+    hourly count series per event_type is piecewise-aggregate-approximated
+    into ``segments`` equal-width time segments (mean level per segment)
+    and each level discretized to a 4-letter alphabet — the form motif
+    mining / whole-series indexing wants.
+
+    Integer-exact variant: segment id and PAA level use integer DIV
+    (level in milli-units); the alphabet breakpoints are 50%/100%/150% of
+    the series mean via cross-multiplied integer comparisons (documented
+    divergence from the Gaussian-quantile breakpoints of the paper — the
+    sandbox discipline is bit-identical cross-engine results). Shape: two
+    hash-aggs and a broadcast of |types| extents/means — the series never
+    leaves the cluster, only segments do.
+
+    Returns (event_type, segment, n_hours, paa_e3, symbol).
+    """
+    hour = (F.col("ts").cast("timestamp").cast("long") / F.lit(3600)).cast("long")
+    hourly = events.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count("*").alias("n"))
+    ext = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx"),
+        F.sum("n").alias("total"), F.count("*").alias("n_hours_all"))
+    seg = (F.col("hour") - F.col("mn")) * segments / (F.col("mx") - F.col("mn") + 1)
+    segd = (
+        hourly.join(F.broadcast(ext), "event_type")
+        .withColumn("segment", seg.cast("long"))
+        .groupBy("event_type", "segment")
+        .agg(F.count("*").alias("n_hours"), F.sum("n").alias("s"),
+             F.first("total").alias("total"), F.first("n_hours_all").alias("nh"))
+    )
+    paa = F.expr("s * 1000 DIV n_hours")
+    mean = F.expr("total * 1000 DIV nh")
+    symbol = (
+        F.when(paa * 2 < mean, "a")
+        .when(paa <= mean, "b")
+        .when(paa * 2 <= mean * 3, "c")
+        .otherwise("d")
+    )
+    return segd.select(
+        "event_type", "segment", "n_hours",
+        paa.cast("long").alias("paa_e3"), symbol.alias("symbol"))

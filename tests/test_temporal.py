@@ -280,3 +280,28 @@ def test_top_paths_ordering_and_truncation(spark):
     assert got[0] == ("a>b", 3)            # tie at _ts(5) broken by event_id 4<5
     assert ("x>x>x>x", 1) in got           # truncated to max_len
     assert len(got) == 2
+
+
+def test_sax_symbols_planted_shape(spark):
+    """A planted low/high step series yields 'a' letters in the quiet half
+    and 'd' in the loud half, with exact integer PAA levels."""
+    from ocr_redaction_engine_spark.analytics.temporal import sax_symbols
+
+    rows, eid = [], 0
+    e0 = dt.datetime(2024, 1, 1)
+    for h in range(16):
+        n = 2 if h < 8 else 10   # mean = 6 -> 2*2 < 6 ('a'), 10*2 > 18 ('d')
+        for i in range(n):
+            rows.append((eid, e0 + dt.timedelta(hours=h, seconds=i), 1,
+                         "step", 0.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {r.segment: (r.n_hours, r.paa_e3, r.symbol)
+           for r in sax_symbols(events, segments=8).collect()}
+    assert set(got) == set(range(8))
+    for s in range(4):
+        assert got[s] == (2, 2000, "a")
+    for s in range(4, 8):
+        assert got[s] == (2, 10000, "d")
