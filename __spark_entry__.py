@@ -664,6 +664,14 @@ def storage_merge_upsert(spark, sf_dir):
     return merge_upsert(docs, synth_updates(docs))
 
 
+def events_active_users(spark, sf_dir):
+    """DAU/WAU/stickiness: sliding 7-day distinct via explode of the tiny
+    (user, day) pairs to their trailing-window days — no count-distinct
+    window over event history; partial leading windows dropped."""
+    from ocr_redaction_engine_spark.analytics.temporal import active_users
+    return active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def events_sax_symbols(spark, sf_dir):
     """PAA+SAX symbolic series: 16 equal-width segments per event_type,
     integer milli-unit levels, 4-letter mean-relative alphabet — two
@@ -1604,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_anomaly": events_hourly_anomaly,
         "events_quarantine": events_quarantine,
         "storage_merge_upsert": storage_merge_upsert,
+        "events_active_users": events_active_users,
         "events_sax_symbols": events_sax_symbols,
         "events_top_paths": events_top_paths,
         "events_pivot_matrix": events_pivot_matrix,
@@ -2172,6 +2181,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'update' END AS action,
                    coalesce(u_text, t_text) AS text
             FROM j
+        """,
+        "events_active_users": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              FROM events),
+            dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+            spread AS (
+              SELECT user_id, day + CAST(o.range AS BIGINT) AS day
+              FROM ud CROSS JOIN range(7) o),
+            wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM spread GROUP BY 1),
+            ext AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ud)
+            SELECT d.day, d.dau, w.wau,
+                   CAST(d.dau * 10000 // w.wau AS BIGINT) AS stickiness_bp
+            FROM dau d JOIN wau w USING (day), ext e
+            WHERE d.day >= e.mn + 6 AND d.day <= e.mx
         """,
         "events_sax_symbols": """
             WITH hourly AS (

@@ -397,3 +397,37 @@ def sax_symbols(events: DataFrame, segments: int = 16) -> DataFrame:
     return segd.select(
         "event_type", "segment", "n_hours",
         paa.cast("long").alias("paa_e3"), symbol.alias("symbol"))
+
+
+def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU / WAU / stickiness per day — with the scalable shape for a
+    sliding DISTINCT: a windowed count-distinct over raw events would drag
+    each user's whole history through every frame, so instead the
+    (user, day) DISTINCT pairs (tiny) are EXPLODED to the ``window_days``
+    future days they remain 'active in the trailing window' for, and WAU
+    is a plain per-day count-distinct — two hash-aggs and a map-only
+    explode, no window over event history. Days where the trailing window
+    would reach before the corpus start are dropped (partial windows lie).
+
+    Returns (day, dau, wau, stickiness_bp) with integer basis points.
+    """
+    day = (F.col("ts").cast("timestamp").cast("long") / F.lit(86400)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    spread = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + (window_days - 1)))
+        .alias("day"))
+    wau = spread.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    ext = ud.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    ext = ext.withColumn("__k", F.pmod(F.col("mn"), F.lit(1)) * 0)
+    joined = (
+        dau.join(wau, "day")
+        .withColumn("__k", F.pmod(F.col("day"), F.lit(1)) * 0)
+        .join(F.broadcast(ext), "__k")
+        .filter((F.col("day") >= F.col("mn") + window_days - 1)
+                & (F.col("day") <= F.col("mx")))
+    )
+    return joined.select(
+        "day", "dau", "wau",
+        F.expr("CAST(dau * 10000 DIV wau AS BIGINT)").alias("stickiness_bp"))

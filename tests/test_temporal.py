@@ -305,3 +305,32 @@ def test_sax_symbols_planted_shape(spark):
         assert got[s] == (2, 2000, "a")
     for s in range(4, 8):
         assert got[s] == (2, 10000, "d")
+
+
+def test_active_users_sliding_distinct(spark):
+    """WAU at day d counts users active in [d-6, d]; partial leading
+    windows are dropped; stickiness is integer bp."""
+    from ocr_redaction_engine_spark.analytics.temporal import active_users
+
+    def at(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    rows = [
+        (0, at(0), 1, "view", 0.0, "{}"),
+        (1, at(0), 2, "view", 0.0, "{}"),
+        (2, at(6), 1, "view", 0.0, "{}"),     # day 6: dau {1}; wau {1,2}
+        (3, at(7), 3, "view", 0.0, "{}"),     # day 7: dau {3}; wau {1,3}
+        (4, at(13), 4, "view", 0.0, "{}"),    # day 13: dau {4}; wau {3,4}
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    base = int(at(0).replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    got = {r.day - base: (r.dau, r.wau, r.stickiness_bp)
+           for r in active_users(events, window_days=7).collect()}
+    assert got[6] == (1, 2, 5000)
+    assert got[7] == (1, 2, 5000)
+    assert got[13] == (1, 2, 5000)
+    assert min(got) == 6 and max(got) == 13  # days 0-5 (partial) dropped
+    # days with no activity at all produce no row (8..12 except 13)
+    assert set(got) == {6, 7, 13}
