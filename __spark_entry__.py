@@ -782,6 +782,14 @@ def audit_referential(spark, sf_dir):
     })
 
 
+def orders_rfm(spark, sf_dir):
+    """RFM segmentation: one per-customer hash-agg for the metrics, tercile
+    boundaries from the mergeable histogram sketch (no global sort/ntile),
+    broadcast bucket assignment — integer days/cents end to end."""
+    from ocr_redaction_engine_spark.analytics.governance import rfm_segments
+    return rfm_segments(_t(spark, sf_dir, "orders"), qs=(33, 67))
+
+
 def orders_scd_intervals(spark, sf_dir):
     """SCD2 validity intervals per customer: lag detects status changes,
     lead over the compressed rows closes intervals (valid_to NULL =
@@ -1622,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_snowflake_rollup": q35_snowflake_rollup,
         "events_json_keys": events_json_keys,
         "audit_referential": audit_referential,
+        "orders_rfm": orders_rfm,
         "orders_scd_intervals": orders_scd_intervals,
         "sample_negative_pairs": sample_negative_pairs,
         "ann_recall_eval": ann_recall_eval,
@@ -2402,6 +2411,92 @@ def oracle_sql() -> dict[str, str]:
                    referenced_keys,
                    CAST(referenced_keys * 10000 // parent_keys AS BIGINT) AS utilization_bp
             FROM u
+        """,
+        "orders_rfm": """
+            WITH base AS (
+              SELECT o_custkey,
+                     MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS last_day,
+                     COUNT(*) AS frequency,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+              FROM orders GROUP BY 1),
+            mx AS (SELECT MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS max_day FROM orders),
+            m AS (
+              SELECT o_custkey,
+                     CAST(mx.max_day - base.last_day AS BIGINT) AS recency_days,
+                     CAST(frequency AS BIGINT) AS frequency, monetary_cents
+              FROM base, mx),
+            ext_r AS (
+              SELECT MIN(recency_days) AS mn, MAX(recency_days) AS mx, COUNT(*) AS n,
+                     (MAX(recency_days) - MIN(recency_days)) // 32 + 1 AS width
+              FROM m),
+            hist_r AS (
+              SELECT e.mn, e.width, e.n,
+                     CAST((m.recency_days - e.mn) // e.width AS BIGINT) AS bin,
+                     COUNT(*) AS cnt
+              FROM m, ext_r e
+              GROUP BY 1, 2, 3, 4),
+            cum_r AS (
+              SELECT *, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist_r),
+            qq_r AS (
+              SELECT c.*, (c.n * q.qv + 99) // 100 AS target
+              FROM cum_r c CROSS JOIN (SELECT unnest([33, 67]) AS qv) q),
+            est_r AS (
+              SELECT CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS b
+              FROM qq_r WHERE cum >= target AND cum - cnt < target),
+            bk_r AS (
+              SELECT m.o_custkey,
+                     CAST(SUM(CASE WHEN e.b < m.recency_days THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+              FROM m CROSS JOIN est_r e GROUP BY 1),
+            ext_f AS (
+              SELECT MIN(frequency) AS mn, MAX(frequency) AS mx, COUNT(*) AS n,
+                     (MAX(frequency) - MIN(frequency)) // 32 + 1 AS width
+              FROM m),
+            hist_f AS (
+              SELECT e.mn, e.width, e.n,
+                     CAST((m.frequency - e.mn) // e.width AS BIGINT) AS bin,
+                     COUNT(*) AS cnt
+              FROM m, ext_f e
+              GROUP BY 1, 2, 3, 4),
+            cum_f AS (
+              SELECT *, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist_f),
+            qq_f AS (
+              SELECT c.*, (c.n * q.qv + 99) // 100 AS target
+              FROM cum_f c CROSS JOIN (SELECT unnest([33, 67]) AS qv) q),
+            est_f AS (
+              SELECT CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS b
+              FROM qq_f WHERE cum >= target AND cum - cnt < target),
+            bk_f AS (
+              SELECT m.o_custkey,
+                     CAST(SUM(CASE WHEN e.b < m.frequency THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+              FROM m CROSS JOIN est_f e GROUP BY 1),
+            ext_mo AS (
+              SELECT MIN(monetary_cents) AS mn, MAX(monetary_cents) AS mx, COUNT(*) AS n,
+                     (MAX(monetary_cents) - MIN(monetary_cents)) // 32 + 1 AS width
+              FROM m),
+            hist_mo AS (
+              SELECT e.mn, e.width, e.n,
+                     CAST((m.monetary_cents - e.mn) // e.width AS BIGINT) AS bin,
+                     COUNT(*) AS cnt
+              FROM m, ext_mo e
+              GROUP BY 1, 2, 3, 4),
+            cum_mo AS (
+              SELECT *, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist_mo),
+            qq_mo AS (
+              SELECT c.*, (c.n * q.qv + 99) // 100 AS target
+              FROM cum_mo c CROSS JOIN (SELECT unnest([33, 67]) AS qv) q),
+            est_mo AS (
+              SELECT CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS b
+              FROM qq_mo WHERE cum >= target AND cum - cnt < target),
+            bk_mo AS (
+              SELECT m.o_custkey,
+                     CAST(SUM(CASE WHEN e.b < m.monetary_cents THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+              FROM m CROSS JOIN est_mo e GROUP BY 1)
+            SELECT m.o_custkey, m.recency_days, m.frequency, m.monetary_cents,
+                   r.bucket AS r_bucket, f.bucket AS f_bucket, mo.bucket AS m_bucket
+            FROM m
+            JOIN bk_r r USING (o_custkey)
+            JOIN bk_f f USING (o_custkey)
+            JOIN bk_mo mo USING (o_custkey)
         """,
         "orders_scd_intervals": """
             WITH d AS (

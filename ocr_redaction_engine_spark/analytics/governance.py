@@ -88,3 +88,56 @@ def scd_intervals(orders: DataFrame) -> DataFrame:
         F.lead(F.col("o_orderdate").cast("string")).over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def rfm_segments(orders: DataFrame, qs: tuple = (33, 67)) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), tercile
+    buckets assigned from histogram-sketch quantile boundaries — the
+    composition story: per-customer metrics are ONE hash-agg, each metric's
+    tercile boundaries come from [[hist_quantile_sketch]] (mergeable bins,
+    integer-exact read-out, no global sort/ntile), and bucket assignment is
+    a broadcast of 2 boundary rows per metric. Monetary is kept in integer
+    cents, recency in integer days vs the corpus max date (attached via the
+    non-foldable pmod key — no BNLJ).
+
+    Returns (c_custkey, recency_days, frequency, monetary_cents,
+    r_bucket, f_bucket, m_bucket) with buckets 0..len(qs).
+    """
+    from .sampling import hist_quantile_sketch
+
+    day = F.expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)")
+    m = orders.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("monetary_cents"),
+    )
+    mx = orders.agg(F.max(day).alias("max_day")) \
+        .withColumn("__k", F.pmod(F.col("max_day"), F.lit(1)))
+    m = (
+        m.withColumn("__k", F.pmod(F.col("o_custkey"), F.lit(1)))
+        .join(F.broadcast(mx), "__k")
+        .select("o_custkey",
+                (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+                "frequency", "monetary_cents")
+    )
+
+    def buckets(metric: str, out: str):
+        est = hist_quantile_sketch(
+            m.select(F.lit("all").alias("g"), F.col(metric).alias("v")),
+            group="g", value="v", qs=qs).select(F.col("est").alias("b"))
+        bc = F.broadcast(est.withColumn("__k", F.pmod(F.col("b"), F.lit(1)) * 0))
+        return (
+            m.withColumn("__k", F.pmod(F.col("o_custkey"), F.lit(1)))
+            .join(bc, "__k")
+            .groupBy("o_custkey")
+            .agg(F.sum(F.when(F.col("b") < F.col(metric), 1).otherwise(0))
+                 .cast("long").alias(out))
+        )
+
+    out = (
+        m.join(buckets("recency_days", "r_bucket"), "o_custkey")
+        .join(buckets("frequency", "f_bucket"), "o_custkey")
+        .join(buckets("monetary_cents", "m_bucket"), "o_custkey")
+    )
+    return out.select("o_custkey", "recency_days", "frequency", "monetary_cents",
+                      "r_bucket", "f_bucket", "m_bucket")

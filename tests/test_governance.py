@@ -54,3 +54,36 @@ def test_scd_intervals_compress_and_close(spark):
         (3, 1): ("O", "2024-01-06", "2024-01-06"),
         (3, 2): ("F", "2024-01-06", None),
     }
+
+
+def test_rfm_segments_buckets_monotone_and_bounds(spark):
+    """Buckets are 0..2 and monotone in the metric (higher metric -> same or
+    higher bucket); recency is vs corpus max date; monetary exact cents."""
+    import datetime as dt
+
+    from ocr_redaction_engine_spark.analytics.governance import rfm_segments
+
+    rows = []
+    key = 0
+    for cust in range(1, 31):
+        # cust c has c orders, latest on day 100+c, each worth 10.50*c
+        for j in range(cust):
+            rows.append((key, cust, "O",
+                         dt.datetime(2024, 1, 1) + dt.timedelta(days=100 + cust - j),
+                         10.50 * cust, "p"))
+            key += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_orderdate timestamp, o_totalprice double, o_orderpriority string")
+    got = {r.o_custkey: r for r in rfm_segments(orders).collect()}
+    assert len(got) == 30
+    mx = max(100 + c for c in range(1, 31))
+    for c, r in got.items():
+        assert r.recency_days == mx - (100 + c)
+        assert r.frequency == c
+        assert r.monetary_cents == 1050 * c * c
+        for b in (r.r_bucket, r.f_bucket, r.m_bucket):
+            assert 0 <= b <= 2
+    # frequency buckets monotone in c
+    fb = [got[c].f_bucket for c in range(1, 31)]
+    assert fb == sorted(fb) and fb[0] == 0 and fb[-1] == 2
