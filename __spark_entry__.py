@@ -782,6 +782,14 @@ def audit_referential(spark, sf_dir):
     })
 
 
+def basket_part_lift(spark, sf_dir):
+    """Market-basket lift: same-order part pairs (basket-bounded self-join
+    on the order key), broadcast marginals, integer-exact lift_e6,
+    TakeOrdered top-50."""
+    from ocr_redaction_engine_spark.analytics.governance import basket_lift
+    return basket_lift(_t(spark, sf_dir, "lineitem"), top_k=50)
+
+
 def orders_rfm(spark, sf_dir):
     """RFM segmentation: one per-customer hash-agg for the metrics, tercile
     boundaries from the mergeable histogram sketch (no global sort/ntile),
@@ -1630,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_snowflake_rollup": q35_snowflake_rollup,
         "events_json_keys": events_json_keys,
         "audit_referential": audit_referential,
+        "basket_part_lift": basket_part_lift,
         "orders_rfm": orders_rfm,
         "orders_scd_intervals": orders_scd_intervals,
         "sample_negative_pairs": sample_negative_pairs,
@@ -2411,6 +2420,24 @@ def oracle_sql() -> dict[str, str]:
                    referenced_keys,
                    CAST(referenced_keys * 10000 // parent_keys AS BIGINT) AS utilization_bp
             FROM u
+        """,
+        "basket_part_lift": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+            marg AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+            SELECT p.part_a, p.part_b, p.n_ab,
+                   ma.n_part AS n_a, mb.n_part AS n_b,
+                   CAST(p.n_ab * (SELECT n FROM nn) * 1000000 // (ma.n_part * mb.n_part) AS BIGINT) AS lift_e6
+            FROM pairs p
+            JOIN marg ma ON ma.l_partkey = p.part_a
+            JOIN marg mb ON mb.l_partkey = p.part_b
+            ORDER BY lift_e6 DESC, part_a ASC, part_b ASC
+            LIMIT 50
         """,
         "orders_rfm": """
             WITH base AS (

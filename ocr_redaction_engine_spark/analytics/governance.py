@@ -146,3 +146,41 @@ def rfm_segments(orders: DataFrame, qs: tuple = (33, 67)) -> DataFrame:
     )
     return out.select("o_custkey", "recency_days", "frequency", "monetary_cents",
                       "r_bucket", "f_bucket", "m_bucket")
+
+
+def basket_lift(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
+    """Market-basket association over order baskets: for every pair of
+    parts bought in the same order, support and LIFT vs independence —
+    the association-rules primitive (Agrawal/Srikant) behind 'bought
+    together' and co-curriculum mining.
+
+    Shape: distinct (order, part) pairs → self equi-join ON THE ORDER KEY
+    (baskets are small, so the pair fan-out per order is bounded by
+    basket², never corpus²) → (a, b) hash-agg, then broadcast part
+    marginals. Lift is kept engine-exact as an integer:
+    lift_e6 = n_ab · N · 1e6 DIV (n_a · n_b) where N = distinct orders.
+    Top-k by (lift desc, pair) via TakeOrdered. Returns
+    (part_a, part_b, n_ab, n_a, n_b, lift_e6).
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()  # metadata scalar
+    marg = op.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b").agg(F.count("*").alias("n_ab"))
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(ma), "part_a").join(F.broadcast(mb), "part_b")
+        .withColumn("lift_e6", F.expr(
+            f"CAST(n_ab * {n_orders} * 1000000 DIV (n_a * n_b) AS BIGINT)"))
+    )
+    return (
+        scored.select("part_a", "part_b", "n_ab", "n_a", "n_b", "lift_e6")
+        .orderBy(F.col("lift_e6").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(top_k)
+    )

@@ -87,3 +87,36 @@ def test_rfm_segments_buckets_monotone_and_bounds(spark):
     # frequency buckets monotone in c
     fb = [got[c].f_bucket for c in range(1, 31)]
     assert fb == sorted(fb) and fb[0] == 0 and fb[-1] == 2
+
+
+def test_basket_lift_matches_bruteforce(spark):
+    """Lift values equal a pure-Python recompute on planted baskets; the
+    always-together pair tops the anti-correlated one."""
+    from collections import Counter
+    from itertools import combinations
+
+    from ocr_redaction_engine_spark.analytics.governance import basket_lift
+
+    baskets = {
+        1: [10, 20], 2: [10, 20], 3: [10, 20],   # 10-20 always together
+        4: [30], 5: [30, 40], 6: [40, 50], 7: [50, 10],
+    }
+    rows = [(o * 100 + i, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             None) for o, ps in baskets.items() for i, p in enumerate(ps)]
+    li = spark.createDataFrame(
+        [(r[0] // 100, r[1]) for r in rows], "l_orderkey long, l_partkey long")
+    # widen to the lineitem columns the operator touches (only two)
+    got = {(r.part_a, r.part_b): (r.n_ab, r.n_a, r.n_b, r.lift_e6)
+           for r in basket_lift(li, top_k=50).collect()}
+
+    n_orders = len(baskets)
+    marg = Counter(p for ps in baskets.values() for p in set(ps))
+    pair = Counter()
+    for ps in baskets.values():
+        for a, b in combinations(sorted(set(ps)), 2):
+            pair[(a, b)] += 1
+    expect = {ab: (n, marg[ab[0]], marg[ab[1]],
+                   n * n_orders * 1000000 // (marg[ab[0]] * marg[ab[1]]))
+              for ab, n in pair.items()}
+    assert got == expect
+    assert got[(10, 20)][3] > got[(10, 50)][3]
