@@ -1419,6 +1419,15 @@ def web_frontier(spark, sf_dir):
     return crawl_frontier(_t(spark, sf_dir, "documents"), budget_waves=3)
 
 
+def web_random_walks(spark, sf_dir):
+    """DeepWalk corpus: 2 deterministic md5-driven walks of length 3 per
+    node — one node-keyed join per step, single-long state per walk,
+    bit-replayable in any engine."""
+    from ocr_redaction_engine_spark.analytics.webgraph import random_walks
+    return random_walks(_t(spark, sf_dir, "documents"), walk_len=3,
+                        walks_per_node=2)
+
+
 def web_bfs_depth(spark, sf_dir):
     """Crawl-depth BFS layers: min hop count from the seed set within 4
     hops — one edge join + min-agg per round (Pregel-in-DataFrames),
@@ -1721,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": web_pagerank,
         "web_triangles": web_triangles,
         "web_frontier": web_frontier,
+        "web_random_walks": web_random_walks,
         "web_bfs_depth": web_bfs_depth,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
@@ -4385,6 +4395,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS BIGINT) AS n_anchor_texts,
                    min(regexp_extract(mm, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS first_anchor
             FROM m GROUP BY 1
+        """,
+        "web_random_walks": """
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            s0 AS (
+              SELECT node, CAST(w.range AS INT) AS walk, node AS cur,
+                     CAST(node AS VARCHAR) AS path
+              FROM nodes CROSS JOIN range(2) w),
+            s1 AS (
+              SELECT s.node, s.walk, CAST(('0x' || substring(md5(n.doc_id || ':' || CAST(CAST(('0x' || substring(md5(CAST(s.node AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':s0'), 1, 8)) AS BIGINT) % (CAST(('0x' || substring(md5(n.doc_id || ':deg'), 1, 8)) AS BIGINT) % 3 + 2) AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT n FROM nn) AS cur,
+                     s.path || '>' || CAST(CAST(('0x' || substring(md5(n.doc_id || ':' || CAST(CAST(('0x' || substring(md5(CAST(s.node AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':s0'), 1, 8)) AS BIGINT) % (CAST(('0x' || substring(md5(n.doc_id || ':deg'), 1, 8)) AS BIGINT) % 3 + 2) AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT n FROM nn) AS VARCHAR) AS path
+              FROM s0 s JOIN nodes n ON n.node = s.cur),
+            s2 AS (
+              SELECT s.node, s.walk, CAST(('0x' || substring(md5(n.doc_id || ':' || CAST(CAST(('0x' || substring(md5(CAST(s.node AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT) % (CAST(('0x' || substring(md5(n.doc_id || ':deg'), 1, 8)) AS BIGINT) % 3 + 2) AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT n FROM nn) AS cur,
+                     s.path || '>' || CAST(CAST(('0x' || substring(md5(n.doc_id || ':' || CAST(CAST(('0x' || substring(md5(CAST(s.node AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT) % (CAST(('0x' || substring(md5(n.doc_id || ':deg'), 1, 8)) AS BIGINT) % 3 + 2) AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT n FROM nn) AS VARCHAR) AS path
+              FROM s1 s JOIN nodes n ON n.node = s.cur),
+            s3 AS (
+              SELECT s.node, s.walk, CAST(('0x' || substring(md5(n.doc_id || ':' || CAST(CAST(('0x' || substring(md5(CAST(s.node AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':s2'), 1, 8)) AS BIGINT) % (CAST(('0x' || substring(md5(n.doc_id || ':deg'), 1, 8)) AS BIGINT) % 3 + 2) AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT n FROM nn) AS cur,
+                     s.path || '>' || CAST(CAST(('0x' || substring(md5(n.doc_id || ':' || CAST(CAST(('0x' || substring(md5(CAST(s.node AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':s2'), 1, 8)) AS BIGINT) % (CAST(('0x' || substring(md5(n.doc_id || ':deg'), 1, 8)) AS BIGINT) % 3 + 2) AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT n FROM nn) AS VARCHAR) AS path
+              FROM s2 s JOIN nodes n ON n.node = s.cur)
+            SELECT node, walk, path FROM s3
         """,
         "web_bfs_depth": r"""
             WITH nodes AS (

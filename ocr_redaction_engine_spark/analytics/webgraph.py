@@ -491,3 +491,50 @@ def crawl_depth(docs: DataFrame, iters: int = 4, seed_mod: int = 97) -> DataFram
     )
     edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Random-walk corpus generation (graph-embedding training prep)
+# ---------------------------------------------------------------------------
+
+def random_walks(docs: DataFrame, walk_len: int = 3,
+                 walks_per_node: int = 2) -> DataFrame:
+    """DeepWalk-style walk corpus: ``walks_per_node`` fixed-length random
+    walks from every node — the sentence corpus graph-embedding training
+    (DeepWalk/node2vec) consumes. The 'random' choice is an md5 draw keyed
+    by (node, walk, step), so the corpus is a pure function of the graph:
+    any engine replays it bit-for-bit, and a rerun after a crash emits the
+    identical walks (the determinism a resumable 10^12-edge job needs).
+
+    Each step is ONE equi-join back to the node table (cur → doc_id) to
+    derive out-degree and the chosen edge's destination from expressions —
+    state per walk is a single long plus the path string, there is no
+    neighbor-list explosion: ``walk_len`` joins total, all on the node key.
+    Returns (node, walk, path) with path = '>'-joined node ids.
+    """
+    n_nodes = docs.select("doc_id").distinct().count()  # metadata scalar
+    nodes = _doc_nodes(docs)
+    state = nodes.select(
+        "node",
+        F.explode(F.array(*[F.lit(wk) for wk in range(walks_per_node)])).alias("walk"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for step in range(walk_len):
+        deg = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("deg"))), 1, 8),
+                      16, 10).cast("long") % 3 + 2)
+        pick = (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("node").cast("string"), F.col("walk").cast("string"),
+            F.lit(f"s{step}"))), 1, 8), 16, 10).cast("long") % deg)
+        nxt = (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", "doc_id", pick.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % n_nodes)
+        state = (
+            state.join(nodes.select(F.col("node").alias("cur"), "doc_id"), "cur")
+            .select(
+                "node", "walk",
+                nxt.alias("cur"),
+                F.concat_ws(">", "path", nxt.cast("string")).alias("path"),
+            )
+        )
+    return state.select("node", F.col("walk").cast("int").alias("walk"), "path")

@@ -275,3 +275,28 @@ def test_crawl_depth_matches_sequential_bfs(spark, docs):
     assert got == expect
     depths = [v[0] for v in got.values() if v[0] is not None]
     assert 0 in depths and max(depths) <= iters and any(v > 0 for v in depths)
+
+
+def test_random_walks_follow_real_edges_and_replay(spark, docs):
+    """Every step of every walk traverses an actual graph edge; the walk
+    corpus replays identically; 2 walks per node, length 3."""
+    from collections import defaultdict
+
+    from ocr_redaction_engine_spark.analytics.webgraph import (
+        random_walks, synth_edges, _doc_nodes)
+
+    n = docs.select("doc_id").distinct().count()
+    adj = defaultdict(set)
+    for r in synth_edges(docs, n).collect():
+        adj[r.src].add(r.dst)
+
+    rows = random_walks(docs, walk_len=3, walks_per_node=2).collect()
+    assert len(rows) == 2 * n
+    for r in rows:
+        steps = [int(x) for x in r.path.split(">")]
+        assert steps[0] == r.node and len(steps) == 4
+        for a, b in zip(steps, steps[1:]):
+            assert b in adj[a], (a, b)
+    again = {(r.node, r.walk): r.path
+             for r in random_walks(docs, walk_len=3, walks_per_node=2).collect()}
+    assert again == {(r.node, r.walk): r.path for r in rows}
