@@ -343,10 +343,13 @@ def hits(docs: DataFrame, iters: int = 2,
     for _ in range(iters):
         raw_a = (edges.join(hub.withColumnRenamed("node", "src"), "src")
                  .groupBy("dst").agg(F.sum("score").alias("raw")))
-        auth = l1_norm(raw_a, "dst")
+        # truncate the per-iteration lineage (same discipline as
+        # connected_components): without this the unrolled plan doubles
+        # every half-round — PLAN_AUDIT measured 247 Exchange nodes
+        auth = l1_norm(raw_a, "dst").localCheckpoint(eager=True)
         raw_h = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
                  .groupBy("src").agg(F.sum("score").alias("raw")))
-        hub = l1_norm(raw_h, "src")
+        hub = l1_norm(raw_h, "src").localCheckpoint(eager=True)
     out = (nodes
            .join(auth.withColumnRenamed("score", "auth_micro"), "node")
            .join(hub.withColumnRenamed("score", "hub_micro"), "node")
@@ -480,7 +483,7 @@ def crawl_depth(docs: DataFrame, iters: int = 4, seed_mod: int = 97) -> DataFram
                 "node",
                 F.least(F.col("d"), F.coalesce("nd", F.lit(_BFS_INF))).alias("d"),
             )
-        )
+        ).localCheckpoint(eager=True)  # truncate per-round lineage
     out = (
         nodes.join(depth, "node")
         .select(

@@ -1,0 +1,67 @@
+"""Machine-readable physical-plan audit of every queries() entry.
+
+For each driver query, record the plan properties the 100 TB design cares
+about: exchange (shuffle) count, Arrow/Python stage count, join strategies
+used, whether a CartesianProduct/BroadcastNestedLoopJoin appears (banned —
+also enforced by tests/test_plan_shape.py), and whether the scan carries
+pushed filters. Output: PLAN_AUDIT.json at the repo root plus a one-line
+summary — evidence the plans are the ones we claim, not prose.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+from ocr_redaction_engine_spark.session import get_spark  # noqa: E402
+
+spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as entry  # noqa: E402
+
+JOIN_KINDS = [
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+]
+
+report = {}
+for name, fn in entry.queries().items():
+    try:
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    except Exception as exc:  # surface, don't hide
+        report[name] = {"error": str(exc).splitlines()[0][:200]}
+        continue
+    report[name] = {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "arrow_stages": plan.count("MapInPandas") + plan.count("ArrowEvalPython"),
+        "python_row_udfs": plan.count("BatchEvalPython"),
+        "joins": {k: plan.count(k) for k in JOIN_KINDS if k in plan},
+        "banned_join": ("CartesianProduct" in plan)
+        or ("BroadcastNestedLoopJoin" in plan),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+    }
+
+banned = sorted(n for n, r in report.items() if r.get("banned_join"))
+errors = sorted(n for n, r in report.items() if "error" in r)
+summary = {
+    "queries": len(report),
+    "banned_join_queries": banned,
+    "errored": errors,
+    "python_row_udf_queries": sorted(
+        n for n, r in report.items() if r.get("python_row_udfs")),
+    "max_exchanges": max((r.get("exchanges", 0) for r in report.values()),
+                         default=0),
+}
+with open("/root/repo/PLAN_AUDIT.json", "w") as f:
+    json.dump({"summary": summary, "plans": report}, f, indent=1, sort_keys=True)
+print(json.dumps(summary))
+spark.stop()
