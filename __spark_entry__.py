@@ -1027,6 +1027,13 @@ def sketch_kmv_setops(spark, sf_dir):
     return kmv_set_ops(_t(spark, sf_dir, "documents"), group="source", k=64)
 
 
+def sketch_kmv_containment(spark, sf_dir):
+    """Directed containment C(A->B) = inter/|A| from the KMV sketches —
+    the asymmetric overlap Jaccard hides (subset corpora, boilerplate)."""
+    from ocr_redaction_engine_spark.analytics.sampling import kmv_containment
+    return kmv_containment(_t(spark, sf_dir, "documents"), group="source", k=64)
+
+
 def sketch_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-document estimate per source (m=16 registers):
     single groupBy(group, register).max(rank) shuffle — the map-side partial
@@ -1673,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_kmv_setops": sketch_kmv_setops,
+        "sketch_kmv_containment": sketch_kmv_containment,
         "sketch_hll_distinct": sketch_hll_distinct,
         "sketch_hll_error": sketch_hll_error,
         "sketch_hist_quantiles": sketch_hist_quantiles,
@@ -3337,6 +3345,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, union_est,
                    round(union_est * jaccard_est, 6) AS inter_est, jaccard_est
             FROM e
+        """,
+        "sketch_kmv_containment": f"""
+            WITH toks AS (
+              SELECT DISTINCT source, unnest({_TOK}) AS token FROM documents),
+            hh AS (SELECT source, token,
+                          CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+                   FROM toks),
+            rk_all AS (
+              SELECT source, token, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h, token) AS rk
+              FROM hh),
+            kd AS (
+              SELECT source,
+                     CASE WHEN MAX(CASE WHEN rk = 64 THEN h END) IS NOT NULL
+                          THEN round(63 / (CAST(MAX(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
+                                           / 1152921504606846976.0), 6)
+                          ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+              FROM rk_all GROUP BY source),
+            sk AS (SELECT source, token, h FROM rk_all WHERE rk <= 64),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            pr AS (SELECT x.source AS a, y.source AS b
+                   FROM srcs x JOIN srcs y ON x.source < y.source),
+            rows_ab AS (
+              SELECT p.a, p.b, s.token, s.h, 1 AS in_a, 0 AS in_b
+              FROM pr p JOIN sk s ON s.source = p.a
+              UNION ALL
+              SELECT p.a, p.b, s.token, s.h, 0, 1
+              FROM pr p JOIN sk s ON s.source = p.b),
+            comb AS (
+              SELECT a, b, token, MIN(h) AS h,
+                     MAX(in_a) AS in_a, MAX(in_b) AS in_b
+              FROM rows_ab GROUP BY a, b, token),
+            rkc AS (
+              SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h, token) AS rk
+              FROM comb),
+            g AS (
+              SELECT a, b, COUNT(*) AS n_comb,
+                     MAX(CASE WHEN rk = 64 THEN h END) AS u_k,
+                     SUM(CASE WHEN rk <= 64 AND in_a = 1 AND in_b = 1
+                              THEN 1 ELSE 0 END) AS shared_topk,
+                     SUM(in_a * in_b) AS shared_all
+              FROM rkc GROUP BY a, b),
+            e AS (
+              SELECT a, b,
+                     CASE WHEN u_k IS NOT NULL
+                          THEN round(63 / (CAST(u_k AS DOUBLE) / 1152921504606846976.0), 6)
+                          ELSE CAST(n_comb AS DOUBLE) END AS union_est,
+                     CASE WHEN u_k IS NOT NULL
+                          THEN round(CAST(shared_topk AS DOUBLE) / 64.0, 6)
+                          ELSE round(CAST(shared_all AS DOUBLE) / n_comb, 6) END AS jaccard_est
+              FROM g),
+            ie AS (
+              SELECT a, b, round(union_est * jaccard_est, 6) AS inter_est FROM e)
+            SELECT i.a, i.b, i.inter_est,
+                   ka.est_distinct AS est_a, kb.est_distinct AS est_b,
+                   CAST(round(i.inter_est / ka.est_distinct * 1e6) AS BIGINT) AS cont_a_in_b_e6,
+                   CAST(round(i.inter_est / kb.est_distinct * 1e6) AS BIGINT) AS cont_b_in_a_e6
+            FROM ie i
+            JOIN kd ka ON ka.source = i.a
+            JOIN kd kb ON kb.source = i.b
         """,
         "sketch_hll_distinct": f"""
             WITH h AS (

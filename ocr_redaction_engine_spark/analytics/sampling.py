@@ -557,3 +557,30 @@ def kmv_set_ops(docs: DataFrame, group: str = "source", k: int = 64) -> DataFram
         F.round(union_est * jacc, 6).alias("inter_est"),
         jacc.alias("jaccard_est"),
     )
+
+
+def kmv_containment(docs: DataFrame, group: str = "source", k: int = 64) -> DataFrame:
+    """Directed containment from sketches: C(A→B) = |A∩B| / |A| — the
+    asymmetric overlap Jaccard hides (a boilerplate block fully inside a
+    big corpus has tiny Jaccard but containment ≈ 1; this is the signal
+    quote/boilerplate/subset-corpus detection needs). Pure composition:
+    [[kmv_set_ops]] supplies the pairwise intersection estimate,
+    [[kmv_distinct]] each side's own cardinality estimate — everything
+    still derives from the k-minimum-value sketches, so the question costs
+    |groups|·k rows. Returns (a, b, inter_est, est_a, est_b,
+    cont_a_in_b_e6, cont_b_in_a_e6).
+    """
+    so = kmv_set_ops(docs, group, k)
+    kd = kmv_distinct(docs, group, k)
+    ea = kd.select(F.col(group).alias("a"), F.col("est_distinct").alias("est_a"))
+    eb = kd.select(F.col(group).alias("b"), F.col("est_distinct").alias("est_b"))
+    return (
+        so.join(F.broadcast(ea), "a").join(F.broadcast(eb), "b")
+        .select(
+            "a", "b", "inter_est", "est_a", "est_b",
+            F.round(F.col("inter_est") / F.col("est_a") * 1e6).cast("long")
+            .alias("cont_a_in_b_e6"),
+            F.round(F.col("inter_est") / F.col("est_b") * 1e6).cast("long")
+            .alias("cont_b_in_a_e6"),
+        )
+    )

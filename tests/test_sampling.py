@@ -305,3 +305,19 @@ def test_kmv_set_ops_exact_and_estimated_paths(spark):
     # KMV stderr ~ 1/sqrt(k-1) ~ 12.6%; allow 4 sigma
     assert abs(r.union_est - 900) / 900 < 0.5
     assert abs(r.jaccard_est - 1 / 3) < 0.25
+
+
+def test_kmv_containment_subset_detection(spark):
+    """A vocabulary fully inside a bigger one gets containment ~1e6 while
+    Jaccard stays small — the asymmetric signal; exact when both exact."""
+    from ocr_redaction_engine_spark.analytics.sampling import kmv_containment
+
+    rows = [("small", "s", "w0 w1 w2 w3")]
+    rows += [("big", "b%02d" % i, " ".join("w%d" % j for j in range(i * 5, i * 5 + 5)))
+             for i in range(8)]  # big = w0..w39 superset of small
+    docs = spark.createDataFrame(rows, "source string, doc_id string, text string")
+    r = {(x.a, x.b): x for x in kmv_containment(docs, k=64).collect()}[("big", "small")]
+    # both sketches exact (4 and 40 < k): containment of small in big = 1
+    assert r.est_a == 40.0 and r.est_b == 4.0 and r.inter_est == 4.0
+    assert r.cont_b_in_a_e6 == 1000000        # small fully contained
+    assert r.cont_a_in_b_e6 == 100000         # 4/40
