@@ -1435,6 +1435,13 @@ def web_random_walks(spark, sf_dir):
                         walks_per_node=2)
 
 
+def web_domain_gini(spark, sf_dir):
+    """Domain-concentration Gini over per-host doc counts (integer-exact;
+    the rank window runs over the |domains|-row aggregate, not docs)."""
+    from ocr_redaction_engine_spark.analytics.webgraph import domain_gini
+    return domain_gini(_t(spark, sf_dir, "documents"))
+
+
 def web_bfs_depth(spark, sf_dir):
     """Crawl-depth BFS layers: min hop count from the seed set within 4
     hops — one edge join + min-agg per round (Pregel-in-DataFrames),
@@ -1739,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_triangles": web_triangles,
         "web_frontier": web_frontier,
         "web_random_walks": web_random_walks,
+        "web_domain_gini": web_domain_gini,
         "web_bfs_depth": web_bfs_depth,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
@@ -4487,6 +4495,22 @@ def oracle_sql() -> dict[str, str]:
                      s.path || '>' || CAST(CAST(('0x' || substring(md5(n.doc_id || ':' || CAST(CAST(('0x' || substring(md5(CAST(s.node AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':s2'), 1, 8)) AS BIGINT) % (CAST(('0x' || substring(md5(n.doc_id || ':deg'), 1, 8)) AS BIGINT) % 3 + 2) AS VARCHAR)), 1, 8)) AS BIGINT) % (SELECT n FROM nn) AS VARCHAR) AS path
               FROM s2 s JOIN nodes n ON n.node = s.cur)
             SELECT node, walk, path FROM s3
+        """,
+        "web_domain_gini": """
+            WITH hosts AS (
+              SELECT doc_id,
+                     'www.domain' || length(bin(CAST(('0x' ||
+                        substring(md5(doc_id || ':host'), 1, 2)) AS BIGINT))) || '.com' AS host
+              FROM documents),
+            counts AS (SELECT host, COUNT(*) AS x FROM hosts GROUP BY 1),
+            ranked AS (
+              SELECT x, row_number() OVER (ORDER BY x ASC, host ASC) AS i
+              FROM counts)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
+                   CAST(SUM(x) AS BIGINT) AS total_docs,
+                   CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+                        // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_e6
+            FROM ranked
         """,
         "web_bfs_depth": r"""
             WITH nodes AS (

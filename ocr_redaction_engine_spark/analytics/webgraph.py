@@ -541,3 +541,25 @@ def random_walks(docs: DataFrame, walk_len: int = 3,
             )
         )
     return state.select("node", F.col("walk").cast("int").alias("walk"), "path")
+
+
+def domain_gini(docs: DataFrame) -> DataFrame:
+    """Crawl-concentration Gini index over per-domain document counts —
+    the one-number 'is this corpus dominated by a few domains' monitor
+    that pairs with [[domain_cap]] (cap when G drifts up). Integer-exact:
+    with per-domain counts x_1≤…≤x_n (rank window over the DOMAIN-level
+    aggregate — n = |domains|, not |docs|, so the sort is metadata-scale),
+
+        G_e6 = (2·Σ i·x_i − (n+1)·Σx) · 1e6  DIV  (n·Σx)
+
+    Returns one row (n_domains, total_docs, gini_e6).
+    """
+    counts = synth_hosts(docs).groupBy("host").agg(F.count("*").alias("x"))
+    w = Window.orderBy(F.col("x").asc(), F.col("host").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_domains"),
+        F.sum("x").cast("long").alias("total_docs"),
+        F.expr("CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000 "
+               "DIV (COUNT(*) * SUM(x)) AS BIGINT)").alias("gini_e6"),
+    )
