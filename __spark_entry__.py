@@ -2703,7 +2703,8 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(
                      list_prepend(text, ordered),
                      (acc, key) -> replace(acc, substring(key, 5),
-                                           'ID_' || substring(md5(substring(key, 5)), 1, 8))
+                                           'ID_' || translate(substring(md5(substring(key, 5)), 1, 8),
+                                                              '0123456789', 'ghijklmnop'))
                    ) AS clean_text,
                    CAST(len(ordered) AS BIGINT) AS n_ids
             FROM t

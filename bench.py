@@ -390,7 +390,31 @@ def main():
                 for a, b in zip(levels, levels[1:])
             },
         }
-    print(json.dumps(result))
+    # Full payload (per-pass walls, host probes, stage cuts) goes to a file;
+    # stdout's FINAL line is a compact summary so the driver's tail capture
+    # never truncates it (VERDICT r2 #1: BENCH_r02.json landed parsed:null).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in qtimes.items()},
+        "sf": result["sf"],
+        "docs_per_sec": result["docs_per_sec"],
+        "n_docs": result["n_docs"],
+        "cpus": result["cpus"],
+        "full_payload": "BENCH_full.json",
+    }
+    if not args.no_scaling:
+        compact["scaling_efficiency"] = result["scaling"]["efficiency"]
+        compact["scaling_docs_per_sec"] = {
+            str(c): runs[c]["docs_per_sec"] for c in levels}
+        compact["extraction_docs_per_sec"] = result["extraction"]["docs_per_sec"]
+        compact["extraction_efficiency"] = result["extraction"]["efficiency"]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

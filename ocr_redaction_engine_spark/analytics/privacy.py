@@ -83,6 +83,12 @@ def pseudonymize(docs: DataFrame, min_digits: int = 6) -> DataFrame:
     ``aggregate`` HOF folding ``replace`` over the tokens. Map-only: no
     shuffle, no UDF, scales as a pure scan.
 
+    The surrogate alphabet is digit-free (md5 hex digits 0-9 are translated
+    to g-p): if surrogates contained digits, a later replace of a shorter
+    run could match INSIDE an already-inserted surrogate and corrupt it
+    (e.g. md5('100000000000')[:8] = 'df269252' contains '269252'), breaking
+    corpus-wide same-value→same-surrogate joinability.
+
     Returns (doc_id, clean_text, n_ids) with n_ids = distinct identifiers
     replaced.
     """
@@ -98,7 +104,11 @@ def pseudonymize(docs: DataFrame, min_digits: int = 6) -> DataFrame:
         lambda acc, key: F.replace(
             acc,
             F.substring(key, 5, 1 << 30),
-            F.concat(F.lit("ID_"), F.substring(F.md5(F.substring(key, 5, 1 << 30)), 1, 8)),
+            F.concat(
+                F.lit("ID_"),
+                F.translate(
+                    F.substring(F.md5(F.substring(key, 5, 1 << 30)), 1, 8),
+                    "0123456789", "ghijklmnop")),
         ),
     )
     return docs.select(

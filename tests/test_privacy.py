@@ -14,8 +14,13 @@ from ocr_redaction_engine_spark.analytics.privacy import (
 )
 
 
+_DIGIT_FREE = str.maketrans("0123456789", "ghijklmnop")
+
+
 def _sur(v: str) -> str:
-    return "ID_" + hashlib.md5(v.encode()).hexdigest()[:8]
+    # surrogate alphabet is digit-free so later replaces of shorter runs
+    # cannot match inside an already-inserted surrogate
+    return "ID_" + hashlib.md5(v.encode()).hexdigest()[:8].translate(_DIGIT_FREE)
 
 
 def test_k_anonymity_flags(spark):
@@ -43,6 +48,11 @@ def test_pseudonymize_consistency_and_substring_edge(spark):
         # leave the long run's replacement intact
         ("d3", "a 123456 b 0012345678 c"),
         ("d4", "no identifiers here"),
+        # ADVICE r2 regression: md5('100000000000')[:8] = 'df269252'. With a
+        # digit-bearing surrogate alphabet, the later replace of '269252'
+        # would corrupt the first surrogate into 'ID_dfID_...'. The digit-free
+        # alphabet makes surrogates unmatchable by digit-run replaces.
+        ("d5", "acct 100000000000 and pin 269252"),
     ]
     docs = spark.createDataFrame(rows, "doc_id string, text string")
     got = {r.doc_id: (r.clean_text, r.n_ids) for r in pseudonymize(docs).collect()}
@@ -51,6 +61,9 @@ def test_pseudonymize_consistency_and_substring_edge(spark):
     assert got["d2"] == (f"ref {s_long} again", 1)
     assert got["d3"] == (f"a {_sur('123456')} b {_sur('0012345678')} c", 2)
     assert got["d4"] == ("no identifiers here", 0)
+    assert got["d5"] == (
+        f"acct {_sur('100000000000')} and pin {_sur('269252')}", 2)
+    assert "ID_ID" not in got["d5"][0] and "ID_dfID" not in got["d5"][0]
 
 
 def test_synth_identifiers_planted_and_shared(spark):
