@@ -1346,11 +1346,15 @@ def multimodal_phash_dedup(spark, sf_dir):
     """Perceptual-hash near-dup pairs over opaque media payloads: aHash
     60-bit signatures (one Arrow stage) -> 4x15-bit LSH band join ->
     exact Hamming verify. 50 planted one-byte-retouched twins give the
-    detector real positives; organic md5-chain collisions ride along."""
+    detector real positives; organic md5-chain collisions ride along.
+    Verify threshold 14 > bands-1, so recall past Hamming 3 is explicitly
+    partial (a pair must spare one band) — opted in, and the oracle
+    mirrors the identical banding so the contract is pinned."""
     from ocr_redaction_engine_spark.analytics.multimodal import (
         phash_near_dup_pairs, phash_signatures, synthesize_binary_with_twins)
     media = synthesize_binary_with_twins(spark, N_MEDIA, N_TWINS)
-    return phash_near_dup_pairs(phash_signatures(media))
+    return phash_near_dup_pairs(phash_signatures(media), max_hamming=14,
+                                allow_partial_recall=True)
 
 
 def extract_block_stats(spark, sf_dir):
@@ -2237,10 +2241,12 @@ def oracle_sql() -> dict[str, str]:
               FROM ud CROSS JOIN range(7) o),
             wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM spread GROUP BY 1),
             ext AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ud)
-            SELECT d.day, d.dau, w.wau,
-                   CAST(d.dau * 10000 // w.wau AS BIGINT) AS stickiness_bp
-            FROM dau d JOIN wau w USING (day), ext e
-            WHERE d.day >= e.mn + 6 AND d.day <= e.mx
+            -- DAU left-joined onto the WAU day spine: zero-activity days
+            -- inside the range keep their row with dau=0 (ADVICE r2)
+            SELECT w.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau, w.wau,
+                   CAST(COALESCE(d.dau, 0) * 10000 // w.wau AS BIGINT) AS stickiness_bp
+            FROM wau w LEFT JOIN dau d USING (day), ext e
+            WHERE w.day >= e.mn + 6 AND w.day <= e.mx
         """,
         "events_sax_symbols": """
             WITH hourly AS (
@@ -2390,10 +2396,13 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY key
         """,
         "audit_referential": """
+            -- NULL fks are not violations (standard SQL FK semantics):
+            -- excluded from orphans, surfaced in null_fk_rows (ADVICE r2)
             WITH r1 AS (
               SELECT 'lineitem.l_orderkey->orders' AS relationship,
                      (SELECT COUNT(*) FROM lineitem) AS child_rows,
-                     (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_fk_rows,
+                     (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
                         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
                      (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l WHERE NOT EXISTS
                         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_keys,
@@ -2403,7 +2412,8 @@ def oracle_sql() -> dict[str, str]:
             r2 AS (
               SELECT 'orders.o_custkey->customer',
                      (SELECT COUNT(*) FROM orders),
-                     (SELECT COUNT(*) FROM orders x WHERE NOT EXISTS
+                     (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+                     (SELECT COUNT(*) FROM orders x WHERE x.o_custkey IS NOT NULL AND NOT EXISTS
                         (SELECT 1 FROM customer p WHERE p.c_custkey = x.o_custkey)),
                      (SELECT COUNT(DISTINCT o_custkey) FROM orders x WHERE NOT EXISTS
                         (SELECT 1 FROM customer p WHERE p.c_custkey = x.o_custkey)),
@@ -2413,7 +2423,8 @@ def oracle_sql() -> dict[str, str]:
             r3 AS (
               SELECT 'customer.c_nationkey->nation',
                      (SELECT COUNT(*) FROM customer),
-                     (SELECT COUNT(*) FROM customer x WHERE NOT EXISTS
+                     (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+                     (SELECT COUNT(*) FROM customer x WHERE x.c_nationkey IS NOT NULL AND NOT EXISTS
                         (SELECT 1 FROM nation p WHERE p.n_nationkey = x.c_nationkey)),
                      (SELECT COUNT(DISTINCT c_nationkey) FROM customer x WHERE NOT EXISTS
                         (SELECT 1 FROM nation p WHERE p.n_nationkey = x.c_nationkey)),
@@ -2423,7 +2434,8 @@ def oracle_sql() -> dict[str, str]:
             r4 AS (
               SELECT 'lineitem.l_partkey->part',
                      (SELECT COUNT(*) FROM lineitem),
-                     (SELECT COUNT(*) FROM lineitem x WHERE NOT EXISTS
+                     (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+                     (SELECT COUNT(*) FROM lineitem x WHERE x.l_partkey IS NOT NULL AND NOT EXISTS
                         (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey)),
                      (SELECT COUNT(DISTINCT l_partkey) FROM lineitem x WHERE NOT EXISTS
                         (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey)),
@@ -2433,7 +2445,8 @@ def oracle_sql() -> dict[str, str]:
             r5 AS (
               SELECT 'lineitem.l_suppkey->supplier',
                      (SELECT COUNT(*) FROM lineitem),
-                     (SELECT COUNT(*) FROM lineitem x WHERE NOT EXISTS
+                     (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+                     (SELECT COUNT(*) FROM lineitem x WHERE x.l_suppkey IS NOT NULL AND NOT EXISTS
                         (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey)),
                      (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem x WHERE NOT EXISTS
                         (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey)),
@@ -2442,8 +2455,8 @@ def oracle_sql() -> dict[str, str]:
                         (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey))),
             u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
                   UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
-            SELECT relationship, child_rows, orphan_rows, orphan_keys, parent_keys,
-                   referenced_keys,
+            SELECT relationship, child_rows, null_fk_rows, orphan_rows, orphan_keys,
+                   parent_keys, referenced_keys,
                    CAST(referenced_keys * 10000 // parent_keys AS BIGINT) AS utilization_bp
             FROM u
         """,
@@ -2458,7 +2471,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2)
             SELECT p.part_a, p.part_b, p.n_ab,
                    ma.n_part AS n_a, mb.n_part AS n_b,
-                   CAST(p.n_ab * (SELECT n FROM nn) * 1000000 // (ma.n_part * mb.n_part) AS BIGINT) AS lift_e6
+                   -- HUGEINT mirrors the engine's DECIMAL(38,0) fold: the
+                   -- BIGINT product n_ab*N*1e6 wraps at warehouse scale
+                   CAST(CAST(p.n_ab AS HUGEINT) * (SELECT n FROM nn) * 1000000 // (CAST(ma.n_part AS HUGEINT) * mb.n_part) AS BIGINT) AS lift_e6
             FROM pairs p
             JOIN marg ma ON ma.l_partkey = p.part_a
             JOIN marg mb ON mb.l_partkey = p.part_b

@@ -15,21 +15,33 @@ from pyspark.sql import functions as F
 
 def referential_audit(pairs: dict[str, tuple[DataFrame, str, DataFrame, str]]) -> DataFrame:
     """Foreign-key audit over named (child, fk, parent, pk) relationships:
-    per relationship — child rows, orphan rows (fk with no parent, the
-    anti-join), distinct orphan keys, distinct referenced keys and parent
-    utilization in basis points (referenced*10000 DIV parents).
+    per relationship — child rows, NULL-fk rows, orphan rows (NON-NULL fk
+    with no parent, the anti-join), distinct orphan keys, distinct
+    referenced keys and parent utilization in basis points
+    (referenced*10000 DIV parents).
+
+    NULL foreign keys follow standard SQL FK semantics: a NULL fk is NOT a
+    violation (`fk = pk` is unknowable, so the constraint is satisfied
+    vacuously) — they are excluded from the orphan anti-join and surfaced
+    in their own ``null_fk_rows`` column instead, so nullable-fk children
+    don't inflate the orphan count while the nullness stays measured.
 
     Each relationship costs one anti-join + one semi-join-shaped distinct
     agg, all keyed shuffles (no broadcast assumption: parents may be the
     big side); the result is one row per relationship, unioned. Zero
     orphans is the PASSING audit — utilization gives the non-vacuous
-    signal on healthy data.
+    signal on healthy data. An empty ``pairs`` dict raises ValueError.
     """
+    if not pairs:
+        raise ValueError(
+            "referential_audit: pairs is empty — pass at least one "
+            "name -> (child, fk_col, parent, pk_col) relationship")
     outs = []
     for name, (child, fk, parent, pk) in pairs.items():
         ckeys = child.select(F.col(fk).alias("k"))
+        nn_ckeys = ckeys.filter(F.col("k").isNotNull())
         pkeys = parent.select(F.col(pk).alias("k")).distinct()
-        orphans = ckeys.join(pkeys, "k", "left_anti")
+        orphans = nn_ckeys.join(pkeys, "k", "left_anti")
         # one-row aggs are combined on a pmod key (always 0 but not
         # constant-foldable) so the stitch stays a BroadcastHashJoin — a
         # bare lit==lit key folds back into BroadcastNestedLoopJoin, which
@@ -37,6 +49,7 @@ def referential_audit(pairs: dict[str, tuple[DataFrame, str, DataFrame, str]]) -
         stats = ckeys.agg(
             F.count("*").alias("child_rows"),
             F.countDistinct("k").alias("child_keys"),
+            F.sum(F.col("k").isNull().cast("long")).alias("null_fk_rows"),
         ).withColumn("__k", F.pmod(F.col("child_rows"), F.lit(1)))
         ostats = orphans.agg(
             F.count("*").alias("orphan_rows"),
@@ -51,8 +64,8 @@ def referential_audit(pairs: dict[str, tuple[DataFrame, str, DataFrame, str]]) -
             stats.join(ostats, "__k").join(pstats, "__k").join(refs, "__k")
             .select(
                 F.lit(name).alias("relationship"),
-                "child_rows", "orphan_rows", "orphan_keys", "parent_keys",
-                "referenced_keys",
+                "child_rows", "null_fk_rows", "orphan_rows", "orphan_keys",
+                "parent_keys", "referenced_keys",
                 F.expr("CAST(referenced_keys * 10000 DIV parent_keys AS BIGINT)")
                 .alias("utilization_bp"),
             )
@@ -158,8 +171,11 @@ def basket_lift(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
     (baskets are small, so the pair fan-out per order is bounded by
     basket², never corpus²) → (a, b) hash-agg, then broadcast part
     marginals. Lift is kept engine-exact as an integer:
-    lift_e6 = n_ab · N · 1e6 DIV (n_a · n_b) where N = distinct orders.
-    Top-k by (lift desc, pair) via TakeOrdered. Returns
+    lift_e6 = n_ab · N · 1e6 DIV (n_a · n_b) where N = distinct orders,
+    computed in DECIMAL(38,0): the BIGINT product n_ab·N·1e6 silently
+    wraps past ~9.2e18 with ANSI mode off (1e9 orders × n_ab ~1e4 already
+    crosses it) and would rank garbage lifts at exactly the scale this
+    module targets. Top-k by (lift desc, pair) via TakeOrdered. Returns
     (part_a, part_b, n_ab, n_a, n_b, lift_e6).
     """
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
@@ -177,7 +193,8 @@ def basket_lift(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
     scored = (
         pairs.join(F.broadcast(ma), "part_a").join(F.broadcast(mb), "part_b")
         .withColumn("lift_e6", F.expr(
-            f"CAST(n_ab * {n_orders} * 1000000 DIV (n_a * n_b) AS BIGINT)"))
+            f"CAST(CAST(n_ab AS DECIMAL(38,0)) * {n_orders} * 1000000"
+            f" DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
     )
     return (
         scored.select("part_a", "part_b", "n_ab", "n_a", "n_b", "lift_e6")

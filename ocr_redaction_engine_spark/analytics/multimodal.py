@@ -374,17 +374,44 @@ def phash_signatures(media: DataFrame, cells: int = 60) -> DataFrame:
 
 
 def phash_near_dup_pairs(sigs: DataFrame, bands: int = 4, band_bits: int = 15,
-                         max_hamming: int = 14) -> DataFrame:
+                         max_hamming: int | None = None,
+                         allow_partial_recall: bool = False) -> DataFrame:
     """LSH-banded perceptual near-dup pairs: split each 60-bit hash into
     ``bands`` contiguous ``band_bits``-bit bands, equi-join on
     (band_idx, band_val) — candidates are hash-bucket collisions, never
     all-pairs — then verify with exact Hamming distance
-    ``bit_count(phash_a ^ phash_b) <= max_hamming``. All Catalyst after the
-    signature stage: one explode, one shuffle on the band key, one distinct.
-    At 100 TB a pathological hot band (e.g. billions of all-black frames)
-    gets the same salting/cap treatment as ``webgraph.domain_cap``; for the
-    organic distribution the band key is uniform."""
+    ``bit_count(phash_a ^ phash_b) <= max_hamming``.
+
+    Recall envelope (pigeonhole): a pair at Hamming distance h is
+    GUARANTEED a band collision only when ``h <= bands - 1`` — h differing
+    bits can dirty at most h bands, leaving one intact. Beyond that a pair
+    is found only if its differing bits happen to spare some band, so
+    recall degrades silently toward 0 as h grows. ``max_hamming`` therefore
+    defaults to ``bands - 1`` (complete recall); asking for a larger verify
+    threshold without widening ``bands`` requires
+    ``allow_partial_recall=True`` so the gap is an explicit contract, never
+    a surprise (ADVICE r2). To keep full recall at a higher threshold,
+    raise ``bands`` instead (e.g. 15 bands × 4 bits guarantees h ≤ 14 — at
+    the cost of 16-value band buckets, which at corpus scale collide nearly
+    all-pairs; the envelope/bucket-size trade-off is fundamental to LSH).
+
+    All Catalyst after the signature stage: one explode, one shuffle on the
+    band key, one distinct. At 100 TB a pathological hot band (e.g.
+    billions of all-black frames) gets the same salting/cap treatment as
+    ``webgraph.domain_cap``; for the organic distribution the band key is
+    uniform."""
     from pyspark.sql import functions as F
+
+    if max_hamming is None:
+        max_hamming = bands - 1
+    elif max_hamming > bands - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"phash_near_dup_pairs: max_hamming={max_hamming} exceeds the "
+            f"guaranteed-recall envelope of bands-1={bands - 1}; pairs with "
+            f"{bands}..{max_hamming} differing bits spread across all bands "
+            f"would be silently missed. Raise bands, lower max_hamming, or "
+            f"pass allow_partial_recall=True to accept partial recall "
+            f"explicitly.")
 
     band_rows = sigs.select(
         "media_id", "phash",

@@ -409,6 +409,13 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     explode, no window over event history. Days where the trailing window
     would reach before the corpus start are dropped (partial windows lie).
 
+    Zero-activity days INSIDE the corpus range still appear: DAU is
+    left-joined onto the WAU day spine (WAU is nonzero for any day whose
+    trailing window saw activity), with dau coalesced to 0 — an inner join
+    would silently drop gap days from the series. A day can only vanish
+    entirely when the whole trailing window is dead, in which case WAU
+    itself is undefined-zero and stickiness would divide by zero.
+
     Returns (day, dau, wau, stickiness_bp) with integer basis points.
     """
     day = (F.col("ts").cast("timestamp").cast("long") / F.lit(86400)).cast("long")
@@ -422,7 +429,8 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     ext = ud.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     ext = ext.withColumn("__k", F.pmod(F.col("mn"), F.lit(1)) * 0)
     joined = (
-        dau.join(wau, "day")
+        wau.join(dau, "day", "left")
+        .withColumn("dau", F.coalesce("dau", F.lit(0)))
         .withColumn("__k", F.pmod(F.col("day"), F.lit(1)) * 0)
         .join(F.broadcast(ext), "__k")
         .filter((F.col("day") >= F.col("mn") + window_days - 1)

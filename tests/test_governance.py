@@ -11,19 +11,27 @@ from ocr_redaction_engine_spark.analytics.governance import (
 
 def test_referential_audit_detects_orphans(spark):
     child = spark.createDataFrame(
-        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, 77)],
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, 77),
+         (7, None), (8, None)],
         "id long, fk long")
     parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
     rows = referential_audit({"child.fk->parent": (child, "fk", parent, "pk")}).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r.relationship == "child.fk->parent"
-    assert r.child_rows == 6
-    assert r.orphan_rows == 3            # fks 99, 99, 77
+    assert r.child_rows == 8
+    assert r.null_fk_rows == 2           # NULL fk is not a violation...
+    assert r.orphan_rows == 3            # ...so orphans stay fks 99, 99, 77
     assert r.orphan_keys == 2            # {99, 77}
     assert r.parent_keys == 3
     assert r.referenced_keys == 2        # {10, 20}; 30 unused
     assert r.utilization_bp == 2 * 10000 // 3
+
+
+def test_referential_audit_empty_pairs_raises(spark):
+    import pytest
+    with pytest.raises(ValueError, match="pairs is empty"):
+        referential_audit({})
 
 
 def test_scd_intervals_compress_and_close(spark):

@@ -161,8 +161,14 @@ def test_phash_band_join_finds_planted_twins(spark):
 
     n, twins = 30, 10
     media = synthesize_binary_with_twins(spark, n, twins, seed=42, partitions=4)
+    # threshold 14 > bands-1=3: partial recall past Hamming 3 is the
+    # documented envelope and must be opted into explicitly
+    with pytest.raises(ValueError, match="guaranteed-recall envelope"):
+        phash_near_dup_pairs(phash_signatures(media), max_hamming=14)
     pairs = {(r.a, r.b): r.hamming
-             for r in phash_near_dup_pairs(phash_signatures(media)).collect()}
+             for r in phash_near_dup_pairs(
+                 phash_signatures(media), max_hamming=14,
+                 allow_partial_recall=True).collect()}
 
     sigs = {}
     for mid in range(n + twins):

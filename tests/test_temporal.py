@@ -332,5 +332,8 @@ def test_active_users_sliding_distinct(spark):
     assert got[7] == (1, 2, 5000)
     assert got[13] == (1, 2, 5000)
     assert min(got) == 6 and max(got) == 13  # days 0-5 (partial) dropped
-    # days with no activity at all produce no row (8..12 except 13)
-    assert set(got) == {6, 7, 13}
+    # gap days keep their row with dau=0 while the trailing window is
+    # nonempty (ADVICE r2): days 8..12 see day-6/7 users in their window
+    for d in range(8, 13):
+        assert got[d] == (0, 2, 0), f"gap day {d} must not vanish"
+    assert set(got) == set(range(6, 14))
