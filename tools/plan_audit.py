@@ -50,6 +50,28 @@ for name, fn in entry.queries().items():
         "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
     }
 
+# VERDICT r2 #3: simhash must add NO Exchange when the scan is already at
+# defaultParallelism (its repartition is a narrow-input rescue only); the
+# pytest pins it per-commit, this records it in the audited artifact.
+from pyspark.sql import functions as F  # noqa: E402
+
+from ocr_redaction_engine_spark.analytics.dedup import simhash  # noqa: E402
+
+_base = spark.range(256).select(
+    F.col("id").alias("doc_id"),
+    F.concat(F.lit("tok "), F.col("id")).alias("text"))
+_wide = _base.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _nexch(df):
+    return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+
+report["_simhash_wide_input"] = {
+    "exchanges_added_on_wide_input": _nexch(simhash(_wide)) - _nexch(_wide),
+    "exchanges_added_on_narrow_input": _nexch(simhash(_base.coalesce(1))),
+}
+
 banned = sorted(n for n, r in report.items() if r.get("banned_join"))
 errors = sorted(n for n, r in report.items() if "error" in r)
 summary = {

@@ -1,6 +1,11 @@
 """Mimic the driver's correctness gate: run each queries() entry on Spark at
 sf0.01 and its oracle_sql() in DuckDB over the same parquet, compare
-row-count + schema-sorted value hash. Usage: python tools/selfcheck.py [name...]
+row-count + schema-sorted value hash.
+
+Usage: python tools/selfcheck.py [--sf-dir DIR] [name...]
+    --sf-dir lets the same protocol run at a bigger scale factor (e.g.
+    /root/testdata/sf0.1) to catch scale-dependent drift in the heavy
+    dedup/join queries that the sf0.01 gate can't see (VERDICT r2 #7).
 """
 from __future__ import annotations
 
@@ -41,8 +46,16 @@ def table_hash(cols, rows):
 
 
 def main():
+    global SF_DIR
     from pyspark.sql import SparkSession
     import __spark_entry__ as entry_mod
+
+    argv = sys.argv[1:]
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        SF_DIR = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    print(f"# selfcheck over {SF_DIR}")
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -60,7 +73,7 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(argv)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
