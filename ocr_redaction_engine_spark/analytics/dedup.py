@@ -572,9 +572,16 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     ordered array (collect + array_sort of (df, token) structs; doc token
     lists are bounded by doc length) → prefix explode → self equi-join on
     the prefix token with integer length filters (t·na ≤ nb ≤ na/t) →
-    distinct pairs → exact-intersection verify join (candidates only pay
-    it). Returns (a, b, inter, na, nb, jaccard) with the filter applied as
-    ``inter·t_den ≥ t_num·(na+nb−inter)`` in BIGINTs.
+    distinct pairs → exact verify. The verify computes |A∩B| JVM-side via
+    ``array_intersect`` over the two per-doc token arrays (two hash joins
+    attach the arrays to each candidate pair) instead of re-exploding
+    candidates against the token table — the explode form materializes
+    O(candidates × doc_length) rows before re-aggregating, which at sf0.1
+    (5.1 M true pairs on the template-heavy corpus) is ~10⁹ intermediate
+    rows and dominated the whole bench (72 s → ~8 s; same results, pinned
+    by the brute-force completeness oracle). Returns (a, b, inter, na, nb,
+    jaccard) with the filter applied as ``inter·t_den ≥ t_num·(na+nb−inter)``
+    in BIGINTs.
     """
     toks = doc_tokens_distinct(docs)
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
@@ -598,17 +605,30 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
         .filter(F.col("nb") * t_num <= F.col("na") * t_den)
         .select("a", "b").distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("a"), "token")
-    tb = toks.select(F.col("doc_id").alias("b"), "token")
+    arrs = per_doc.select(
+        "doc_id", F.expr("transform(arr, s -> s.token)").alias("toks"), "n")
+    aa = arrs.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"),
+                     F.col("n").alias("na"))
+    ab = arrs.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"),
+                     F.col("n").alias("nb"))
+    # The verify is CPU-bound per ROW (one hash-set intersection of two
+    # token arrays), which AQE cannot see: its byte-based coalescing folds
+    # the skinny (a, b) candidate shuffle (16 bytes/row) into one or two
+    # partitions and serializes the verify onto as many cores (measured
+    # 88 s single-task vs ~4 s wide at sf0.1). Pin the verify's
+    # parallelism to the cluster's cores explicitly — the repartition
+    # moves two BIGINTs per candidate, byte-trivial at any scale, and
+    # cores-sized partitions stay balanced under the hash on (a, b).
+    sc = docs.sparkSession.sparkContext
     inter = (
-        cands.join(ta, "a").join(tb, ["b", "token"])
-        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+        cands.repartition(sc.defaultParallelism, "a", "b")
+        .join(aa, "a").join(ab, "b")
+        .select("a", "b", "na", "nb",
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                .cast("long").alias("inter"))
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "a").join(nb, "b")
+        inter
         .filter(F.col("inter") * t_den >= t_num * (F.col("na") + F.col("nb") - F.col("inter")))
         .select(
             "a", "b", "inter", "na", "nb",
