@@ -2509,7 +2509,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.*, (c.n * q.qv + 99) // 100 AS target
               FROM cum_r c CROSS JOIN (SELECT unnest([33, 67]) AS qv) q),
             est_r AS (
-              SELECT CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS b
+              SELECT CAST(mn + bin*width + (CAST(target - (cum - cnt) - 1 AS HUGEINT) * width) // cnt AS BIGINT) AS b
               FROM qq_r WHERE cum >= target AND cum - cnt < target),
             bk_r AS (
               SELECT m.o_custkey,
@@ -2531,7 +2531,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.*, (c.n * q.qv + 99) // 100 AS target
               FROM cum_f c CROSS JOIN (SELECT unnest([33, 67]) AS qv) q),
             est_f AS (
-              SELECT CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS b
+              SELECT CAST(mn + bin*width + (CAST(target - (cum - cnt) - 1 AS HUGEINT) * width) // cnt AS BIGINT) AS b
               FROM qq_f WHERE cum >= target AND cum - cnt < target),
             bk_f AS (
               SELECT m.o_custkey,
@@ -2553,7 +2553,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.*, (c.n * q.qv + 99) // 100 AS target
               FROM cum_mo c CROSS JOIN (SELECT unnest([33, 67]) AS qv) q),
             est_mo AS (
-              SELECT CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS b
+              SELECT CAST(mn + bin*width + (CAST(target - (cum - cnt) - 1 AS HUGEINT) * width) // cnt AS BIGINT) AS b
               FROM qq_mo WHERE cum >= target AND cum - cnt < target),
             bk_mo AS (
               SELECT m.o_custkey,
@@ -3290,7 +3290,7 @@ def oracle_sql() -> dict[str, str]:
                      (c.n * q.qv + 99) // 100 AS target
               FROM cum c CROSS JOIN (SELECT unnest([50, 90, 99]) AS qv) q)
             SELECT source, q, n,
-                   CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS est
+                   CAST(mn + bin*width + (CAST(target - (cum - cnt) - 1 AS HUGEINT) * width) // cnt AS BIGINT) AS est
             FROM qq
             WHERE cum >= target AND cum - cnt < target
         """,
@@ -3315,7 +3315,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cum c CROSS JOIN (SELECT unnest([50, 90, 99]) AS qv) q),
             est AS (
               SELECT source,
-                     CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) // cnt AS BIGINT) AS est
+                     CAST(mn + bin*width + (CAST(target - (cum - cnt) - 1 AS HUGEINT) * width) // cnt AS BIGINT) AS est
               FROM qq WHERE cum >= target AND cum - cnt < target)
             SELECT d.doc_id, d.source, d.n_chars,
                    CAST(SUM(CASE WHEN e.est < d.n_chars THEN 1 ELSE 0 END) AS BIGINT) AS bucket
@@ -4524,8 +4524,9 @@ def oracle_sql() -> dict[str, str]:
               FROM counts)
             SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
                    CAST(SUM(x) AS BIGINT) AS total_docs,
-                   CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
-                        // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_e6
+                   CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                         - (COUNT(*) + 1) * SUM(CAST(x AS HUGEINT))) * 1000000
+                        // (COUNT(*) * SUM(CAST(x AS HUGEINT))) AS BIGINT) AS gini_e6
             FROM ranked
         """,
         "web_bfs_depth": r"""

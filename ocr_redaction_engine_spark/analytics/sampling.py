@@ -413,7 +413,12 @@ def hist_quantile_sketch(docs: DataFrame, group: str = "source",
         est(q)    = mn + bin*width + ((target - cum_before - 1) * width) DIV cnt
 
     Exact-integer arithmetic end to end, so Spark and the DuckDB oracle
-    agree bit-for-bit. Returns (group, q, n, est).
+    agree bit-for-bit. The interpolation product (rank-in-bin × width) is
+    bounded by n·(mx−mn)/bins — for a wide-range ``value`` column (byte
+    offsets, timestamps) at 10^12 rows that exceeds BIGINT, so it runs in
+    DECIMAL(38,0) (oracle: HUGEINT) rather than silently wrapping with
+    ANSI off; same discipline as [[basket_lift]]. Returns (group, q, n,
+    est).
     """
     ext = docs.groupBy(group).agg(
         F.min(value).alias("mn"), F.max(value).alias("mx"),
@@ -434,7 +439,8 @@ def hist_quantile_sketch(docs: DataFrame, group: str = "source",
                    (F.col("cum") - F.col("cnt") < F.col("target")))
         .select(
             group, F.col("q").cast("int").alias("q"), "n",
-            F.expr("CAST(mn + bin*width + ((target - (cum - cnt) - 1) * width) DIV cnt AS BIGINT)")
+            F.expr("CAST(mn + bin*width + (CAST(target - (cum - cnt) - 1"
+                   " AS DECIMAL(38,0)) * width) DIV cnt AS BIGINT)")
             .alias("est"))
     )
 

@@ -552,7 +552,13 @@ def domain_gini(docs: DataFrame) -> DataFrame:
 
         G_e6 = (2·Σ i·x_i − (n+1)·Σx) · 1e6  DIV  (n·Σx)
 
-    Returns one row (n_domains, total_docs, gini_e6).
+    The rank-weighted sum Σ i·x_i is bounded by n_domains·total_docs —
+    ~1e20 at the 10^12-doc / 1e8-domain design point, past BIGINT's 9.2e18
+    (and the ·1e6 numerator reaches ~1e26) — so the sums run in
+    DECIMAL(38,0) (oracle: HUGEINT, which DuckDB's SUM(BIGINT) already
+    promotes to) rather than silently wrapping with ANSI off; same
+    discipline as [[basket_lift]]. Returns one row
+    (n_domains, total_docs, gini_e6).
     """
     counts = synth_hosts(docs).groupBy("host").agg(F.count("*").alias("x"))
     w = Window.orderBy(F.col("x").asc(), F.col("host").asc())
@@ -560,6 +566,8 @@ def domain_gini(docs: DataFrame) -> DataFrame:
     return ranked.agg(
         F.count("*").cast("long").alias("n_domains"),
         F.sum("x").cast("long").alias("total_docs"),
-        F.expr("CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000 "
-               "DIV (COUNT(*) * SUM(x)) AS BIGINT)").alias("gini_e6"),
+        F.expr("CAST((2 * SUM(CAST(i AS DECIMAL(38,0)) * x)"
+               " - (COUNT(*) + 1) * SUM(CAST(x AS DECIMAL(38,0)))) * 1000000 "
+               "DIV (COUNT(*) * SUM(CAST(x AS DECIMAL(38,0)))) AS BIGINT)")
+        .alias("gini_e6"),
     )
