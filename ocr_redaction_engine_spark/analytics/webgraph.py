@@ -57,12 +57,36 @@ SCALE = 10**12  # integer micro-rank units
 
 
 def _doc_nodes(docs: DataFrame) -> DataFrame:
-    """Stable integer node ids 0..N-1 by doc_id order. The global window is
-    corpus scaffolding for the synthetic graph (real crawls carry edge lists
-    already keyed by URL); the PageRank iteration below never needs it."""
-    w = Window.orderBy("doc_id")
-    return docs.select("doc_id").distinct().select(
-        "doc_id", (F.row_number().over(w) - 1).alias("node"))
+    """Stable integer node ids 0..N-1 by doc_id order, assigned
+    DISTRIBUTED: a bare ``Window.orderBy`` would funnel every distinct
+    doc_id through one sorted partition — corpus-scale at 10^12 docs. The
+    classic two-phase rank instead: range-repartition on doc_id (Spark's
+    RangePartitioner keeps partition ranges disjoint and ordered by
+    partition id), rank locally per partition, then add per-partition
+    offsets from a metadata-scale count agg (≤ parallelism rows). The
+    result is bit-identical to the global row_number for any boundary
+    placement — offsets + local ranks reconstruct the exact global rank —
+    which the [[web_pagerank]]/[[web_bfs_depth]] oracles pin. (The ids are
+    corpus scaffolding for the synthetic graph; real crawls carry edge
+    lists already keyed by URL.)"""
+    sc = docs.sparkSession.sparkContext
+    # localCheckpoint pins ONE materialization of the range exchange: the
+    # offsets agg and the rank join both read the same partitioning, so
+    # consistency never depends on exchange reuse (RangePartitioner's
+    # sample seed is per-RDD-instance — two independent evaluations could
+    # legally draw different boundaries).
+    ids = (docs.select("doc_id").distinct()
+           .repartitionByRange(sc.defaultParallelism, "doc_id")
+           .withColumn("pid", F.spark_partition_id())
+           .localCheckpoint(eager=False))
+    offs = ids.groupBy("pid").agg(F.count("*").alias("cnt"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = offs.select(
+        "pid", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"))
+    wloc = Window.partitionBy("pid").orderBy("doc_id")
+    return ids.join(F.broadcast(offs), "pid").select(
+        "doc_id",
+        (F.col("off") + F.row_number().over(wloc) - 1).alias("node"))
 
 
 def synth_edges(docs: DataFrame, n_nodes: int) -> DataFrame:
