@@ -56,27 +56,42 @@ def anchor_stats(docs: DataFrame) -> DataFrame:
 SCALE = 10**12  # integer micro-rank units
 
 
-def _doc_nodes(docs: DataFrame) -> DataFrame:
-    """Stable integer node ids 0..N-1 by doc_id order, assigned
-    DISTRIBUTED: a bare ``Window.orderBy`` would funnel every distinct
-    doc_id through one sorted partition — corpus-scale at 10^12 docs. The
-    classic two-phase rank instead: range-repartition on doc_id (Spark's
-    RangePartitioner keeps partition ranges disjoint and ordered by
-    partition id), rank locally per partition, then add per-partition
-    offsets from a metadata-scale count agg (≤ parallelism rows). The
-    result is bit-identical to the global row_number for any boundary
-    placement — offsets + local ranks reconstruct the exact global rank —
-    which the [[web_pagerank]]/[[web_bfs_depth]] oracles pin. (The ids are
+def _doc_nodes(docs: DataFrame, wide_threshold: int | None = None) -> DataFrame:
+    """Stable integer node ids 0..N-1 by doc_id order. Two plans, same
+    bits (a planted-equality unit pins them identical):
+
+    - NARROW input (scan partitions ≤ ``wide_threshold``, default the
+      cluster's defaultParallelism — a small corpus): the plain global
+      ``row_number`` window. One tiny sorted partition, no extra jobs.
+    - WIDE input (warehouse scale — thousands of splits): a bare
+      ``Window.orderBy`` would funnel every distinct doc_id through ONE
+      sorted partition, so switch to the classic two-phase rank:
+      range-repartition on doc_id (RangePartitioner keeps partition
+      ranges disjoint and ordered by partition id), rank locally per
+      partition, add per-partition offsets from a metadata-scale count
+      agg (≤ parallelism rows). Bit-identical to the global row_number
+      for ANY boundary placement — offsets + local ranks reconstruct the
+      exact global rank — which the [[web_pagerank]]/[[web_bfs_depth]]
+      oracles pin.
+
+    The same narrow-only conditional discipline as [[simhash]]'s
+    repartition (VERDICT r2 #3): the scale-safe plan costs a sampling
+    job + an extra materialization, so it is NOT the default on inputs
+    where the single-partition sort is a few milliseconds. (Node ids are
     corpus scaffolding for the synthetic graph; real crawls carry edge
     lists already keyed by URL.)"""
     sc = docs.sparkSession.sparkContext
+    thr = wide_threshold if wide_threshold is not None else sc.defaultParallelism
+    ids = docs.select("doc_id").distinct()
+    if docs.select("doc_id").rdd.getNumPartitions() <= thr:
+        w = Window.orderBy("doc_id")
+        return ids.select("doc_id", (F.row_number().over(w) - 1).alias("node"))
     # localCheckpoint pins ONE materialization of the range exchange: the
     # offsets agg and the rank join both read the same partitioning, so
     # consistency never depends on exchange reuse (RangePartitioner's
     # sample seed is per-RDD-instance — two independent evaluations could
     # legally draw different boundaries).
-    ids = (docs.select("doc_id").distinct()
-           .repartitionByRange(sc.defaultParallelism, "doc_id")
+    ids = (ids.repartitionByRange(sc.defaultParallelism, "doc_id")
            .withColumn("pid", F.spark_partition_id())
            .localCheckpoint(eager=False))
     offs = ids.groupBy("pid").agg(F.count("*").alias("cnt"))

@@ -324,3 +324,20 @@ def test_domain_gini_bounds_and_reference(spark, docs):
     # host count equal -> gini 0. Build via single-host corpus:
     one = domain_gini(uniform.limit(1)).collect()[0]
     assert one.gini_e6 == 0  # single domain: no inequality
+
+
+def test_doc_nodes_distributed_rank_equals_global_window(spark):
+    """The wide-input two-phase rank (range repartition + local row_number
+    + offsets) must be bit-identical to the narrow-input global window for
+    the same corpus — node ids are pinned by every graph oracle."""
+    from ocr_redaction_engine_spark.analytics.webgraph import _doc_nodes
+
+    rows = [(f"doc-{i:04d}",) for i in range(257)]
+    # multi-partition, shuffled arrival order, plus duplicate ids
+    df = spark.createDataFrame(rows + rows[:40], "doc_id string").repartition(7)
+    narrow = {(r.doc_id, r.node)
+              for r in _doc_nodes(df, wide_threshold=10**9).collect()}
+    wide = {(r.doc_id, r.node)
+            for r in _doc_nodes(df, wide_threshold=0).collect()}
+    assert wide == narrow
+    assert sorted(n for _, n in wide) == list(range(257))
