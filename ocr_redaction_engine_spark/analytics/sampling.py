@@ -32,15 +32,31 @@ def bernoulli_sample(docs: DataFrame, pct: int, key: str = "doc_id") -> DataFram
 
 
 def stratified_sample(docs: DataFrame, strata: list[str], n_per_stratum: int,
-                      key: str = "doc_id") -> DataFrame:
+                      key: str = "doc_id", salts: int = 8) -> DataFrame:
     """Per-stratum deterministic top-n by hash rank — the data-mixing
     primitive (equal-size draws per (lang, source) cell regardless of cell
-    skew). One shuffle on the strata key; rank ties are impossible because
-    the order key includes the unique ``key`` column."""
+    skew). Rank ties are impossible because the order key includes the
+    unique ``key`` column.
+
+    Strata cells are few and can be huge (one (lang, source) cell may own
+    half the corpus), so a single window over the strata key would funnel
+    that cell through ONE sorted task — the same Zipf hazard
+    [[web_domain_cap]] solves. Same fix: two-stage top-n — stage 1 ranks
+    within (strata, salt) and keeps ``n_per_stratum`` per salted slice,
+    stage 2 re-ranks the ≤ salts·n survivors per stratum. The union of
+    per-salt top-n is a superset of the global top-n, so the result is
+    EXACTLY the single-window answer while no task ever sorts more than
+    one salt's share of a cell."""
     h = _hash_frac(F.col(key).cast("string"))
-    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(key).asc())
+    base = docs.withColumn("__h", h).withColumn(
+        "__salt", F.pmod(F.col("__h"), F.lit(salts)))
+    w1 = Window.partitionBy(*strata, "__salt").orderBy(
+        F.col("__h").asc(), F.col(key).asc())
+    s1 = (base.withColumn("__r1", F.row_number().over(w1))
+          .filter(F.col("__r1") <= n_per_stratum))
+    w2 = Window.partitionBy(*strata).orderBy(F.col("__h").asc(), F.col(key).asc())
     return (
-        docs.withColumn("rank", F.row_number().over(w))
+        s1.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= n_per_stratum)
         .select(key, *strata, "rank")
     )
@@ -60,24 +76,91 @@ def char_budget_mix(docs: DataFrame, budget_chars: int,
 
     The total weight over distinct sources is a single driver-side scalar
     (same pattern as the IVF centroids: bytes, not rows, reach the driver)
-    inlined as a literal, so the main pass is one window-cumsum shuffled on
-    source — no join at all. Output: (doc_id, source, n_chars, cum_chars)."""
+    inlined as a literal.
+
+    The per-source running total is the scale trap: sources are FEW and
+    huge, so ``Window.partitionBy("source")`` would drag a source's whole
+    slice of a 100 TB corpus through one sorted task. Instead the cumsum
+    runs as the two-pass distributed prefix sum [[pack_sequences]] uses:
+    range-partition on (source, hash, key) — partition ranges are disjoint
+    and ordered in that tuple order, so a source's rows in earlier
+    partitions all precede its rows here — take per-(partition, source)
+    totals (≤ parallelism × |sources| rows to the driver), prefix them per
+    source, and broadcast the offsets back as a literal map; the final
+    window partitions by (physical partition, source), so every partition
+    cumsums in parallel. Offsets + local cumsum reconstruct the exact
+    global per-source running total for ANY partition boundaries — the
+    order key (h, key) is total, so the result is bit-identical to the
+    single-window formulation. Output: (doc_id, source, n_chars,
+    cum_chars)."""
     w_col = F.when(F.col("source").isin(*boosted) if boosted else F.lit(False),
                    F.lit(float(boost))).otherwise(F.lit(1.0))
     total_w = float(
         docs.select("source").distinct().agg(F.sum(w_col)).collect()[0][0]
     )
+    sc = docs.sparkSession.sparkContext
     h = _hash_frac(F.col(key).cast("string"))
+    d = docs.select(key, "source", "n_chars").withColumn("__h", h)
+    # localCheckpoint pins ONE materialization of the range exchange (the
+    # totals agg and the cumsum window must see identical boundaries;
+    # RangePartitioner's sample seed is per-RDD-instance — same discipline
+    # as webgraph._doc_nodes)
+    d = (d.repartitionByRange(sc.defaultParallelism, "source", "__h", key)
+         .withColumn("pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    totals = d.groupBy("pid", "source").agg(F.sum("n_chars").alias("tot")).collect()
+    run: dict = {}
+    entries = []
+    for r in sorted(totals, key=lambda r: (r["source"], r["pid"])):
+        entries.append((f'{r["pid"]}:{r["source"]}', run.get(r["source"], 0)))
+        run[r["source"]] = run.get(r["source"], 0) + r["tot"]
+    omap = F.create_map(*[
+        c for mk, off0 in entries
+        for c in (F.lit(mk), F.lit(off0).cast("long"))]) \
+        if entries else F.create_map()
     win = (
-        Window.partitionBy("source")
-        .orderBy(h.asc(), F.col(key).asc())
+        Window.partitionBy("pid", "source")
+        .orderBy(F.col("__h").asc(), F.col(key).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    off = omap[F.concat_ws(":", F.col("pid").cast("string"), "source")]
     return (
-        docs.withColumn("cum_chars", F.sum("n_chars").over(win))
+        d.withColumn("cum_chars", off + F.sum("n_chars").over(win))
         .filter(F.col("cum_chars") <= F.lit(float(budget_chars)) * w_col / F.lit(total_w))
         .select(key, "source", "n_chars", "cum_chars")
     )
+
+
+def _group_tokens(docs: DataFrame, group: str) -> DataFrame:
+    """Distinct (group, token) pairs — the shared KMV input."""
+    return (
+        docs.select(group, F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .distinct()
+    )
+
+
+def _kmv_sketch(toks: DataFrame, group: str, k: int, salts: int = 8) -> DataFrame:
+    """The k smallest (h, token) per group — the KMV sketch itself, built
+    with the salted two-stage top-k (same skew discipline as
+    [[web_domain_cap]]): stage 1 ranks within (group, salt) and keeps k per
+    salted slice, stage 2 re-ranks the ≤ salts·k survivors per group. The
+    union of per-salt top-k is a superset of the global top-k, so the
+    sketch is EXACTLY the single-window answer while no task ever sorts
+    more than one salt's share of a group's vocabulary (groups are few —
+    sources/corpora — and their vocabularies are corpus-scale, the Zipf
+    shape a bare ``Window.partitionBy(group)`` would funnel through one
+    task). Returns (group, token, h, rk) with rk ≤ k global rank."""
+    h = _hash_frac("token")
+    base = toks.withColumn("h", h).withColumn(
+        "salt", F.pmod(F.col("h"), F.lit(salts)))
+    w1 = Window.partitionBy(group, "salt").orderBy(
+        F.col("h").asc(), F.col("token").asc())
+    s1 = (base.withColumn("r1", F.row_number().over(w1))
+          .filter(F.col("r1") <= k))
+    w2 = Window.partitionBy(group).orderBy(F.col("h").asc(), F.col("token").asc())
+    return (s1.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select(group, "token", "h", "rk"))
 
 
 def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:
@@ -88,25 +171,18 @@ def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:
     Unlike HLL, the estimator is a pure function of the k smallest hashes,
     so it is deterministic and engine-portable — the DuckDB oracle
     hash-matches exactly. The sketch is mergeable (union = k smallest of
-    the concatenation), which is what makes it a *distributed* sketch: at
-    100 TB you fold the per-partition top-k before the final merge (the
-    explode→distinct shuffle here is the small-cluster formulation; swap in
-    a partial ``mapPartitions`` top-k when tokens-per-group outgrows a
-    shuffle). Groups with fewer than k distinct tokens report the exact
-    count. Ordering ties are broken by the token itself, so rank k is
-    well-defined even under md5-prefix collisions.
+    the concatenation) and is built with the salted two-stage top-k
+    (see [[_kmv_sketch]]) so no task ever sorts a whole group's
+    vocabulary; the exact distinct count rides a separate hash-agg with
+    map-side partials. Groups with fewer than k distinct tokens report the
+    exact count. Ordering ties are broken by the token itself, so rank k
+    is well-defined even under md5-prefix collisions.
     """
-    toks = (
-        docs.select(group, F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-        .distinct()
-    )
-    h = _hash_frac("token")
-    w = Window.partitionBy(group).orderBy(h.asc(), F.col("token").asc())
-    ranked = toks.withColumn("h", h).withColumn("rk", F.row_number().over(w))
-    per_group = ranked.groupBy(group).agg(
-        F.count("*").alias("n_distinct"),
-        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("h_k"),
-    )
+    toks = _group_tokens(docs, group)
+    counts = toks.groupBy(group).agg(F.count("*").alias("n_distinct"))
+    hk = _kmv_sketch(toks, group, k).groupBy(group).agg(
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("h_k"))
+    per_group = counts.join(hk, group, "left")
     est = F.when(
         F.col("h_k").isNotNull(),
         F.round((k - 1) / (F.col("h_k") / F.lit(float(_HEX15))), 6),
@@ -510,16 +586,8 @@ def kmv_set_ops(docs: DataFrame, group: str = "source", k: int = 64) -> DataFram
 
     Returns (a, b, union_est, inter_est, jaccard_est).
     """
-    toks = (
-        docs.select(group, F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-        .distinct()
-    )
-    h = _hash_frac("token")
-    w = Window.partitionBy(group).orderBy(h.asc(), F.col("token").asc())
-    sketch = (
-        toks.withColumn("h", h).withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k).select(group, "token", "h")
-    )
+    sketch = _kmv_sketch(_group_tokens(docs, group), group, k) \
+        .select(group, "token", "h")
     srcs = (docs.select(group).distinct()
             .withColumn("__k", F.pmod(F.length(group), F.lit(1))))
     pairs = (

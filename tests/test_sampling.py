@@ -42,6 +42,26 @@ def test_stratified_exact_n_per_cell(docs):
         assert sorted(ranks) == [1, 2, 3, 4]
 
 
+def test_stratified_two_stage_equals_single_window(docs):
+    # salts=1 degenerates stage 1 to the single global window per stratum
+    # (salt is constant), so equality across salt counts pins the two-stage
+    # top-n exactly equivalent to the one-window formulation
+    one = sorted(tuple(r) for r in stratified_sample(
+        docs, ["lang", "source"], n_per_stratum=4, salts=1).collect())
+    many = sorted(tuple(r) for r in stratified_sample(
+        docs, ["lang", "source"], n_per_stratum=4, salts=8).collect())
+    assert one == many
+
+
+def test_kmv_sketch_salt_invariant(docs):
+    from ocr_redaction_engine_spark.analytics.sampling import (
+        _group_tokens, _kmv_sketch)
+    toks = _group_tokens(docs, "source")
+    one = sorted(tuple(r) for r in _kmv_sketch(toks, "source", 16, salts=1).collect())
+    many = sorted(tuple(r) for r in _kmv_sketch(toks, "source", 16, salts=8).collect())
+    assert one == many and len(one) > 0
+
+
 def test_kmv_small_group_exact(spark):
     rows = [(0, "a b c a", "en", "tiny", 0)]
     docs = spark.createDataFrame(
