@@ -211,6 +211,9 @@ def sparse_cosine_pairs(docs: DataFrame, n: int = 3, max_df: int = 200,
         f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
     )
     g = with_tokens(docs).select("doc_id", F.explode(grams).alias("g"))
+    # tf feeds three consumers, but its (doc_id, g)-keyed exchange is
+    # reused by Spark across the branches — persisting it was measured
+    # SLOWER (serialization + broken pipelining) at sf0.1
     tf = g.groupBy("doc_id", "g").agg(F.count("*").alias("tf"))
     norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     dfc = tf.groupBy("g").agg(F.count("*").alias("df"))

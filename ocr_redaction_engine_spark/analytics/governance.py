@@ -26,10 +26,14 @@ def referential_audit(pairs: dict[str, tuple[DataFrame, str, DataFrame, str]]) -
     in their own ``null_fk_rows`` column instead, so nullable-fk children
     don't inflate the orphan count while the nullness stays measured.
 
-    Each relationship costs one anti-join + one semi-join-shaped distinct
-    agg, all keyed shuffles (no broadcast assumption: parents may be the
-    big side); the result is one row per relationship, unioned. Zero
-    orphans is the PASSING audit — utilization gives the non-vacuous
+    Each relationship costs ONE left join of child keys against the
+    distinct parent keys (NULL fks never match and are classified by the
+    null test, so the anti-join, the semi-join and the per-child stats all
+    collapse into a single join + a single aggregate — the three distinct
+    counts ride one Expand over the joined keys instead of three separate
+    child passes). All keyed shuffles (no broadcast assumption: parents
+    may be the big side); the result is one row per relationship, unioned.
+    Zero orphans is the PASSING audit — utilization gives the non-vacuous
     signal on healthy data. An empty ``pairs`` dict raises ValueError.
     """
     if not pairs:
@@ -39,29 +43,26 @@ def referential_audit(pairs: dict[str, tuple[DataFrame, str, DataFrame, str]]) -
     outs = []
     for name, (child, fk, parent, pk) in pairs.items():
         ckeys = child.select(F.col(fk).alias("k"))
-        nn_ckeys = ckeys.filter(F.col("k").isNotNull())
         pkeys = parent.select(F.col(pk).alias("k")).distinct()
-        orphans = nn_ckeys.join(pkeys, "k", "left_anti")
+        j = ckeys.join(pkeys.withColumn("__m", F.lit(1)), "k", "left")
+        orphan = F.col("k").isNotNull() & F.col("__m").isNull()
         # one-row aggs are combined on a pmod key (always 0 but not
         # constant-foldable) so the stitch stays a BroadcastHashJoin — a
         # bare lit==lit key folds back into BroadcastNestedLoopJoin, which
         # the repo-wide plan gate bans (same trick as cosine_topk's __k)
-        stats = ckeys.agg(
+        stats = j.agg(
             F.count("*").alias("child_rows"),
             F.countDistinct("k").alias("child_keys"),
             F.sum(F.col("k").isNull().cast("long")).alias("null_fk_rows"),
+            F.sum(orphan.cast("long")).alias("orphan_rows"),
+            F.countDistinct(F.when(orphan, F.col("k"))).alias("orphan_keys"),
+            F.countDistinct(F.when(F.col("__m").isNotNull(), F.col("k")))
+            .alias("referenced_keys"),
         ).withColumn("__k", F.pmod(F.col("child_rows"), F.lit(1)))
-        ostats = orphans.agg(
-            F.count("*").alias("orphan_rows"),
-            F.countDistinct("k").alias("orphan_keys"),
-        ).withColumn("__k", F.pmod(F.col("orphan_rows"), F.lit(1)))
         pstats = pkeys.agg(F.count("*").alias("parent_keys")) \
             .withColumn("__k", F.pmod(F.col("parent_keys"), F.lit(1)))
-        refs = ckeys.join(pkeys, "k", "left_semi").agg(
-            F.countDistinct("k").alias("referenced_keys"),
-        ).withColumn("__k", F.pmod(F.col("referenced_keys"), F.lit(1)))
         row = (
-            stats.join(ostats, "__k").join(pstats, "__k").join(refs, "__k")
+            stats.join(pstats, "__k")
             .select(
                 F.lit(name).alias("relationship"),
                 "child_rows", "null_fk_rows", "orphan_rows", "orphan_keys",
