@@ -588,8 +588,19 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     """
     from pyspark import StorageLevel
 
-    toks = doc_tokens_distinct(docs)
-    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    # Tokens are interned to 60-bit md5 longs up front: every downstream
+    # stage — the df shuffle, the (df, tok) array sort, the prefix
+    # equi-join key, the verify's hash-set intersection — then operates on
+    # fixed 8-byte integers instead of variable-length strings (measured
+    # ~25% off the whole query at sf0.1). The algorithm only needs ONE
+    # consistent global total order by rarity; (df, hash) is as valid as
+    # (df, token), and inter/jaccard are order-independent, so results are
+    # identical to the string formulation up to 60-bit collisions
+    # (~(vocab²)/2^61 expected pairs — immaterial even at 10^12 docs, and
+    # the brute-force string oracle would surface one as a hash mismatch).
+    tok64 = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    toks = doc_tokens_distinct(docs).select("doc_id", tok64.alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # per_doc feeds FOUR consumers (both prefix sides, both verify sides);
     # unpersisted, the token-join + collect_list subtree re-runs for each
     # plan branch exchange reuse can't fold (measured 20.3 s -> 5.5 s at
@@ -600,9 +611,9 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     # ContextCleaner unpersists it once the result DataFrame is
     # unreferenced.
     per_doc = (
-        toks.join(dfreq, "token")
+        toks.join(dfreq, "tok")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("arr"))
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
         .withColumn("n", F.size("arr").cast("long"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -610,18 +621,18 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     pref = per_doc.select(
         "doc_id", "n", F.explode(F.slice("arr", F.lit(1), plen)).alias("s"))
     pa = pref.select(F.col("doc_id").alias("a"), F.col("n").alias("na"),
-                     F.col("s.token").alias("token"))
+                     F.col("s.tok").alias("tok"))
     pb = pref.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"),
-                     F.col("s.token").alias("token"))
+                     F.col("s.tok").alias("tok"))
     cands = (
-        pa.join(pb, "token")
+        pa.join(pb, "tok")
         .filter(F.col("a") < F.col("b"))
         .filter(F.col("na") * t_num <= F.col("nb") * t_den)
         .filter(F.col("nb") * t_num <= F.col("na") * t_den)
         .select("a", "b").distinct()
     )
     arrs = per_doc.select(
-        "doc_id", F.expr("transform(arr, s -> s.token)").alias("toks"), "n")
+        "doc_id", F.expr("transform(arr, s -> s.tok)").alias("toks"), "n")
     aa = arrs.select(F.col("doc_id").alias("a"), F.col("toks").alias("toks_a"),
                      F.col("n").alias("na"))
     ab = arrs.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"),
