@@ -205,10 +205,15 @@ def sparse_cosine_pairs(docs: DataFrame, n: int = 3, max_df: int = 200,
 
     Output: (a, b, dot, na2, nb2, cos_lb), integers except the final ratio.
     """
+    # gram keys interned to 60-bit md5 longs (same discipline as
+    # prefix_jaccard_join): the tf/df shuffles and the postings self-join
+    # all key on fixed 8-byte integers instead of 32-char digests; pair
+    # results are unchanged up to 60-bit collisions (immaterial)
     grams = F.expr(
         f"CASE WHEN size(tokens) < {n} THEN array()"
         f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-        f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
+        f"                 1, 15), 16, 10) AS BIGINT)) END"
     )
     g = with_tokens(docs).select("doc_id", F.explode(grams).alias("g"))
     # tf feeds three consumers, but its (doc_id, g)-keyed exchange is

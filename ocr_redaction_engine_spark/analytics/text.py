@@ -194,15 +194,16 @@ def ngram_contamination(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataF
     ≥ ``min_docs`` documents). The train/test-leak check in every LLM data
     pipeline is this exact query with the eval set as the second corpus.
 
-    Shape at scale: explode distinct grams per doc (md5 so the shuffle key is
-    a fixed-width string), hash-agg by gram for document frequency, then an
+    Shape at scale: explode distinct grams per doc (gram = 60-bit md5 long,
+    a fixed 8-byte shuffle key), hash-agg by gram for document frequency, then an
     equi-join gram→df that Spark co-partitions with the agg (one shuffle
     feeds both), and a final per-doc hash-agg. No broadcast of anything
     corpus-sized; skew is bounded because per-doc grams are distinct."""
     grams = F.expr(
         f"CASE WHEN size(tokens) < {n} THEN array()"
         f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-        f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
+        f"                 1, 15), 16, 10) AS BIGINT)) END"
     )
     d = with_tokens(docs)
     g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
@@ -299,7 +300,8 @@ def ngram_cross_contamination(train: DataFrame, eval_docs: DataFrame,
         g = F.expr(
             f"CASE WHEN size(tokens) < {n} THEN array()"
             f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-            f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+            f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
+            f"                 1, 15), 16, 10) AS BIGINT)) END"
         )
         return with_tokens(d).select("doc_id", F.explode(F.array_distinct(g)).alias("g"))
 
@@ -374,7 +376,8 @@ def repeated_substring_spans(docs: DataFrame, n: int = 8,
     map each occurrence back to its token positions, and merge overlapping
     occurrences into maximal spans to trim.
 
-    Shape at scale: gram fingerprints are md5 (fixed-width shuffle keys);
+    Shape at scale: gram fingerprints are 60-bit md5 longs (fixed 8-byte
+    shuffle keys);
     document frequency is one hash-agg; the join back to positions is
     gram-keyed (the same inverted-index shape as sparse_cosine_pairs); span
     merging is the gaps-and-islands window per document — all JVM, no
@@ -390,7 +393,8 @@ def repeated_substring_spans(docs: DataFrame, n: int = 8,
     grams = F.expr(
         f"CASE WHEN size(tokens) < {n} THEN array()"
         f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-        f"                i -> md5(concat_ws(' ', slice(tokens, i, {n})))) END"
+        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
+        f"                 1, 15), 16, 10) AS BIGINT)) END"
     )
     g = with_tokens(docs).select(
         "doc_id", F.posexplode(grams).alias("pos0", "g"))
