@@ -352,8 +352,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # partial labels — refuse to return wrong components (ADVICE r1)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch to "
-            "doubling propagation for high-diameter graphs")
+            f"({changed} labels still changing); with pointer doubling "
+            f"rounds grow O(log diameter), so raise max_iter (even a "
+            f"10^9-node chain needs only ~30)")
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 

@@ -650,8 +650,23 @@ def negative_pairs(embeddings: DataFrame, k: int = 3) -> DataFrame:
     — no candidate generation, no shuffle beyond the join. At 10^12 rows
     this is the standard way to manufacture in-batch negatives ahead of
     time. Returns (vec_id, slot, neg_id, neg_l2_e6).
+
+    Contract: vec_id must be DENSE 0..N-1 — the draw is ``md5 mod N`` and a
+    drawn id with no row would silently vanish in the partner join,
+    shorting some anchors below k partners. The precondition is checked in
+    the same metadata-scale aggregate that sizes the draw and violated
+    input RAISES (sparse ids need an id-compaction pass first, e.g. the
+    two-phase rank in webgraph._doc_nodes).
     """
-    n = embeddings.count()  # metadata-scale scalar
+    row = embeddings.agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("mn"),
+        F.max("vec_id").alias("mx")).first()
+    n = row["n"]  # metadata-scale scalar
+    if n and (row["mn"] != 0 or row["mx"] != n - 1):
+        raise ValueError(
+            f"negative_pairs: vec_id must be dense 0..N-1 (N={n}, saw "
+            f"min={row['mn']}, max={row['mx']}); the md5-mod-N draw would "
+            "silently drop partners for missing ids — compact ids first")
     slots = embeddings.select(
         "vec_id",
         F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot"))

@@ -242,3 +242,14 @@ def test_negative_pairs_deterministic_and_self_free(spark, embeddings):
     assert len(per_anchor) == n
     again = {(r.vec_id, r.slot, r.neg_id) for r in negative_pairs(embeddings, k=3).collect()}
     assert again == {(r.vec_id, r.slot, r.neg_id) for r in rows}
+
+
+def test_negative_pairs_sparse_ids_raise(spark, embeddings):
+    """The md5-mod-N draw is only complete on dense 0..N-1 ids; sparse
+    input must fail loudly instead of silently shorting anchors."""
+    import pytest
+    from ocr_redaction_engine_spark.analytics.similarity import negative_pairs
+
+    sparse = embeddings.filter("vec_id != 3")
+    with pytest.raises(ValueError, match="dense 0..N-1"):
+        negative_pairs(sparse, k=3)
