@@ -307,7 +307,6 @@ def _aadhaar_gender(words, lines):
     return _field("Aadhaar Gender", gender, coords)
 
 
-@lru_cache(maxsize=1)
 @lru_cache(maxsize=8)
 def _compile_places_union(places_t: tuple) -> re.Pattern:
     return re.compile("|".join(re.escape(p) for p in places_t), re.IGNORECASE)
