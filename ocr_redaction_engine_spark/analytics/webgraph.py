@@ -249,6 +249,53 @@ def synth_hosts(docs: DataFrame) -> DataFrame:
     )
 
 
+def _grouped_rank(df: DataFrame, group_cols: list, order_cols: list,
+                  rank_name: str,
+                  wide_threshold: int | None = None) -> DataFrame:
+    """``row_number()`` per group over a TOTAL order, Zipf-safe — the
+    grouped generalization of [[_doc_nodes]]' two-phase rank, for rankers
+    that must number EVERY row (a salted two-stage top-k only bounds
+    top-k survivors; wave/rank assignments need the full numbering).
+
+    Narrow inputs (scan partitions ≤ threshold) keep the plain window —
+    zero extra cost, same conditional discipline as _doc_nodes. Wide
+    inputs range-repartition on (group, order) — a group's rows are then
+    contiguous across ordered partitions — rank locally per (partition,
+    group), and add per-(partition, group) offsets. The offsets stay
+    DISTRIBUTED: each group spans only the few partitions its rows
+    straddle, so the offset table is ~|groups| + parallelism rows and its
+    prefix window per group is trivially small; nothing group-shaped ever
+    lands in one task (with no group_cols the offsets are ≤ parallelism
+    rows and broadcast). Offsets + local ranks reconstruct the exact
+    single-window numbering for ANY partition boundaries."""
+    sc = df.sparkSession.sparkContext
+    thr = wide_threshold if wide_threshold is not None else sc.defaultParallelism
+    if df.rdd.getNumPartitions() <= thr:
+        w = (Window.partitionBy(*group_cols) if group_cols else Window) \
+            .orderBy(*order_cols)
+        return df.withColumn(rank_name, F.row_number().over(w))
+    # localCheckpoint pins ONE materialization of the range exchange (the
+    # offsets agg and the rank join must see identical boundaries)
+    d = (df.repartitionByRange(sc.defaultParallelism,
+                               *[F.col(c) for c in group_cols], *order_cols)
+         .withColumn("__pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    offs = d.groupBy("__pid", *group_cols).agg(F.count("*").alias("__cnt"))
+    woff = ((Window.partitionBy(*group_cols) if group_cols else Window)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = offs.select(
+        "__pid", *group_cols,
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"))
+    if not group_cols:
+        offs = F.broadcast(offs)
+    wloc = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    return (d.join(offs, ["__pid", *group_cols])
+            .withColumn(rank_name,
+                        (F.col("__off") + F.row_number().over(wloc)).cast("int"))
+            .drop("__pid", "__off"))
+
+
 def domain_cap(pages: DataFrame, cap: int = 5, salts: int = 8) -> DataFrame:
     """Per-domain document quota (the RefinedWeb/C4 'no domain may dominate'
     rule): keep at most ``cap`` documents per registrable domain, chosen by
@@ -464,18 +511,23 @@ def crawl_frontier(docs: DataFrame, budget_waves: int = 3) -> DataFrame:
     priority rank *within its host*. ``scheduled`` marks URLs inside the
     crawl budget (first ``budget_waves`` waves).
 
-    One window partitioned by host (per-host fan-in is the politeness bound
-    itself, so partitions stay small even on Zipf-skewed crawls where one
-    domain owns half the frontier — the window never needs a global sort);
-    the priority is a deterministic md5 draw standing in for a
+    The wave is a per-host rank, and crawl frontiers are Zipf-skewed — a
+    hot host can own half the frontier, so a bare
+    ``Window.partitionBy(host)`` would sort that half in ONE task. The
+    rank therefore runs through [[_grouped_rank]]: the plain window on
+    narrow inputs (zero extra cost at bench scale), the two-phase
+    range-partitioned rank on wide ones — bit-identical numbering either
+    way. The priority is a deterministic md5 draw standing in for a
     PageRank/freshness score. Integer-exact, engine-portable."""
     hosts = synth_hosts(docs)
     prio = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("prio"))), 1, 15), 16, 10)
             .cast("long").alias("prio"))
-    w = Window.partitionBy("host").orderBy(F.desc("prio"), "doc_id")
+    ranked = _grouped_rank(
+        hosts.select("doc_id", "host", prio),
+        ["host"], [F.desc("prio"), F.asc("doc_id")], "__rn")
     return (
-        hosts.select("doc_id", "host", prio)
-        .withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+        ranked
+        .withColumn("wave", (F.col("__rn") - 1).cast("long")).drop("__rn")
         .withColumn("scheduled", F.col("wave") < budget_waves)
     )
 
@@ -596,12 +648,16 @@ def domain_gini(docs: DataFrame) -> DataFrame:
     (and the ·1e6 numerator reaches ~1e26) — so the sums run in
     DECIMAL(38,0) (oracle: HUGEINT, which DuckDB's SUM(BIGINT) already
     promotes to) rather than silently wrapping with ANSI off; same
-    discipline as [[basket_lift]]. Returns one row
+    discipline as [[basket_lift]]. The rank itself runs over the
+    |domains|-row aggregate — metadata-scale next to the corpus, but at
+    1e8 domains still too big for one sorted task, so it goes through
+    [[_grouped_rank]] (plain global window on narrow inputs, two-phase
+    range rank on wide ones; identical numbering). Returns one row
     (n_domains, total_docs, gini_e6).
     """
     counts = synth_hosts(docs).groupBy("host").agg(F.count("*").alias("x"))
-    w = Window.orderBy(F.col("x").asc(), F.col("host").asc())
-    ranked = counts.withColumn("i", F.row_number().over(w))
+    ranked = _grouped_rank(
+        counts, [], [F.col("x").asc(), F.col("host").asc()], "i")
     return ranked.agg(
         F.count("*").cast("long").alias("n_domains"),
         F.sum("x").cast("long").alias("total_docs"),
