@@ -57,7 +57,8 @@ def _postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def nb_train(docs: DataFrame, label_col: str = "label") -> tuple[DataFrame, DataFrame]:
+def nb_train(docs: DataFrame, label_col: str = "label",
+             min_df: int = 1) -> tuple[DataFrame, DataFrame]:
     """Multinomial-NB training: per-token Laplace-smoothed log-odds weights.
 
     Input needs a boolean ``label_col``. Returns ``(weights, prior)``:
@@ -65,6 +66,14 @@ def nb_train(docs: DataFrame, label_col: str = "label") -> tuple[DataFrame, Data
     ln((c_neg+1)/(n_neg+V)), 6); prior = 1 row (bias, __k) with
     bias = round(ln((d_pos+1)/(d_neg+1)), 6). One hash-agg over postings →
     vocab-sized table; everything downstream broadcasts.
+
+    ``min_df`` is the vocab frequency floor (total occurrences across both
+    classes). At 100 TB the raw token table is NOT Zipf-bounded — unique
+    garbage strings (hashes, URLs, OCR noise) grow linearly with the corpus
+    and would blow the broadcast — so production runs set min_df (CCNet /
+    fastText prune exactly this way); hapax garbage carries ~no class signal
+    anyway. V (the smoothing denominator) counts the SURVIVING vocab, which
+    is the standard vocab-restricted NB formulation.
     """
     lab = docs.withColumn("__pos", F.col(label_col).cast("boolean"))
     per_tok = (
@@ -77,6 +86,8 @@ def nb_train(docs: DataFrame, label_col: str = "label") -> tuple[DataFrame, Data
             F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("long").alias("c_neg"),
         )
     )
+    if min_df > 1:
+        per_tok = per_tok.filter(F.col("c_pos") + F.col("c_neg") >= min_df)
     # class token totals + vocab size: 1 row, attached via the pmod-key
     # broadcast (bare-literal keys constant-fold into a BNLJ; pmod does not)
     stats = per_tok.select(
@@ -109,7 +120,8 @@ def nb_train(docs: DataFrame, label_col: str = "label") -> tuple[DataFrame, Data
     return weights, prior
 
 
-def nb_classify(docs: DataFrame, label_col: str = "label") -> DataFrame:
+def nb_classify(docs: DataFrame, label_col: str = "label",
+                min_df: int = 1) -> DataFrame:
     """Train Naive Bayes on the hash-75% fold of ``docs`` (teacher labels in
     ``label_col``), score EVERY document: the quality-classifier pipeline
     stage. Out-of-vocabulary tokens contribute 0 (standard vocab-restricted
@@ -119,7 +131,7 @@ def nb_classify(docs: DataFrame, label_col: str = "label") -> DataFrame:
     row per document, ordered consumers sort themselves.
     """
     folded = _with_fold(docs)
-    weights, prior = nb_train(folded.filter("is_train"), label_col)
+    weights, prior = nb_train(folded.filter("is_train"), label_col, min_df)
     scored = (
         _postings(folded)
         .join(F.broadcast(weights), "token")          # vocab-sized right side
@@ -172,7 +184,8 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_cross_entropy(docs: DataFrame, reference: DataFrame) -> DataFrame:
+def lm_cross_entropy(docs: DataFrame, reference: DataFrame,
+                     min_count: int = 1) -> DataFrame:
     """Bigram-LM cross-entropy of every document under a reference corpus
     (the CCNet perplexity filter; cross-entropy in nats is the same ranking
     without an exp() determinism surface).
@@ -190,16 +203,26 @@ def lm_cross_entropy(docs: DataFrame, reference: DataFrame) -> DataFrame:
     the per-doc sum (cross-engine determinism rule). Documents with zero
     tokens have no bigrams and emit no row.
 
+    ``min_count`` prunes reference bigrams seen fewer times (they fall back
+    to the unseen-bigram smoothed path, exactly as if never observed); the
+    history and vocab tables derive from the PRUNED bigram table so the
+    model stays self-consistent. At 100 TB the raw bigram/unigram tables
+    grow with unique garbage tokens rather than staying Zipf-bounded, so
+    production runs set min_count — the CCNet/KenLM pruning step — which is
+    what keeps ``hist_counts`` broadcastable.
+
     Returns (doc_id, n_bigrams, oov_bigrams, nll) — nll is the per-document
     total negative log-likelihood; cross-entropy = nll / n_bigrams.
     """
     ref_bg = _bigrams(reference)
     bg_counts = ref_bg.groupBy("prev", "cur").agg(
         F.count("*").cast("long").alias("cb"))
+    if min_count > 1:
+        bg_counts = bg_counts.filter(F.col("cb") >= min_count)
     hist_counts = bg_counts.groupBy("prev").agg(
         F.sum("cb").cast("long").alias("ch"))
     vocab = (
-        ref_bg.select(F.count_distinct("cur").cast("long").alias("v"))
+        bg_counts.select(F.count_distinct("cur").cast("long").alias("v"))
         .withColumn("__k", F.pmod(F.col("v"), F.lit(1)))
     )
     return (

@@ -45,8 +45,14 @@ def pack_offsets(docs: DataFrame, budget_tokens: int = 512,
         F.size("tokens").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    d = d.repartitionByRange(parts, "h", "doc_id").withColumn(
-        "pid", F.spark_partition_id())
+    # localCheckpoint pins ONE materialization of the range exchange: the
+    # totals collect (pass 1) and the cumsum job (pass 2) must see identical
+    # partition boundaries — same discipline as _doc_nodes/_grouped_rank.
+    # (RangePartitioner is deterministic on an identical lineage, but the
+    # pin removes the dependence on that implementation detail.)
+    d = (d.repartitionByRange(parts, "h", "doc_id")
+         .withColumn("pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
     # pass 1: per-partition totals; only ≤`parts` (pid, total) rows leave the
     # executors, and only the prefix map rides back in the plan
     totals = {r["pid"]: r["tot"] for r in

@@ -141,3 +141,36 @@ def test_lm_unseen_reference_tokens_are_oov(spark):
     # all bigrams unseen; '<s>' is a seen history (ch=1), the rest are not
     expected = -(round(math.log(1 / 4), 6) + 2 * round(math.log(1 / 3), 6))
     assert row["nll"] == round(expected, 6)
+
+
+def test_nb_min_df_prunes_hapax(spark):
+    # 'blob' and several others are hapax in DOCS; with min_df=2 their weight
+    # rows must vanish and V (the smoothing denominator) shrink to survivors.
+    weights, _ = nb_train(_df(spark), "label", min_df=2)
+    got = {r["token"]: r["w"] for r in weights.collect()}
+    cp, cn = Counter(), Counter()
+    for _, text, lab in DOCS:
+        (cp if lab else cn).update(text.split())
+    tot = cp + cn
+    keep = {t for t, c in tot.items() if c >= 2}
+    assert set(got) == keep and "blob" not in got
+    npos = sum(c for t, c in cp.items() if t in keep)
+    nneg = sum(c for t, c in cn.items() if t in keep)
+    v = len(keep)
+    for t in keep:
+        assert got[t] == round(math.log((cp[t] + 1) / (npos + v))
+                               - math.log((cn[t] + 1) / (nneg + v)), 6)
+
+
+def test_lm_min_count_prunes_bigrams(spark):
+    # ref: ('a','b') seen twice, ('b','c') once; min_count=2 keeps only the
+    # repeated bigram, and ch / V recompute over the SURVIVING table.
+    ref = _df(spark, [("r1", "a b", True), ("r2", "a b c", True)])
+    docs = _df(spark, [("d1", "a b c", True)])
+    row = lm_cross_entropy(docs, ref, min_count=2).collect()[0]
+    # surviving model: cb={('<s>','a'):2,('a','b'):2}, ch={'<s>':2,'a':2}, v=2
+    lps = [round(math.log((2 + 1) / (2 + 2)), 6),   # <s> -> a (kept)
+           round(math.log((2 + 1) / (2 + 2)), 6),   # a -> b (kept)
+           round(math.log((0 + 1) / (0 + 2)), 6)]   # b -> c (pruned => OOV)
+    assert row["n_bigrams"] == 3 and row["oov_bigrams"] == 1
+    assert row["nll"] == round(-sum(lps), 6)
