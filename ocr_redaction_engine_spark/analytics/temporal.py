@@ -335,19 +335,28 @@ def top_paths(events: DataFrame, k: int = 20, max_len: int = 20) -> DataFrame:
     path (first ``max_len`` steps, '>'-joined), then the top-``k`` most
     common paths — 'what journeys do users actually take'.
 
-    Per-user ordering WITHOUT a window: one groupBy(user) collecting
-    (ts, event_id, type) structs, array_sort (struct order = (ts, event_id)
-    tie-break), slice, transform to the path string — per-user history is
-    bounded so the collected arrays are small and the agg stays map-side
-    partial; the path hash-agg and TakeOrdered top-k follow. Returns
-    (path, n_users) ordered by (n_users desc, path asc).
+    The ``max_len`` cap is applied BEFORE anything is collected: a
+    row_number window (sort-based, spills to disk) keeps only each user's
+    first ``max_len`` events, so the collect_list agg buffer is bounded at
+    ``max_len`` structs even for a hostile bot user with 10^8 events —
+    collecting the full history and slicing afterwards would hold the whole
+    array in one agg buffer. The window and the groupBy share the user_id
+    partitioning (one shuffle total), and (ts, event_id) is a unique total
+    order, so the capped path is bit-identical to slice-after-collect.
+    Returns (path, n_users) ordered by (n_users desc, path asc).
     """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first_steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_len)
+    )
     paths = (
-        events.groupBy("user_id")
+        first_steps.groupBy("user_id")
         .agg(F.array_sort(F.collect_list(
             F.struct("ts", "event_id", "event_type"))).alias("evs"))
         .select(F.concat_ws(">", F.transform(
-            F.slice("evs", 1, max_len), lambda s: s["event_type"])).alias("path"))
+            F.col("evs"), lambda s: s["event_type"])).alias("path"))
     )
     counted = paths.groupBy("path").agg(F.count("*").alias("n_users"))
     return (

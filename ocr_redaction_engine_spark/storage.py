@@ -119,9 +119,13 @@ def compaction_plan(files: DataFrame, target_bytes: int = 60_000,
     from pyspark.sql import functions as F
 
     w = Window.partitionBy(part).orderBy(key)
-    offset = (F.sum(size).over(w) - F.col(size)).alias("offset")
-    planned = files.select(part, key, size, (
-        F.floor(offset / F.lit(target_bytes)).cast("long").alias("bin")))
+    offset = (F.sum(size).over(w) - F.col(size)).cast("long")
+    # integer DIV, not floor(double /): running offsets are exact longs, and
+    # a multi-PB partition's offset exceeds the 2^53 exact-double range long
+    # before it overflows int64 (same discipline as pack_offsets)
+    planned = (files.select(part, key, size, offset.alias("__off"))
+               .selectExpr(part, key, size,
+                           f"__off DIV {int(target_bytes)} AS bin"))
     wb = Window.partitionBy(part, "bin").orderBy(key)
     return planned.withColumn("bin_seq", F.row_number().over(wb).cast("long"))
 
