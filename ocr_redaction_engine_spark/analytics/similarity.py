@@ -660,13 +660,18 @@ def negative_pairs(embeddings: DataFrame, k: int = 3) -> DataFrame:
     """
     row = embeddings.agg(
         F.count("*").alias("n"), F.min("vec_id").alias("mn"),
-        F.max("vec_id").alias("mx")).first()
+        F.max("vec_id").alias("mx"),
+        F.count_distinct("vec_id").alias("nd")).first()
     n = row["n"]  # metadata-scale scalar
-    if n and (row["mn"] != 0 or row["mx"] != n - 1):
+    # min/max alone passes e.g. {0, 0, 2} (duplicate id, missing 1); the
+    # distinct count riding the same aggregate makes density exact
+    if n and (row["mn"] != 0 or row["mx"] != n - 1 or row["nd"] != n):
         raise ValueError(
             f"negative_pairs: vec_id must be dense 0..N-1 (N={n}, saw "
-            f"min={row['mn']}, max={row['mx']}); the md5-mod-N draw would "
-            "silently drop partners for missing ids — compact ids first")
+            f"min={row['mn']}, max={row['mx']}, distinct={row['nd']}); the "
+            "md5-mod-N draw would silently drop partners for missing ids "
+            "and duplicate ids double-join partner features — compact ids "
+            "first")
     slots = embeddings.select(
         "vec_id",
         F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot"))
