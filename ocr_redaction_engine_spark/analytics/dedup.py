@@ -253,22 +253,27 @@ def duplicate_representatives(docs: DataFrame) -> DataFrame:
     deduplicated corpus; both sides are doc_id-keyed so the join
     co-partitions with the component shuffle.
 
-    Output: (component, rep_doc_id, rep_n_chars, n_members)."""
-    from pyspark.sql import Window
+    Output: (component, rep_doc_id, rep_n_chars, n_members).
 
+    The pick is ONE hash-agg — ``min(struct(-n_chars, node))`` realizes the
+    (n_chars desc, node asc) order and the member count rides the same
+    shuffle — not a per-component row_number window: duplicate clusters are
+    exactly where skew lives (one viral template can own 10^8 members), and
+    the agg's map-side partials collapse a mega-cluster before the shuffle
+    where the window would sort it in ONE task."""
     comps = connected_components(candidate_pairs(docs))
     joined = comps.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node")
-    w = Window.partitionBy("component").orderBy(
-        F.col("n_chars").desc(), F.col("node").asc())
-    reps = (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("component", F.col("node").alias("rep_doc_id"),
-                F.col("n_chars").alias("rep_n_chars"))
+    return (
+        joined.groupBy("component")
+        .agg(F.min(F.struct((-F.col("n_chars")).alias("neg"),
+                            F.col("node").alias("node"))).alias("best"),
+             F.count("*").alias("n_members"))
+        .select("component",
+                F.col("best.node").alias("rep_doc_id"),
+                (-F.col("best.neg")).alias("rep_n_chars"),
+                "n_members")
     )
-    sizes = comps.groupBy("component").agg(F.count("*").alias("n_members"))
-    return reps.join(sizes, "component")
 
 
 def apply_dedup(docs: DataFrame) -> DataFrame:
@@ -459,14 +464,19 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
     corpus-wide (first = smallest (doc_id, position)), and reassemble each
     document from its surviving sentences in original order.
 
-    Shape: one window over the sentence hash (the global first-occurrence
-    rule) + one hash-agg per doc for reassembly. At 100 TB the window key is
-    the sentence hash — maximal cardinality, no skew; C4 ran exactly this as
-    a three-sentence-span variant (Raffel et al. 2020, §2.2).
+    Shape: the global first-occurrence rule is a ``min(struct(doc_id,
+    pos))`` HASH-AGG per sentence, not a window — identical result (the
+    struct order IS the (doc_id, pos) order), but map-side partial
+    aggregation collapses a hot sentence's copies before the shuffle. That
+    matters precisely here: boilerplate sentences ("all rights reserved")
+    are the Zipf HEAD of a web corpus, and a row_number window partitioned
+    by sentence would drag every one of a 10^9-copy sentence's rows
+    through ONE sorted task, while the agg ships one partial row per map
+    task. Reassembly is one hash-agg per doc; C4 ran exactly this as a
+    three-sentence-span variant (Raffel et al. 2020, §2.2).
 
     Returns (doc_id, kept_text, n_sentences, n_kept).
     """
-    from pyspark.sql import Window
 
     # RE2-compatible segmentation (no lookbehind): a sentence is a maximal
     # dot-free run plus its closing dot, trimmed — identical under Java
@@ -478,11 +488,14 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id", "pos", F.trim("raw").alias("sentence")
     ).filter(F.col("sentence") != "")
-    w = Window.partitionBy(F.md5("sentence")).orderBy("doc_id", "pos")
-    marked = sents.withColumn("rk", F.row_number().over(w))
-    kept = marked.filter(F.col("rk") == 1)
+    kept = (
+        sents.groupBy("sentence")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+        .select(F.col("first.doc_id").alias("doc_id"),
+                F.col("first.pos").alias("pos"), "sentence")
+    )
     return (
-        marked.groupBy("doc_id")
+        sents.groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_sentences"))
         .join(
             kept.groupBy("doc_id").agg(

@@ -17,9 +17,10 @@ pruned scan + broadcast join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .ranks import salted_topk
 from .text import TOKEN_SPLIT
 
 #: default query workload for the driver gate: fixed strings over the
@@ -57,6 +58,12 @@ def bm25_topk(docs: DataFrame, queries: list[str] | None = None,
     Per-term contributions are rounded to 6 decimals before the per-doc sum
     (and the sum rounded again) so the score is reproducible across engines
     and aggregation orders. Ties break on doc_id ascending.
+
+    The final per-query rank runs through [[salted_topk]]: query ids are
+    FEW and a common term matches a corpus-scale candidate set, so a bare
+    ``Window.partitionBy(query_id)`` would sort one query's millions of
+    scored docs in ONE task — the same Zipf hazard domain_cap solves, and
+    the two-stage rank is bit-identical to the single window.
     """
     queries = DEFAULT_QUERIES if queries is None else queries
     spark = docs.sparkSession
@@ -92,11 +99,10 @@ def bm25_topk(docs: DataFrame, queries: list[str] | None = None,
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "doc_id", "score", "rank"))
+    return salted_topk(
+        scored, ["query_id"], [F.col("score").desc(), F.col("doc_id").asc()],
+        k, salt_on="doc_id",
+    ).select("query_id", "doc_id", "score", "rank")
 
 
 #: default phrase workload (contiguous token sequences over the corpus

@@ -13,8 +13,10 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .ranks import salted_topk
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -48,8 +50,12 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
         .withColumn("sim", F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
         .select("q_id", "c_id", "sim")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # per-query rank via the two-stage salted top-k: q_id cardinality is
+    # tiny and the scored candidate set scales with the corpus, so a bare
+    # q_id window would sort one query's candidates in ONE task
+    return salted_topk(
+        scored, ["q_id"], [F.col("sim").desc(), F.col("c_id").asc()],
+        k, salt_on="c_id")
 
 
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -313,8 +319,12 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .withColumn("sim", F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
         .select("q_id", "c_id", "sim")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # per-query rank via the two-stage salted top-k: q_id cardinality is
+    # tiny and the scored candidate set scales with the corpus, so a bare
+    # q_id window would sort one query's candidates in ONE task
+    return salted_topk(
+        scored, ["q_id"], [F.col("sim").desc(), F.col("c_id").asc()],
+        k, salt_on="c_id")
 
 
 def write_ivf_partitioned(embeddings: DataFrame, path: str,
@@ -363,8 +373,12 @@ def ivf_topk_pruned(spark, path: str, centroids, queries: DataFrame,
         .withColumn("sim", F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
         .select("q_id", "c_id", "sim")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # per-query rank via the two-stage salted top-k: q_id cardinality is
+    # tiny and the scored candidate set scales with the corpus, so a bare
+    # q_id window would sort one query's candidates in ONE task
+    return salted_topk(
+        scored, ["q_id"], [F.col("sim").desc(), F.col("c_id").asc()],
+        k, salt_on="c_id")
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
@@ -382,8 +396,12 @@ def lsh_bucketed_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .withColumn("sim", F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
         .select("q_id", "c_id", "sim")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # per-query rank via the two-stage salted top-k: q_id cardinality is
+    # tiny and the scored candidate set scales with the corpus, so a bare
+    # q_id window would sort one query's candidates in ONE task
+    return salted_topk(
+        scored, ["q_id"], [F.col("sim").desc(), F.col("c_id").asc()],
+        k, salt_on="c_id")
 
 
 def quantize_int8(embeddings: DataFrame) -> DataFrame:
@@ -600,10 +618,11 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .groupBy("q_id", F.col("vec_id").alias("c_id"))
         .agg(F.sum("pdist").alias("adist"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "c_id", "adist", "rank"))
+    # two-stage salted top-k: ADC scores EVERY encoded vector per query,
+    # so the per-q_id rank must not funnel N rows through one task
+    return salted_topk(
+        scored, ["q_id"], [F.col("adist").asc(), F.col("c_id").asc()],
+        k, salt_on="c_id").select("q_id", "c_id", "adist", "rank")
 
 
 def ann_recall(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
