@@ -73,6 +73,24 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # Golden-parquet oracles that read the SF tables are pinned to the scale
+    # they were generated at (the driver gate runs sf0.01). When checking
+    # another --sf-dir, swap in an ``_sf<X>``-suffixed golden IF one exists
+    # (tools/write_bpe_golden.py --sf-dir regenerates it); goldens for
+    # fixed-corpus queries (the pipeline ones ignore sf_dir) have no twin
+    # and keep their path.
+    import os
+    import re as _re
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    if sf_tag != "sf0.01":
+        def _swap(sql: str) -> str:
+            def sub(m):
+                stem, ext = m.group(1), m.group(2)
+                twin = f"{stem}_{sf_tag}.{ext}"
+                return f"'{twin}'" if os.path.exists(twin) else m.group(0)
+            return _re.sub(r"'(/root/repo/tests/golden/[^'.]+)\.(parquet)'",
+                           sub, sql)
+        oracles = {k: _swap(v) for k, v in oracles.items()}
     only = set(argv)
     failures = []
     for name, fn in qs.items():

@@ -6,10 +6,16 @@ parquet. Shares NO code with the Spark implementation under test — dict
 shared (pair argmax = count desc then lexicographic; apply = greedy
 lowest-rank, leftmost occurrence).
 
-Run: python tools/write_bpe_golden.py
+Run: python tools/write_bpe_golden.py [--sf-dir DIR --out FILE]
+    The default writes the sf0.01 golden the driver gate reads; --sf-dir
+    regenerates the reference at another scale (tools/selfcheck.py swaps
+    in an ``_sf<X>``-suffixed golden automatically when one exists, so the
+    sf0.1 scale-step gate checks the real sf0.1 encode instead of
+    mismatching the sf0.01 golden).
 """
 from __future__ import annotations
 
+import argparse
 import json
 from collections import Counter
 
@@ -34,6 +40,15 @@ def segment(word: str, ranks: dict) -> list:
 
 
 def main():
+    global SF, OUT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", help="testdata dir (reads documents.parquet)")
+    ap.add_argument("--out", help="output parquet path")
+    args = ap.parse_args()
+    if args.sf_dir:
+        SF = f"{args.sf_dir.rstrip('/')}/documents.parquet"
+    if args.out:
+        OUT = args.out
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF}') ORDER BY doc_id"
     ).fetchall()
