@@ -295,7 +295,13 @@ def main():
     qs = entry_mod.queries()
     for name in HEADLINE:
         fn = qs[name]
-        fn(spark, SF_DIR).count()  # warm (plan + IO cache)
+        # warm with the SAME noop sink the timed passes use: a count()
+        # warmup compiles a column-pruned plan whose generated code differs
+        # from the noop write's, so timed pass 1 would still pay the
+        # cold-codegen/JIT cost (measured 28 s vs 4 s warm on
+        # dedup_prefix_jaccard) and a single stolen pass 2 then poisons
+        # the min-of-2.
+        _force(fn(spark, SF_DIR))
         walls = []
         for _ in range(2):          # min-of-2 per query: steal shelter
             t0 = time.time()

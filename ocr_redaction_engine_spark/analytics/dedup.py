@@ -605,8 +605,6 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     jaccard) with the filter applied as ``inter·t_den ≥ t_num·(na+nb−inter)``
     in BIGINTs.
     """
-    from pyspark import StorageLevel
-
     # Tokens are interned to 60-bit md5 longs up front: every downstream
     # stage — the df shuffle, the (df, tok) array sort, the prefix
     # equi-join key, the verify's hash-set intersection — then operates on
@@ -621,20 +619,25 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     toks = doc_tokens_distinct(docs).select("doc_id", tok64.alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # per_doc feeds FOUR consumers (both prefix sides, both verify sides);
-    # unpersisted, the token-join + collect_list subtree re-runs for each
-    # plan branch exchange reuse can't fold (measured 20.3 s -> 5.5 s at
-    # sf0.1 from this persist alone). MEMORY_AND_DISK: the cached unit is
-    # the per-doc token array — O(corpus distinct doc-token pairs), the
-    # same data the verify join must materialize anyway — and spilling
-    # beats two extra full shuffle passes at warehouse scale. Spark's
-    # ContextCleaner unpersists it once the result DataFrame is
-    # unreferenced.
+    # unmaterialized, the token-join + collect_list subtree re-runs for
+    # each plan branch exchange reuse can't fold (measured 20.3 s -> 5.5 s
+    # at sf0.1). localCheckpoint, NOT persist: a persist() registers in
+    # the session CacheManager, which holds the entry until an explicit
+    # unpersist or session end — impossible to place in a function that
+    # returns a lazy DataFrame, so every call on a new corpus would leak
+    # an O(corpus doc-token pairs) cache entry for the session's lifetime
+    # (the 153-query gate runs in one session). A localCheckpoint's
+    # blocks (MEMORY_AND_DISK by default — spill beats recompute at
+    # warehouse scale) are dropped by the ContextCleaner as soon as the
+    # result DataFrame is garbage-collected; eager=False defers the
+    # materialization to the caller's first action, same discipline as
+    # [[_doc_nodes]]/[[pack_offsets]].
     per_doc = (
         toks.join(dfreq, "tok")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
         .withColumn("n", F.size("arr").cast("long"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     plen = (F.col("n") - F.expr(f"(n * {t_num} + {t_den} - 1) DIV {t_den}") + 1).cast("int")
     pref = per_doc.select(

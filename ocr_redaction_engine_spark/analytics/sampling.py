@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ranks import salted_topk
 from .text import with_tokens
 
 _HEX15 = 16 ** 15  # 15 hex digits fit a signed 64-bit long exactly
@@ -46,20 +47,13 @@ def stratified_sample(docs: DataFrame, strata: list[str], n_per_stratum: int,
     stage 2 re-ranks the ≤ salts·n survivors per stratum. The union of
     per-salt top-n is a superset of the global top-n, so the result is
     EXACTLY the single-window answer while no task ever sorts more than
-    one salt's share of a cell."""
+    one salt's share of a cell (the shared [[salted_topk]] primitive)."""
     h = _hash_frac(F.col(key).cast("string"))
-    base = docs.withColumn("__h", h).withColumn(
-        "__salt", F.pmod(F.col("__h"), F.lit(salts)))
-    w1 = Window.partitionBy(*strata, "__salt").orderBy(
-        F.col("__h").asc(), F.col(key).asc())
-    s1 = (base.withColumn("__r1", F.row_number().over(w1))
-          .filter(F.col("__r1") <= n_per_stratum))
-    w2 = Window.partitionBy(*strata).orderBy(F.col("__h").asc(), F.col(key).asc())
-    return (
-        s1.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= n_per_stratum)
-        .select(key, *strata, "rank")
-    )
+    base = docs.withColumn("__h", h)
+    return salted_topk(
+        base, list(strata), [F.col("__h").asc(), F.col(key).asc()],
+        n_per_stratum, salt_on=key, rank_name="rank", salts=salts,
+    ).select(key, *strata, "rank")
 
 
 def char_budget_mix(docs: DataFrame, budget_chars: int,
@@ -149,18 +143,13 @@ def _kmv_sketch(toks: DataFrame, group: str, k: int, salts: int = 8) -> DataFram
     more than one salt's share of a group's vocabulary (groups are few —
     sources/corpora — and their vocabularies are corpus-scale, the Zipf
     shape a bare ``Window.partitionBy(group)`` would funnel through one
-    task). Returns (group, token, h, rk) with rk ≤ k global rank."""
-    h = _hash_frac("token")
-    base = toks.withColumn("h", h).withColumn(
-        "salt", F.pmod(F.col("h"), F.lit(salts)))
-    w1 = Window.partitionBy(group, "salt").orderBy(
-        F.col("h").asc(), F.col("token").asc())
-    s1 = (base.withColumn("r1", F.row_number().over(w1))
-          .filter(F.col("r1") <= k))
-    w2 = Window.partitionBy(group).orderBy(F.col("h").asc(), F.col("token").asc())
-    return (s1.withColumn("rk", F.row_number().over(w2))
-            .filter(F.col("rk") <= k)
-            .select(group, "token", "h", "rk"))
+    task; the shared [[salted_topk]] primitive). Returns
+    (group, token, h, rk) with rk ≤ k global rank."""
+    base = toks.withColumn("h", _hash_frac("token"))
+    return salted_topk(
+        base, [group], [F.col("h").asc(), F.col("token").asc()],
+        k, salt_on="token", rank_name="rk", salts=salts,
+    ).select(group, "token", "h", "rk")
 
 
 def kmv_distinct(docs: DataFrame, group: str, k: int = 64) -> DataFrame:

@@ -466,8 +466,14 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int | None = None,
     if max_cluster_size is None:
         max_cluster_size = 50 * target_cluster_size
     C = kmeans_centroids(embeddings, n_clusters)
-    assigned = embeddings.join(assign_clusters(embeddings, C), "vec_id")
-    biggest = (assigned.groupBy("cluster").count()
+    # localCheckpoint the (vec_id, cluster) assignment — two longs per
+    # row — so the mega-cluster guard's eager action below materializes
+    # the SAME blocks the dedup join then reuses; without it the guard
+    # and the real query each run the full embeddings scan + centroid
+    # assignment from scratch
+    assign = assign_clusters(embeddings, C).localCheckpoint(eager=False)
+    assigned = embeddings.join(assign, "vec_id")
+    biggest = (assign.groupBy("cluster").count()
                .agg(F.max("count")).first()[0]) or 0
     if biggest > max_cluster_size:
         raise RuntimeError(

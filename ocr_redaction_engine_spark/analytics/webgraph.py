@@ -85,7 +85,10 @@ def _doc_nodes(docs: DataFrame, wide_threshold: int | None = None) -> DataFrame:
     ids = docs.select("doc_id").distinct()
     if docs.select("doc_id").rdd.getNumPartitions() <= thr:
         w = Window.orderBy("doc_id")
-        return ids.select("doc_id", (F.row_number().over(w) - 1).alias("node"))
+        # cast matches the wide path's long (off + row_number): the node
+        # column's type must not flip with the input's partition count
+        return ids.select(
+            "doc_id", (F.row_number().over(w) - 1).cast("long").alias("node"))
     # localCheckpoint pins ONE materialization of the range exchange: the
     # offsets agg and the rank join both read the same partitioning, so
     # consistency never depends on exchange reuse (RangePartitioner's
@@ -251,7 +254,8 @@ def synth_hosts(docs: DataFrame) -> DataFrame:
 
 def _grouped_rank(df: DataFrame, group_cols: list, order_cols: list,
                   rank_name: str,
-                  wide_threshold: int | None = None) -> DataFrame:
+                  wide_threshold: int | None = None,
+                  wide: bool | None = None) -> DataFrame:
     """``row_number()`` per group over a TOTAL order, Zipf-safe — the
     grouped generalization of [[_doc_nodes]]' two-phase rank, for rankers
     that must number EVERY row (a salted two-stage top-k only bounds
@@ -267,13 +271,24 @@ def _grouped_rank(df: DataFrame, group_cols: list, order_cols: list,
     prefix window per group is trivially small; nothing group-shaped ever
     lands in one task (with no group_cols the offsets are ≤ parallelism
     rows and broadcast). Offsets + local ranks reconstruct the exact
-    single-window numbering for ANY partition boundaries."""
+    single-window numbering for ANY partition boundaries.
+
+    ``wide`` skips the partition-count probe: ``df.rdd`` on a SHUFFLED
+    plan forces AQE to materialize every upstream stage just to learn
+    the partition count, and the real query then re-executes them (no
+    cross-query exchange reuse) — callers whose input hangs below an
+    aggregation pass ``wide=True`` ([[domain_gini]]); the probe default
+    is only for scan/map-only inputs where ``.rdd`` is metadata-cheap.
+    The rank is LongType on BOTH paths: the wide path exists precisely
+    for the >2^31-rows-per-group regime, where an int rank wraps."""
     sc = df.sparkSession.sparkContext
     thr = wide_threshold if wide_threshold is not None else sc.defaultParallelism
-    if df.rdd.getNumPartitions() <= thr:
+    if wide is None:
+        wide = df.rdd.getNumPartitions() > thr
+    if not wide:
         w = (Window.partitionBy(*group_cols) if group_cols else Window) \
             .orderBy(*order_cols)
-        return df.withColumn(rank_name, F.row_number().over(w))
+        return df.withColumn(rank_name, F.row_number().over(w).cast("long"))
     # localCheckpoint pins ONE materialization of the range exchange (the
     # offsets agg and the rank join must see identical boundaries)
     d = (df.repartitionByRange(sc.defaultParallelism,
@@ -292,7 +307,7 @@ def _grouped_rank(df: DataFrame, group_cols: list, order_cols: list,
     wloc = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     return (d.join(offs, ["__pid", *group_cols])
             .withColumn(rank_name,
-                        (F.col("__off") + F.row_number().over(wloc)).cast("int"))
+                        (F.col("__off") + F.row_number().over(wloc)).cast("long"))
             .drop("__pid", "__off"))
 
 
@@ -656,8 +671,12 @@ def domain_gini(docs: DataFrame) -> DataFrame:
     (n_domains, total_docs, gini_e6).
     """
     counts = synth_hosts(docs).groupBy("host").agg(F.count("*").alias("x"))
+    # wide=True: counts hangs below an aggregation, so the narrow/wide
+    # partition probe would materialize the whole scan+groupBy once just
+    # to pick a plan, then re-execute it for the real query; the two-phase
+    # rank's extra exchanges run over the |domains|-row aggregate only
     ranked = _grouped_rank(
-        counts, [], [F.col("x").asc(), F.col("host").asc()], "i")
+        counts, [], [F.col("x").asc(), F.col("host").asc()], "i", wide=True)
     return ranked.agg(
         F.count("*").cast("long").alias("n_domains"),
         F.sum("x").cast("long").alias("total_docs"),

@@ -92,11 +92,14 @@ def write_table(df: DataFrame, target: str, backend: str = "auto",
         w = df.writeTo(target)
         if mode == "overwrite":
             w.createOrReplace()
+        elif df.sparkSession.catalog.tableExists(target):
+            # explicit existence check, not try/append-except/create: a
+            # bare except would swallow a real append failure (schema
+            # mismatch, permissions) and re-surface it as a misleading
+            # "table already exists" from create()
+            w.append()
         else:
-            try:
-                w.append()
-            except Exception:
-                w.create()
+            w.create()
     else:
         df.write.mode(mode).parquet(target)
     return b
