@@ -1383,6 +1383,16 @@ def extract_dom_main(spark, sf_dir):
     return dom_main_block(as_html(_t(spark, sf_dir, "documents")))
 
 
+def extract_block_labels(spark, sf_dir):
+    """jusText-style context-sensitive block classification: raw label
+    from length + link density, then a neighbor-smoothing pass promoting
+    near/short blocks flanked by raw-good content (a caption inside an
+    article is content; the same block between two nav bars is chrome).
+    One bounded per-doc window over the map-only block scan."""
+    from ocr_redaction_engine_spark.analytics.extraction import as_html, classify_blocks
+    return classify_blocks(as_html(_t(spark, sf_dir, "documents")))
+
+
 def layout_reading_order(spark, sf_dir):
     """PDF/layout parse: recover column-major reading order of a two-column
     page from synthesized word boxes (deterministic layout; real PDF decode
@@ -1742,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_block_stats": extract_block_stats,
         "extract_main_text": extract_main_text,
         "extract_dom_main": extract_dom_main,
+        "extract_block_labels": extract_block_labels,
         "layout_reading_order": layout_reading_order,
         "extract_pipeline_spans": extract_pipeline_spans,
         "web_links": web_links,
@@ -4464,6 +4475,26 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, pos AS best_pos, score, substring(btext, 1, 40) AS preview
             FROM ranked WHERE rk = 1
+        """,
+        "extract_block_labels": _HTML_CTE + """
+            , lab AS (
+              SELECT doc_id, pos, text_len, link_density,
+                     CASE WHEN link_density > 0.2 THEN 'bad'
+                          WHEN text_len >= 80 THEN 'good'
+                          WHEN text_len >= 40 THEN 'near'
+                          ELSE 'short' END AS label_raw
+              FROM scored),
+            ctx AS (
+              SELECT *,
+                COALESCE(lag(label_raw) OVER (PARTITION BY doc_id ORDER BY pos) = 'good', FALSE) AS pg,
+                COALESCE(lead(label_raw) OVER (PARTITION BY doc_id ORDER BY pos) = 'good', FALSE) AS ng
+              FROM lab)
+            SELECT doc_id, pos, text_len, link_density, label_raw,
+                   CASE WHEN label_raw = 'good' THEN 'good'
+                        WHEN label_raw = 'near' AND (pg OR ng) THEN 'good'
+                        WHEN label_raw = 'short' AND pg AND ng THEN 'good'
+                        ELSE label_raw END AS label
+            FROM ctx
         """,
         "web_links": _HTML_CTE + r"""
             , m AS (

@@ -154,6 +154,57 @@ def dom_main_block(pages: DataFrame) -> DataFrame:
     )
 
 
+def classify_blocks(pages: DataFrame, short_len: int = 40,
+                    good_len: int = 80, max_link_density: float = 0.2,
+                    keys: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """jusText-style context-sensitive block classification (Pomikálek
+    2011): a raw per-block label from length + link density, then a
+    neighbor-smoothing pass — the step the plain ``strip_boilerplate``
+    threshold filter lacks, where a borderline block is rescued by the
+    company it keeps (a short caption inside an article is content; the
+    same block between two nav bars is chrome).
+
+    Raw labels: ``bad`` (link_density > ``max_link_density``), ``good``
+    (text_len ≥ ``good_len``), ``near`` (≥ ``short_len``), else
+    ``short``. Smoothing, deliberately simplified to ADJACENT blocks so
+    the rule is engine-portable and O(1) per block: ``near`` is promoted
+    to good when either neighbor is raw-good; ``short`` only when BOTH
+    neighbors are (a bare fragment needs stronger evidence than a
+    near-paragraph); ``bad`` is never promoted.
+
+    One window per document ordered by block position — per-doc block
+    counts are bounded by page size, so the partition key is skew-free
+    at any corpus scale; everything else is the [[html_blocks]] map-only
+    scan. Returns (*keys, pos, text_len, link_density, label_raw,
+    label), content = rows with label in ('good',).
+    """
+    keys = list(keys)
+    b = html_blocks(pages, keys=tuple(keys))
+    raw = (
+        F.when(F.col("link_density") > max_link_density, F.lit("bad"))
+        .when(F.col("text_len") >= good_len, F.lit("good"))
+        .when(F.col("text_len") >= short_len, F.lit("near"))
+        .otherwise(F.lit("short"))
+    )
+    w = Window.partitionBy(*keys).orderBy("pos")
+    labeled = b.withColumn("label_raw", raw).withColumn(
+        "prev_good", F.lag("label_raw").over(w) == "good").withColumn(
+        "next_good", F.lead("label_raw").over(w) == "good")
+    prev_good = F.coalesce(F.col("prev_good"), F.lit(False))
+    next_good = F.coalesce(F.col("next_good"), F.lit(False))
+    final = (
+        F.when(F.col("label_raw") == "good", F.lit("good"))
+        .when((F.col("label_raw") == "near") & (prev_good | next_good),
+              F.lit("good"))
+        .when((F.col("label_raw") == "short") & prev_good & next_good,
+              F.lit("good"))
+        .otherwise(F.col("label_raw"))
+    )
+    return labeled.select(
+        *keys, "pos", "text_len", "link_density",
+        "label_raw", final.alias("label"))
+
+
 def reading_order(docs: DataFrame, max_tokens: int = 24) -> DataFrame:
     """PDF/layout reading-order recovery for a two-column page.
 

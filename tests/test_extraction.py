@@ -101,3 +101,39 @@ def test_page_metadata_fields(spark):
     assert rows[7]["og_locale"] == "en"
     assert rows[7]["n_meta_tags"] == 3                    # charset, description, og:locale
     assert rows[8]["og_locale"] == "es"
+
+
+def test_classify_blocks_context_smoothing(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import classify_blocks
+    good = "word " * 20            # 100 chars -> raw good
+    near = "word " * 10            # 50 chars  -> raw near
+    short = "tiny frag"            # 9 chars   -> raw short
+    nav = '<a href="/">Home Page Links</a><a href="/b">More Nav Links</a>'
+    html = (
+        f"<p>{good}</p><p>{near}</p><p>{good}</p><p>{short}</p>"
+        f"<p>{good}</p><nav>{nav}</nav><p>{near}</p>"
+    )
+    pages = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = classify_blocks(pages).orderBy("pos").collect()
+    labels = [(r["label_raw"], r["label"]) for r in rows if r["text_len"] > 0]
+    assert labels == [
+        ("good", "good"),
+        ("near", "good"),    # flanked by raw-good on both sides
+        ("good", "good"),
+        ("short", "good"),   # short needs BOTH neighbors raw-good - has them
+        ("good", "good"),
+        ("bad", "bad"),      # link-dense nav is never promoted
+        ("near", "near"),    # neighbors are bad + trailing empty: stays near
+    ]
+
+
+def test_classify_blocks_isolated_short_not_promoted(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import classify_blocks
+    good = "word " * 20
+    short = "tiny frag"
+    # short has good on ONE side only -> stays short (near would be promoted)
+    html = f"<p>{short}</p><p>{good}</p>"
+    pages = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = {r["pos"]: r for r in classify_blocks(pages).collect()}
+    assert rows[0]["label_raw"] == "short" and rows[0]["label"] == "short"
+    assert rows[1]["label"] == "good"
