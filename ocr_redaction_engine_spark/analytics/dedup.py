@@ -128,11 +128,15 @@ def simhash(docs: DataFrame, bits: int = 60,
     # (a small corpus is often ONE parquet split, which would serialize the
     # Arrow stage) — but ONLY then: at warehouse scale the scan is already
     # thousands of splits and an unconditional repartition would be a full
-    # avoidable shuffle of the text column (VERDICT r2 #3)
+    # avoidable shuffle of the text column (VERDICT r2 #3).
+    # min_partitions=0 skips the width probe entirely: .rdd on a SHUFFLED
+    # input forces AQE to materialize the upstream stages just to count
+    # partitions (the probe is metadata-cheap only on scan/map-only
+    # plans, which is what every driver query passes).
     sc = docs.sparkSession.sparkContext
     target = min_partitions if min_partitions is not None else sc.defaultParallelism
     docs = docs.select("doc_id", "text")
-    if docs.rdd.getNumPartitions() < target:
+    if target > 0 and docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
 
     def run(batches):

@@ -79,6 +79,10 @@ def test_simhash_shuffles_only_when_input_is_narrow(spark):
     narrow = base.coalesce(1)
     assert n_exchanges(narrow) == 0
     assert n_exchanges(simhash(narrow)) == 1
+    # min_partitions=0 skips the width probe AND the rescue repartition —
+    # the escape hatch for shuffled inputs where .rdd would materialize
+    # upstream stages just to count partitions
+    assert n_exchanges(simhash(narrow, min_partitions=0)) == 0
 
 
 def test_no_query_plans_cartesian_or_bnl_join(spark):
