@@ -635,7 +635,15 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     # warehouse scale) are dropped by the ContextCleaner as soon as the
     # result DataFrame is garbage-collected; eager=False defers the
     # materialization to the caller's first action, same discipline as
-    # [[_doc_nodes]]/[[pack_offsets]].
+    # [[_doc_nodes]]/[[pack_offsets]]. One consequence the joins below
+    # must handle: the checkpoint's LogicalRDD INHERITS the optimized
+    # pre-materialization plan's size estimate, and post-agg estimates
+    # run small — left unhinted, Catalyst planned the 12.6 M-row prefix
+    # melt as a BROADCAST build side (driver OOM at corpus scale; 2.6 s →
+    # 14 s even at sf0.1). Every join downstream of the checkpoint is
+    # therefore explicitly shuffle_hash-hinted: none of its sides — the
+    # melt, the per-doc arrays — is broadcastable at 100 TB anyway, so
+    # the hint pins the only plan that survives scale-up.
     per_doc = (
         toks.join(dfreq, "tok")
         .groupBy("doc_id")
@@ -668,7 +676,7 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     ub = 1 + F.least(F.col("na") - 1 - F.col("ia"),
                      F.col("nb") - 1 - F.col("ib"))
     cands = (
-        pa.join(pb, "tok")
+        pa.join(pb.hint("shuffle_hash"), "tok")
         .filter(F.col("a") < F.col("b"))
         .filter(F.col("na") * t_num <= F.col("nb") * t_den)
         .filter(F.col("nb") * t_num <= F.col("na") * t_den)
@@ -682,17 +690,17 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     ab = arrs.select(F.col("doc_id").alias("b"), F.col("toks").alias("toks_b"),
                      F.col("n").alias("nb"))
     # The verify is CPU-bound per ROW (one hash-set intersection of two
-    # token arrays), which AQE cannot see: its byte-based coalescing folds
-    # the skinny (a, b) candidate shuffle (16 bytes/row) into one or two
-    # partitions and serializes the verify onto as many cores (measured
-    # 88 s single-task vs ~4 s wide at sf0.1). Pin the verify's
-    # parallelism to the cluster's cores explicitly — the repartition
-    # moves two BIGINTs per candidate, byte-trivial at any scale, and
-    # cores-sized partitions stay balanced under the hash on (a, b).
-    sc = docs.sparkSession.sparkContext
+    # token arrays), which AQE's byte-based coalescing cannot see — a
+    # skinny (a, b) candidate exchange (16 bytes/row) folds into one or
+    # two partitions and serializes the verify onto as many cores
+    # (measured 88 s single-task vs ~4 s wide at sf0.1). The shuffle_hash
+    # joins below keep that from happening without an extra repartition:
+    # each join's coalesced width is driven by BOTH sides' bytes, and the
+    # array side (the build) is fat enough that AQE keeps the stage wide.
     inter = (
-        cands.repartition(sc.defaultParallelism, "a", "b")
-        .join(aa, "a").join(ab, "b")
+        cands
+        .join(aa.hint("shuffle_hash"), "a")
+        .join(ab.hint("shuffle_hash"), "b")
         .select("a", "b", "na", "nb",
                 F.size(F.array_intersect("toks_a", "toks_b"))
                 .cast("long").alias("inter"))

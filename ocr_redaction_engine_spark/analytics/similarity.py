@@ -472,7 +472,12 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int | None = None,
     # and the real query each run the full embeddings scan + centroid
     # assignment from scratch
     assign = assign_clusters(embeddings, C).localCheckpoint(eager=False)
-    assigned = embeddings.join(assign, "vec_id")
+    # shuffle_hash, NOT planner choice: the checkpoint's LogicalRDD inherits
+    # the pre-materialization plan's (small) size estimate, and Catalyst
+    # then plans the O(N_vectors)-row assignment as a broadcast build side —
+    # a multi-GB driver broadcast at corpus scale. Neither side of a
+    # vec_id-keyed join over the full corpus is ever broadcastable.
+    assigned = embeddings.join(assign.hint("shuffle_hash"), "vec_id")
     biggest = (assign.groupBy("cluster").count()
                .agg(F.max("count")).first()[0]) or 0
     if biggest > max_cluster_size:
@@ -501,7 +506,9 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int | None = None,
     )
     return (
         assigned.select("vec_id", "cluster")
-        .join(dup, "vec_id", "left")
+        # dup is O(N_vectors) worst case (everything a near-dup) — same
+        # no-broadcast rule as the assignment join above
+        .join(dup.hint("shuffle_hash"), "vec_id", "left")
         .select("vec_id", "cluster",
                 F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"))
     )
