@@ -609,6 +609,8 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     jaccard) with the filter applied as ``inter·t_den ≥ t_num·(na+nb−inter)``
     in BIGINTs.
     """
+    from pyspark import StorageLevel
+
     # Tokens are interned to 60-bit md5 longs up front: every downstream
     # stage — the df shuffle, the (df, tok) array sort, the prefix
     # equi-join key, the verify's hash-set intersection — then operates on
@@ -625,31 +627,26 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     # per_doc feeds FOUR consumers (both prefix sides, both verify sides);
     # unmaterialized, the token-join + collect_list subtree re-runs for
     # each plan branch exchange reuse can't fold (measured 20.3 s -> 5.5 s
-    # at sf0.1). localCheckpoint, NOT persist: a persist() registers in
-    # the session CacheManager, which holds the entry until an explicit
-    # unpersist or session end — impossible to place in a function that
-    # returns a lazy DataFrame, so every call on a new corpus would leak
-    # an O(corpus doc-token pairs) cache entry for the session's lifetime
-    # (the 153-query gate runs in one session). A localCheckpoint's
-    # blocks (MEMORY_AND_DISK by default — spill beats recompute at
-    # warehouse scale) are dropped by the ContextCleaner as soon as the
-    # result DataFrame is garbage-collected; eager=False defers the
-    # materialization to the caller's first action, same discipline as
-    # [[_doc_nodes]]/[[pack_offsets]]. One consequence the joins below
-    # must handle: the checkpoint's LogicalRDD INHERITS the optimized
-    # pre-materialization plan's size estimate, and post-agg estimates
-    # run small — left unhinted, Catalyst planned the 12.6 M-row prefix
-    # melt as a BROADCAST build side (driver OOM at corpus scale; 2.6 s →
-    # 14 s even at sf0.1). Every join downstream of the checkpoint is
-    # therefore explicitly shuffle_hash-hinted: none of its sides — the
-    # melt, the per-doc arrays — is broadcastable at 100 TB anyway, so
-    # the hint pins the only plan that survives scale-up.
+    # at sf0.1). persist, NOT localCheckpoint — measured both ways, and
+    # the difference is STATS, not storage: a checkpoint's LogicalRDD
+    # inherits the pre-materialization plan's (post-agg, tiny) size
+    # estimate, so Catalyst broadcast the 12.6 M-row prefix melt (driver
+    # OOM at corpus scale; 2.6 s -> 14 s even at sf0.1), and pinning the
+    # joins to shuffle_hash to stop that forced every verify row to drag
+    # its token arrays through TWO more exchanges (19.7 s). persist's
+    # InMemoryRelation carries ACCURATE byte sizes, so Catalyst broadcasts
+    # the per-doc array sides exactly while they fit the broadcast
+    # threshold and flips to shuffled joins past it — the right plan at
+    # BOTH sf0.1 and 100 TB, with no hint. Cost: the CacheManager entry
+    # lives until session end (one O(doc-token-pairs) entry per corpus
+    # this function is called on); callers cycling many corpora through
+    # one session should spark.catalog.clearCache() between corpora.
     per_doc = (
         toks.join(dfreq, "tok")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
         .withColumn("n", F.size("arr").cast("long"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     plen = (F.col("n") - F.expr(f"(n * {t_num} + {t_den} - 1) DIV {t_den}") + 1).cast("int")
     pref = per_doc.select(
@@ -676,7 +673,7 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     ub = 1 + F.least(F.col("na") - 1 - F.col("ia"),
                      F.col("nb") - 1 - F.col("ib"))
     cands = (
-        pa.join(pb.hint("shuffle_hash"), "tok")
+        pa.join(pb, "tok")
         .filter(F.col("a") < F.col("b"))
         .filter(F.col("na") * t_num <= F.col("nb") * t_den)
         .filter(F.col("nb") * t_num <= F.col("na") * t_den)
@@ -693,14 +690,14 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     # token arrays), which AQE's byte-based coalescing cannot see — a
     # skinny (a, b) candidate exchange (16 bytes/row) folds into one or
     # two partitions and serializes the verify onto as many cores
-    # (measured 88 s single-task vs ~4 s wide at sf0.1). The shuffle_hash
-    # joins below keep that from happening without an extra repartition:
-    # each join's coalesced width is driven by BOTH sides' bytes, and the
-    # array side (the build) is fat enough that AQE keeps the stage wide.
+    # (measured 88 s single-task vs ~4 s wide at sf0.1). Pin the verify's
+    # parallelism to the cluster's cores explicitly — the repartition
+    # moves two BIGINTs per candidate, byte-trivial at any scale, and
+    # cores-sized partitions stay balanced under the hash on (a, b).
+    sc = docs.sparkSession.sparkContext
     inter = (
-        cands
-        .join(aa.hint("shuffle_hash"), "a")
-        .join(ab.hint("shuffle_hash"), "b")
+        cands.repartition(sc.defaultParallelism, "a", "b")
+        .join(aa, "a").join(ab, "b")
         .select("a", "b", "na", "nb",
                 F.size(F.array_intersect("toks_a", "toks_b"))
                 .cast("long").alias("inter"))

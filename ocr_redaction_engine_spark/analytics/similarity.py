@@ -466,18 +466,20 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int | None = None,
     if max_cluster_size is None:
         max_cluster_size = 50 * target_cluster_size
     C = kmeans_centroids(embeddings, n_clusters)
-    # localCheckpoint the (vec_id, cluster) assignment — two longs per
-    # row — so the mega-cluster guard's eager action below materializes
-    # the SAME blocks the dedup join then reuses; without it the guard
-    # and the real query each run the full embeddings scan + centroid
-    # assignment from scratch
-    assign = assign_clusters(embeddings, C).localCheckpoint(eager=False)
-    # shuffle_hash, NOT planner choice: the checkpoint's LogicalRDD inherits
-    # the pre-materialization plan's (small) size estimate, and Catalyst
-    # then plans the O(N_vectors)-row assignment as a broadcast build side —
-    # a multi-GB driver broadcast at corpus scale. Neither side of a
-    # vec_id-keyed join over the full corpus is ever broadcastable.
-    assigned = embeddings.join(assign.hint("shuffle_hash"), "vec_id")
+    # persist the (vec_id, cluster) assignment — two longs per row — so
+    # the mega-cluster guard's eager action below materializes the SAME
+    # blocks the dedup join then reuses; without it the guard and the
+    # real query each run the full embeddings scan + centroid assignment
+    # from scratch. persist, NOT localCheckpoint: a checkpoint's
+    # LogicalRDD inherits the pre-materialization plan's (tiny) size
+    # estimate, so Catalyst broadcast the O(N_vectors)-row assignment —
+    # a multi-GB driver broadcast at corpus scale; the InMemoryRelation's
+    # ACCURATE byte size lets the planner broadcast exactly while the
+    # assignment fits the threshold and shuffle past it. The CacheManager
+    # entry (two longs per vector) lives until session end; callers
+    # cycling corpora should spark.catalog.clearCache() between them.
+    assign = assign_clusters(embeddings, C).persist()
+    assigned = embeddings.join(assign, "vec_id")
     biggest = (assign.groupBy("cluster").count()
                .agg(F.max("count")).first()[0]) or 0
     if biggest > max_cluster_size:
@@ -506,9 +508,7 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int | None = None,
     )
     return (
         assigned.select("vec_id", "cluster")
-        # dup is O(N_vectors) worst case (everything a near-dup) — same
-        # no-broadcast rule as the assignment join above
-        .join(dup.hint("shuffle_hash"), "vec_id", "left")
+        .join(dup, "vec_id", "left")
         .select("vec_id", "cluster",
                 F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"))
     )
