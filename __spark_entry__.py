@@ -1212,6 +1212,14 @@ def text_repeated_spans(spark, sf_dir):
     return repeated_substring_spans(_t(spark, sf_dir, "documents"), n=3, min_docs=2)
 
 
+def dedup_substring_clip(spark, sf_dir):
+    """ExactSubstr clipping (Lee et al. 2022): per-document text with every
+    cross-document repeated 3-gram span removed — the clean-text output the
+    span finder (text_repeated_spans) only locates."""
+    from ocr_redaction_engine_spark.analytics.text import clip_repeated_substrings
+    return clip_repeated_substrings(_t(spark, sf_dir, "documents"), n=3, min_docs=2)
+
+
 def sketch_cm_heavy_hitters(spark, sf_dir):
     """Count-min sketch point queries for the exact top-20 tokens:
     (token, exact_cnt, cm_estimate) with estimate >= exact guaranteed."""
@@ -1736,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": embed_quantize,
         "sample_temperature": sample_temperature,
         "text_repeated_spans": text_repeated_spans,
+        "dedup_substring_clip": dedup_substring_clip,
         "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
@@ -3868,6 +3877,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
                    COUNT(*) AS n_occ
             FROM spans GROUP BY doc_id, span_id
+        """,
+        "dedup_substring_clip": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(CAST(len(t) AS BIGINT) - 1, 1))) AS i
+              FROM toks),
+            g AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos0,
+                     md5(array_to_string(list_slice(t, i, i + 2), ' ')) AS g
+              FROM idx),
+            dfc AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g),
+            rep AS (
+              SELECT doc_id, pos0 AS s, pos0 + 3 AS e
+              FROM g JOIN dfc USING (g) WHERE df >= 2),
+            flagged AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS new_span
+              FROM rep),
+            spans AS (
+              SELECT doc_id, s, e,
+                     SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+              FROM flagged),
+            m AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+                  FROM spans GROUP BY doc_id, span_id),
+            tok AS (
+              SELECT doc_id, unnest(t) AS tk,
+                     CAST(unnest(range(len(t))) AS BIGINT) AS i
+              FROM toks),
+            keep AS (
+              SELECT tok.doc_id, tok.tk, tok.i
+              FROM tok LEFT JOIN m
+                ON tok.doc_id = m.doc_id AND tok.i >= m.ss AND tok.i < m.se
+              WHERE m.doc_id IS NULL)
+            SELECT toks.doc_id,
+                   COALESCE(string_agg(keep.tk, ' ' ORDER BY keep.i), '') AS clean_text,
+                   CAST(len(toks.t) AS BIGINT) AS n_tokens,
+                   CAST(len(toks.t) AS BIGINT) - COUNT(keep.tk) AS n_removed
+            FROM toks LEFT JOIN keep ON toks.doc_id = keep.doc_id
+            GROUP BY toks.doc_id, toks.t
         """,
         "embed_quantize": """
             WITH vals AS (

@@ -84,6 +84,9 @@ HEADLINE = [
     "storage_merge_upsert", "events_type_correlation", "text_langid_eval",
     "events_pivot_matrix", "sketch_hll_error", "events_top_paths",
     "sample_negative_pairs", "sketch_kmv_setops", "events_sax_symbols", "events_active_users", "orders_rfm", "basket_part_lift", "web_random_walks", "sketch_kmv_containment", "web_domain_gini",
+    # round-3: ExactSubstr span clipping (clean-text output of the span
+    # finder)
+    "dedup_substring_clip",
 ]
 
 

@@ -419,6 +419,44 @@ def repeated_substring_spans(docs: DataFrame, n: int = 8,
     )
 
 
+def clip_repeated_substrings(docs: DataFrame, n: int = 8,
+                             min_docs: int = 2) -> DataFrame:
+    """ExactSubstr span clipping — the removal half of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022): take the
+    maximal repeated-token spans from :func:`repeated_substring_spans` and
+    emit each document's text with every repeated span cut out (all copies
+    removed — the paper's simple policy; a keep-one-copy policy is a filter
+    on the span table upstream of this join, not a different clip).
+
+    Shape at scale: merged spans per document are metadata-sized (islands,
+    not occurrences), so the per-doc collect_list is a bounded hash-agg and
+    the join back to documents is doc_id-keyed — docs with no repeats take
+    the left-join null branch and pass through untouched. The cut itself is
+    one indexed filter HOF over the token array: pure Catalyst, no Python,
+    no shuffle beyond the span finder's own.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed); n_tokens is the
+    pre-clip token count, n_removed how many token positions the spans
+    covered.
+    """
+    spans = repeated_substring_spans(docs, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                F.col("span_end").alias("e"))).alias("spans"))
+    d = with_tokens(docs).select("doc_id", "tokens")
+    joined = d.join(per_doc, "doc_id", "left")
+    kept = F.expr(
+        "CASE WHEN spans IS NULL THEN tokens"
+        " ELSE filter(tokens, (t, i) ->"
+        "  NOT exists(spans, sp -> i >= sp.s AND i < sp.e)) END")
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        (F.size("tokens") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, k: int = 30) -> DataFrame:
     """Top-k adjacent symbol-pair frequencies — THE distributed step of BPE
     tokenizer training (Sennrich et al. 2016): every merge iteration is this

@@ -190,6 +190,48 @@ def test_repeated_substring_spans_short_docs_empty(spark):
     assert repeated_substring_spans(docs, n=3, min_docs=2).count() == 0
 
 
+def test_clip_repeated_substrings_differential(spark):
+    """ExactSubstr clip vs an independent pure-Python reference: clip every
+    token covered by a cross-doc repeated n-gram span, pass-through docs
+    with no repeats."""
+    from ocr_redaction_engine_spark.analytics.text import clip_repeated_substrings
+
+    shared = "the quick brown fox jumps over"
+    rows = [
+        (0, f"{shared} unique zero tail here"),
+        (1, f"prefix one {shared} suffix one"),
+        (2, "totally different words without repeats at all"),
+        (3, "tiny doc"),                      # shorter than n: no grams
+    ]
+    n = 3
+
+    # pure-Python reference: gram -> docs, then per-doc covered positions
+    toks = {d: t.split() for d, t in rows}
+    gram_docs = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            gram_docs.setdefault(tuple(tk[i:i + n]), set()).add(d)
+    covered = {d: set() for d in toks}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            if len(gram_docs[tuple(tk[i:i + n])]) >= 2:
+                covered[d].update(range(i, i + n))
+    expect = {
+        d: (" ".join(t for i, t in enumerate(tk) if i not in covered[d]),
+            len(tk), len(covered[d]))
+        for d, tk in toks.items()
+    }
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in clip_repeated_substrings(docs, n=n, min_docs=2).collect()}
+    assert got == expect
+    # sanity on the planted shape: both copies of the shared block are gone
+    assert "quick" not in got[0][0] and "quick" not in got[1][0]
+    assert got[2][0] == rows[2][1] and got[2][2] == 0
+    assert got[3] == ("tiny doc", 2, 0)
+
+
 # ------------------------------------------------------------ count-min sketch
 
 def test_countmin_overestimates_only_and_sketch_bounded(spark):
