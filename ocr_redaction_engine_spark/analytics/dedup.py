@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import with_tokens
+from .text import gram_fp64_expr, md5_long, with_tokens
 
 N_BANDS = 4
 
@@ -213,12 +213,7 @@ def sparse_cosine_pairs(docs: DataFrame, n: int = 3, max_df: int = 200,
     # prefix_jaccard_join): the tf/df shuffles and the postings self-join
     # all key on fixed 8-byte integers instead of 32-char digests; pair
     # results are unchanged up to 60-bit collisions (immaterial)
-    grams = F.expr(
-        f"CASE WHEN size(tokens) < {n} THEN array()"
-        f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
-        f"                 1, 15), 16, 10) AS BIGINT)) END"
-    )
+    grams = gram_fp64_expr(n)
     g = with_tokens(docs).select("doc_id", F.explode(grams).alias("g"))
     # tf feeds three consumers, but its (doc_id, g)-keyed exchange is
     # reused by Spark across the branches — persisting it was measured
@@ -265,7 +260,16 @@ def duplicate_representatives(docs: DataFrame) -> DataFrame:
     exactly where skew lives (one viral template can own 10^8 members), and
     the agg's map-side partials collapse a mega-cluster before the shuffle
     where the window would sort it in ONE task."""
-    comps = connected_components(candidate_pairs(docs))
+    return _representatives_from(
+        connected_components(candidate_pairs(docs)), docs)
+
+
+def _representatives_from(comps: DataFrame, docs: DataFrame) -> DataFrame:
+    """Representative pick from an already-computed component table — split
+    out so apply_dedup can share ONE connected-components run between the
+    representative agg and the drop list (the CC loop is driver-iterative,
+    so two calls would execute the whole pipeline twice; its result reads
+    from a localCheckpoint'd RDD, so reuse is cheap)."""
     joined = comps.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node")
     return (
@@ -290,8 +294,8 @@ def apply_dedup(docs: DataFrame) -> DataFrame:
     doc_id-keyed, usually ≪ corpus size; the anti-join hash-partitions on
     doc_id and AQE turns it into a broadcast anti-join whenever the drop
     list fits. Output: (doc_id, source, n_chars) of survivors."""
-    reps = duplicate_representatives(docs)
     comps = connected_components(candidate_pairs(docs))
+    reps = _representatives_from(comps, docs)
     drop = (
         comps.join(reps.select("component", "rep_doc_id"), "component")
         .filter(F.col("node") != F.col("rep_doc_id"))
@@ -374,10 +378,7 @@ BLOOM_M = 1 << 16  # 65536 bits = 1024 64-bit words
 def _bloom_pos(fp, i: int, m_bits: int):
     """i-th Bloom position of a fingerprint: md5("{i}:" || fp) first 15 hex
     digits as a long, mod m. Integer-exact in both Spark and DuckDB."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), fp)), 1, 15), 16, 10)
-        .cast("long") % m_bits
-    )
+    return md5_long(F.concat(F.lit(f"{i}:"), fp)) % m_bits
 
 
 def bloom_bitmap(docs: DataFrame, n_hashes: int = BLOOM_K,
@@ -621,7 +622,7 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
     # identical to the string formulation up to 60-bit collisions
     # (~(vocab²)/2^61 expected pairs — immaterial even at 10^12 docs, and
     # the brute-force string oracle would surface one as a hash mismatch).
-    tok64 = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    tok64 = md5_long("token")
     toks = doc_tokens_distinct(docs).select("doc_id", tok64.alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # per_doc feeds FOUR consumers (both prefix sides, both verify sides);

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ranks import salted_topk
-from .text import with_tokens
+from .text import md5_long, with_tokens
 
 _HEX15 = 16 ** 15  # 15 hex digits fit a signed 64-bit long exactly
 
@@ -22,8 +22,8 @@ _HEX15 = 16 ** 15  # 15 hex digits fit a signed 64-bit long exactly
 def _hash_frac(col) -> F.Column:
     """md5 → first 15 hex digits as a long — a uniform draw in [0, 16^15).
     Kept as an exact integer until the final division so every engine
-    computes the identical double."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    computes the identical double. Canonical definition: text.md5_long."""
+    return md5_long(col)
 
 
 def bernoulli_sample(docs: DataFrame, pct: int, key: str = "doc_id") -> DataFrame:
@@ -103,11 +103,19 @@ def char_budget_mix(docs: DataFrame, budget_chars: int,
          .withColumn("pid", F.spark_partition_id())
          .localCheckpoint(eager=False))
     totals = d.groupBy("pid", "source").agg(F.sum("n_chars").alias("tot")).collect()
+    # NULL source is a legal group: key it with a sentinel on BOTH sides
+    # (concat_ws silently skips NULL, which would desync the lookup key from
+    # the Python-built map and NULL-out every null-source row's offset; the
+    # plain tuple sort would also raise on None-vs-str)
+    null_k = "\x00NULL"
     run: dict = {}
     entries = []
-    for r in sorted(totals, key=lambda r: (r["source"], r["pid"])):
-        entries.append((f'{r["pid"]}:{r["source"]}', run.get(r["source"], 0)))
-        run[r["source"]] = run.get(r["source"], 0) + r["tot"]
+    for r in sorted(totals,
+                    key=lambda r: (r["source"] is None, r["source"] or "",
+                                   r["pid"])):
+        s = null_k if r["source"] is None else r["source"]
+        entries.append((f'{r["pid"]}:{s}', run.get(s, 0)))
+        run[s] = run.get(s, 0) + r["tot"]
     omap = F.create_map(*[
         c for mk, off0 in entries
         for c in (F.lit(mk), F.lit(off0).cast("long"))]) \
@@ -117,7 +125,8 @@ def char_budget_mix(docs: DataFrame, budget_chars: int,
         .orderBy(F.col("__h").asc(), F.col(key).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    off = omap[F.concat_ws(":", F.col("pid").cast("string"), "source")]
+    off = omap[F.concat_ws(":", F.col("pid").cast("string"),
+                           F.coalesce(F.col("source"), F.lit(null_k)))]
     return (
         d.withColumn("cum_chars", off + F.sum("n_chars").over(win))
         .filter(F.col("cum_chars") <= F.lit(float(budget_chars)) * w_col / F.lit(total_w))
@@ -296,10 +305,7 @@ def temperature_rebalance(docs: DataFrame, group: str = "lang",
 
 def _cm_col(token, i: int, w: int) -> F.Column:
     """Row-i count-min column of a token: md5("{i}:" || token) mod w."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), token)), 1, 15), 16, 10)
-        .cast("long") % w
-    )
+    return md5_long(F.concat(F.lit(f"{i}:"), token)) % w
 
 
 def countmin_sketch(tokens: DataFrame, d: int = 4, w: int = 256) -> DataFrame:
@@ -443,11 +449,7 @@ def leakage_safe_split(docs: DataFrame,
     )
     sizes = grouped.groupBy("group_id").agg(
         F.count("*").cast("long").alias("group_size"))
-    draw = F.pmod(
-        F.conv(F.substring(F.md5(F.col("group_id").cast("string")), 1, 15),
-               16, 10).cast("long"),
-        F.lit(10),
-    )
+    draw = F.pmod(md5_long(F.col("group_id").cast("string")), F.lit(10))
     return (
         grouped.join(sizes, "group_id")
         .withColumn(

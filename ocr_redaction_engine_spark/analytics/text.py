@@ -19,6 +19,33 @@ def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("tokens", F.split(F.trim("text"), TOKEN_SPLIT))
 
 
+def md5_long(col) -> F.Column:
+    """Canonical 60-bit md5 interning: first 15 hex digits of md5(col) as a
+    non-negative BIGINT (15 hex digits < 2^60, so the signed long never
+    wraps). ONE definition on purpose — the expression is
+    determinism-critical (every DuckDB oracle reproduces it bit-for-bit),
+    so the Python-side call sites share it instead of hand-copying the
+    idiom and risking silent drift (e.g. 15 → 16 hex chars breaks the
+    sign guarantee)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def gram_fp64_expr(n: int) -> F.Column:
+    """The shared n-gram fingerprint array: 60-bit md5 long (same 15-hex
+    rule as :func:`md5_long`) of the space-joined n-token slice at each
+    start position of ``tokens``; empty array when the doc is shorter than
+    n. SQL-string form because a HOF lambda can't close over Columns —
+    every gram operator (sparse cosine, contamination, eval decontam,
+    repeated spans) keys its shuffle on these fixed 8-byte values instead
+    of 32-char digests."""
+    return F.expr(
+        f"CASE WHEN size(tokens) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
+        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
+        f"                 1, 15), 16, 10) AS BIGINT)) END"
+    )
+
+
 def quality(docs: DataFrame) -> DataFrame:
     """Per-document quality features: token count, distinct-token ratio,
     mean token length, digit ratio. The classic boilerplate/garbage signals."""
@@ -199,12 +226,7 @@ def ngram_contamination(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataF
     equi-join gram→df that Spark co-partitions with the agg (one shuffle
     feeds both), and a final per-doc hash-agg. No broadcast of anything
     corpus-sized; skew is bounded because per-doc grams are distinct."""
-    grams = F.expr(
-        f"CASE WHEN size(tokens) < {n} THEN array()"
-        f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
-        f"                 1, 15), 16, 10) AS BIGINT)) END"
-    )
+    grams = gram_fp64_expr(n)
     d = with_tokens(docs)
     g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     df_counts = g.groupBy("g").agg(F.count("*").alias("ndocs"))
@@ -297,12 +319,7 @@ def ngram_cross_contamination(train: DataFrame, eval_docs: DataFrame,
     zero-leak documents in the output (a dropped row would read as
     "not checked")."""
     def grams(d: DataFrame) -> DataFrame:
-        g = F.expr(
-            f"CASE WHEN size(tokens) < {n} THEN array()"
-            f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-            f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
-            f"                 1, 15), 16, 10) AS BIGINT)) END"
-        )
+        g = gram_fp64_expr(n)
         return with_tokens(d).select("doc_id", F.explode(F.array_distinct(g)).alias("g"))
 
     eval_grams = grams(eval_docs).select("g").distinct().withColumn("hit", F.lit(1))
@@ -390,12 +407,7 @@ def repeated_substring_spans(docs: DataFrame, n: int = 8,
     """
     from pyspark.sql import Window
 
-    grams = F.expr(
-        f"CASE WHEN size(tokens) < {n} THEN array()"
-        f" ELSE transform(sequence(1, size(tokens) - {n} + 1),"
-        f"  i -> CAST(conv(substring(md5(concat_ws(' ', slice(tokens, i, {n}))),"
-        f"                 1, 15), 16, 10) AS BIGINT)) END"
-    )
+    grams = gram_fp64_expr(n)
     g = with_tokens(docs).select(
         "doc_id", F.posexplode(grams).alias("pos0", "g"))
     # pos0 is 0-based; occurrence covers tokens [pos0, pos0 + n)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import md5_long
+
 ANCHOR_PAIR = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
 
 
@@ -305,10 +307,13 @@ def _grouped_rank(df: DataFrame, group_cols: list, order_cols: list,
     if not group_cols:
         offs = F.broadcast(offs)
     wloc = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    # re-select in the input's column order: the join hoists its keys to the
+    # front, which would make the output schema flip between the narrow and
+    # wide paths (i.e. with the input's partition count)
     return (d.join(offs, ["__pid", *group_cols])
             .withColumn(rank_name,
                         (F.col("__off") + F.row_number().over(wloc)).cast("long"))
-            .drop("__pid", "__off"))
+            .select(*df.columns, rank_name))
 
 
 def domain_cap(pages: DataFrame, cap: int = 5, salts: int = 8) -> DataFrame:
@@ -328,8 +333,7 @@ def domain_cap(pages: DataFrame, cap: int = 5, salts: int = 8) -> DataFrame:
     Returns (doc_id, domain, rank), rank ≤ cap.
     """
     domain = F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", "doc_id", F.lit("rank"))), 1, 15), 16, 10).cast("long")
+    h = md5_long(F.concat_ws(":", "doc_id", F.lit("rank")))
     base = pages.select(
         "doc_id", domain.alias("domain"), h.alias("h"),
         F.pmod(h, F.lit(salts)).alias("salt"))
@@ -535,8 +539,7 @@ def crawl_frontier(docs: DataFrame, budget_waves: int = 3) -> DataFrame:
     way. The priority is a deterministic md5 draw standing in for a
     PageRank/freshness score. Integer-exact, engine-portable."""
     hosts = synth_hosts(docs)
-    prio = (F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("prio"))), 1, 15), 16, 10)
-            .cast("long").alias("prio"))
+    prio = md5_long(F.concat_ws(":", "doc_id", F.lit("prio"))).alias("prio")
     ranked = _grouped_rank(
         hosts.select("doc_id", "host", prio),
         ["host"], [F.desc("prio"), F.asc("doc_id")], "__rn")

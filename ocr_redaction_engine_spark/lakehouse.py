@@ -30,6 +30,8 @@ plans the parquet emulation pins in tests.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
@@ -134,17 +136,28 @@ def merge_upsert_table(spark: SparkSession, target: str, updates: DataFrame,
          .execute())
         return b
     if b == "iceberg":
-        updates.createOrReplaceTempView("__merge_updates")
         cols = updates.columns
-        sets = ", ".join(f"t.{c} = u.{c}" for c in cols if c != key)
-        names = ", ".join(cols)
-        vals = ", ".join(f"u.{c}" for c in cols)
-        spark.sql(
-            f"MERGE INTO {target} t USING __merge_updates u "
-            f"ON t.{key} = u.{key} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})")
-        spark.catalog.dropTempView("__merge_updates")
+        non_key = [c for c in cols if c != key]
+        if not non_key:
+            raise ValueError(
+                "merge_upsert_table: updates must carry at least one "
+                f"non-key column (got only {key!r}) — an empty UPDATE SET "
+                "is not valid MERGE SQL")
+        # per-call view name: a shared name would let two concurrent merges
+        # in one session clobber each other's source mid-flight
+        view = f"__merge_updates_{uuid.uuid4().hex}"
+        updates.createOrReplaceTempView(view)
+        try:
+            sets = ", ".join(f"t.{c} = u.{c}" for c in non_key)
+            names = ", ".join(cols)
+            vals = ", ".join(f"u.{c}" for c in cols)
+            spark.sql(
+                f"MERGE INTO {target} t USING {view} u "
+                f"ON t.{key} = u.{key} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})")
+        finally:
+            spark.catalog.dropTempView(view)
         return b
     # parquet emulation: same semantics via the oracled full-outer shape
     from .storage import merge_upsert

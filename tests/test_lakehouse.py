@@ -51,6 +51,17 @@ def test_parquet_merge_upsert_roundtrip(spark, tmp_path):
     assert got2 == ref
 
 
+def test_iceberg_merge_key_only_updates_rejected(spark, monkeypatch):
+    """A key-only updates frame would render an empty UPDATE SET clause —
+    malformed MERGE SQL; the seam must refuse it with a clear error before
+    any SQL runs (round-3 review finding)."""
+    import pytest
+    monkeypatch.setattr(lh, "pick_backend", lambda *a, **k: "iceberg")
+    updates = spark.createDataFrame([("d1",)], "doc_id string")
+    with pytest.raises(ValueError, match="non-key column"):
+        lh.merge_upsert_table(spark, "any.target", updates)
+
+
 def test_checkpoint_append_through_seam(spark, tmp_path):
     """Lineage rows appended through the lakehouse seam must be readable by
     checkpoint.completed_buckets — the resume path is backend-agnostic."""

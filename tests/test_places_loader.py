@@ -73,3 +73,17 @@ def test_pipeline_end_to_end_on_file_loaded_dictionary(
     dict_fields = ("Aadhaar Address", "E-Aadhaar Address",
                    "Driving License Address")
     assert any(fld in dict_fields and v for _, _, fld, v in got_vals)
+
+
+def test_load_places_df_order_col_file_parity(spark, tmp_path):
+    """With an explicit position column the DF loader reproduces file order
+    exactly (ordering is observable: the kernel appends per matching place
+    in dictionary order)."""
+    from ocr_redaction_engine_spark.places import load_places
+    f = tmp_path / "places.txt"
+    f.write_text("Zunheboto\nAgra\nMumbai\n")
+    from_file = load_places(str(f))
+    df = spark.createDataFrame(
+        [("Mumbai", 2), ("Zunheboto", 0), ("Agra", 1)], "place string, pos int")
+    assert load_places_df(df, order_col="pos") == from_file == [
+        "Zunheboto", "Agra", "Mumbai"]

@@ -104,6 +104,27 @@ def test_char_budget_mix_weights_and_determinism(spark):
     assert kept2 <= kept1
 
 
+def test_char_budget_mix_null_source(spark):
+    """NULL source is a legal group: it must neither crash the driver-side
+    offset sort (None-vs-str) nor lose its rows to a desynced map key
+    (concat_ws skips NULLs) — round-3 review finding."""
+    from ocr_redaction_engine_spark.analytics.sampling import char_budget_mix
+    rows = [(i, "x", "en", None if i % 3 == 0 else f"s{i % 2}", 100)
+            for i in range(90)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = char_budget_mix(docs, budget_chars=6000).collect()
+    per_src = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_chars"]
+    # three sources (incl. NULL) split 6000 equally: 2000 chars = 20 docs each
+    assert per_src[None] == 2000
+    assert per_src["s0"] == 2000 and per_src["s1"] == 2000
+    # null-source rows carry exact running totals, not NULL-propagated ones
+    assert {r["cum_chars"] for r in out if r["source"] is None} == \
+        {100 * k for k in range(1, 21)}
+
+
 def test_leakage_safe_split_no_straddle(spark):
     from ocr_redaction_engine_spark.analytics.sampling import leakage_safe_split
     # 3 planted near-dup families (shared text => same MinHash cluster) +

@@ -367,3 +367,8 @@ def test_grouped_rank_wide_equals_window(spark):
         wide_threshold=0).collect()}
     assert gn == gw
     assert sorted(r[2] for r in gw) == list(range(1, 521))
+
+    # schema stability: the wide path must not reorder columns vs the input
+    # (the join hoists its keys to the front without the trailing re-select)
+    assert _grouped_rank(df, ["host"], order, "rn",
+                         wide_threshold=0).columns == ["host", "doc_id", "rn"]

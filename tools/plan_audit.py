@@ -67,7 +67,10 @@ def _nexch(df):
     return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
 
 
-report["_simhash_wide_input"] = {
+# kept OUT of the per-query plans map: it is a probe, not a queries()
+# entry, and would inflate summary["queries"] / break per-query-shape
+# consumers (round-3 review)
+simhash_probe = {
     "exchanges_added_on_wide_input": _nexch(simhash(_wide)) - _nexch(_wide),
     "exchanges_added_on_narrow_input": _nexch(simhash(_base.coalesce(1))),
 }
@@ -76,6 +79,7 @@ banned = sorted(n for n, r in report.items() if r.get("banned_join"))
 errors = sorted(n for n, r in report.items() if "error" in r)
 summary = {
     "queries": len(report),
+    "simhash_wide_input_probe": simhash_probe,
     "banned_join_queries": banned,
     "errored": errors,
     "python_row_udf_queries": sorted(
