@@ -48,8 +48,8 @@ def main():
 
     places = None
     if args.places_file:
-        with open(args.places_file, encoding="utf-8") as fh:
-            places = [ln.strip() for ln in fh if ln.strip()]
+        from ocr_redaction_engine_spark.places import load_places
+        places = load_places(args.places_file)
 
     spark = SparkSession.builder.appName("ocrr-redaction-pipeline").getOrCreate()
     stats = run_job(

@@ -150,6 +150,28 @@ def test_apply_dedup_keeps_reps_and_singletons(spark):
     assert kept == [3, 4]
 
 
+def test_apply_dedup_single_cc_run(spark, monkeypatch):
+    """apply_dedup must share ONE connected-components run between the
+    representative pick and the drop list: the CC loop is driver-iterative
+    (localCheckpoint + count per round), so a second call re-executes the
+    whole pipeline (round-3 review finding)."""
+    from ocr_redaction_engine_spark.analytics import dedup
+
+    calls = {"n": 0}
+    real = dedup.connected_components
+
+    def counting(pairs, **kw):
+        calls["n"] += 1
+        return real(pairs, **kw)
+
+    monkeypatch.setattr(dedup, "connected_components", counting)
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s", 7), (2, "a b c d", "s", 7), (3, "x y z w", "s", 7)],
+        "doc_id long, text string, source string, n_chars long")
+    assert sorted(r["doc_id"] for r in dedup.apply_dedup(docs).collect()) == [1, 3]
+    assert calls["n"] == 1
+
+
 def test_sparse_cosine_matches_pure_python_reference(spark):
     """Randomized differential: uncapped sparse_cosine_pairs equals a pure
     numpy trigram-count cosine over all pairs (fixed seed, 30 docs)."""
