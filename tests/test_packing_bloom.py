@@ -232,6 +232,48 @@ def test_clip_repeated_substrings_differential(spark):
     assert got[3] == ("tiny doc", 2, 0)
 
 
+def test_clip_repeated_substrings_randomized_differential(spark):
+    """Seeded randomized differential over a Zipf-ish vocabulary: Spark clip
+    == pure-Python clip for every doc (40 docs, heavy shared phrases)."""
+    import random
+    from ocr_redaction_engine_spark.analytics.text import clip_repeated_substrings
+
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(30)]
+    phrases = [[rng.choice(vocab) for _ in range(rng.randint(3, 6))]
+               for _ in range(5)]
+    rows = []
+    for d in range(40):
+        toks = []
+        for _ in range(rng.randint(0, 4)):
+            if rng.random() < 0.5:
+                toks += rng.choice(phrases)          # shared phrase
+            toks += [rng.choice(vocab) for _ in range(rng.randint(0, 5))]
+        rows.append((d, " ".join(toks)))
+    n = 3
+
+    # Spark's split(trim(text), \s+) maps "" to [""] (one empty token) — the
+    # engine-wide empty-text convention the DuckDB oracle shares
+    toks = {d: (t.strip().split() if t.strip() else [""]) for d, t in rows}
+    gram_docs = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            gram_docs.setdefault(tuple(tk[i:i + n]), set()).add(d)
+    expect = {}
+    for d, tk in toks.items():
+        cov = set()
+        for i in range(len(tk) - n + 1):
+            if len(gram_docs[tuple(tk[i:i + n])]) >= 2:
+                cov.update(range(i, i + n))
+        expect[d] = (" ".join(t for i, t in enumerate(tk) if i not in cov),
+                     len(tk), len(cov))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in clip_repeated_substrings(docs, n=n, min_docs=2).collect()}
+    assert got == expect
+
+
 # ------------------------------------------------------------ count-min sketch
 
 def test_countmin_overestimates_only_and_sketch_bounded(spark):
