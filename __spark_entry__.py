@@ -1472,6 +1472,22 @@ def web_bfs_depth(spark, sf_dir):
     return crawl_depth(_t(spark, sf_dir, "documents"), iters=4, seed_mod=97)
 
 
+def web_kcore(spark, sf_dir):
+    """k-core peeling (k=3, 3 rounds) over the undirected link graph: the
+    dense-backbone spam signal — degree hash-agg + two endpoint semi-joins
+    per round over a strictly shrinking edge set."""
+    from ocr_redaction_engine_spark.analytics.webgraph import kcore
+    return kcore(_t(spark, sf_dir, "documents"), k=3, rounds=3)
+
+
+def web_reciprocal(spark, sf_dir):
+    """Reciprocal-link audit: share of each page's distinct outlinks that
+    link straight back (link-exchange rings) — one edge-vs-swap semi-join,
+    integer micro-unit ratio."""
+    from ocr_redaction_engine_spark.analytics.webgraph import reciprocal_links
+    return reciprocal_links(_t(spark, sf_dir, "documents"))
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-frontier URL canonicalization: lowercase scheme/host, strip :80
     and fragment, drop utm_*/ref params, sort the survivors."""
@@ -1772,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_random_walks": web_random_walks,
         "web_domain_gini": web_domain_gini,
         "web_bfs_depth": web_bfs_depth,
+        "web_kcore": web_kcore,
+        "web_reciprocal": web_reciprocal,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
@@ -4651,6 +4669,70 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.d < 1099511627776 THEN d.d END AS depth,
                    d.d < 1099511627776 AS reached
             FROM nodes n JOIN d4 d USING (node)
+        """,
+        "web_kcore": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            sym AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+            a1 AS (SELECT src FROM sym GROUP BY src HAVING COUNT(*) >= 3),
+            g1 AS (SELECT s.src, s.dst FROM sym s
+                   JOIN a1 x ON s.src = x.src JOIN a1 y ON s.dst = y.src),
+            a2 AS (SELECT src FROM g1 GROUP BY src HAVING COUNT(*) >= 3),
+            g2 AS (SELECT s.src, s.dst FROM g1 s
+                   JOIN a2 x ON s.src = x.src JOIN a2 y ON s.dst = y.src),
+            a3 AS (SELECT src FROM g2 GROUP BY src HAVING COUNT(*) >= 3),
+            g3 AS (SELECT s.src, s.dst FROM g2 s
+                   JOIN a3 x ON s.src = x.src JOIN a3 y ON s.dst = y.src),
+            fin AS (SELECT src, COUNT(*) AS core_deg FROM g3 GROUP BY src)
+            SELECT n.doc_id, CAST(fin.core_deg AS BIGINT) AS core_deg,
+                   fin.core_deg IS NOT NULL AS in_core
+            FROM nodes n LEFT JOIN fin ON fin.src = n.node
+        """,
+        "web_reciprocal": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            simple AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+            m AS (SELECT e.src, COUNT(*) AS n_mutual
+                  FROM simple e JOIN simple r ON r.src = e.dst AND r.dst = e.src
+                  GROUP BY e.src),
+            o AS (SELECT src, COUNT(*) AS n_out FROM simple GROUP BY src)
+            SELECT n.doc_id,
+                   CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+                   CAST(COALESCE(m.n_mutual, 0) AS BIGINT) AS n_mutual,
+                   CASE WHEN o.n_out > 0
+                        THEN CAST(COALESCE(m.n_mutual, 0) * 1000000 // o.n_out AS BIGINT)
+                   END AS mutual_e6
+            FROM nodes n
+            LEFT JOIN o ON o.src = n.node
+            LEFT JOIN m ON m.src = n.node
         """,
         "web_frontier": """
             WITH base AS (

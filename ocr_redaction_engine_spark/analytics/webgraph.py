@@ -688,3 +688,112 @@ def domain_gini(docs: DataFrame) -> DataFrame:
                "DIV (COUNT(*) * SUM(CAST(x AS DECIMAL(38,0)))) AS BIGINT)")
         .alias("gini_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (spam/boilerplate-farm structure) and reciprocal-link
+# audit — the two classic link-spam signals a crawl pipeline runs alongside
+# PageRank (dense cores and mutual-link rings are how link farms look in the
+# graph; Batagelj & Zaveršnik 2003 for peeling, Becchetti et al. 2008 for
+# link-spam features).
+# ---------------------------------------------------------------------------
+
+def kcore(docs: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """k-core peeling over the undirected link graph: repeatedly delete
+    nodes of degree < ``k``; what survives is the k-core — the dense
+    backbone where link farms and template rings concentrate. Like
+    [[crawl_depth]]'s ``iters``, ``rounds`` is the documented iteration
+    bound: each round is one degree hash-agg plus two semi-joins (restrict
+    edges to surviving endpoints), and at convergence every surviving
+    degree is ≥ k. Fixed rounds keep the operator oracle-able as an
+    unrolled SQL CTE chain; peeling converges geometrically on web graphs
+    (most sub-core nodes fall in the first round or two).
+
+    The degree agg and both endpoint semi-joins key on the same node ids,
+    so each round is a bounded number of node-keyed shuffles over a
+    strictly SHRINKING edge set; per-round ``localCheckpoint`` truncates
+    the lineage exactly like the other iterative graph ops (PageRank/BFS/
+    [[crawl_frontier]]), keeping round r's plan O(1) deep rather than
+    O(r). No driver-side state beyond the loop counter.
+
+    Returns (doc_id, core_deg, in_core): core_deg = the node's degree in
+    the graph surviving ``rounds`` peels (NULL once peeled or edgeless),
+    in_core = survived with ≥ 1 edge.
+    """
+    n_nodes = docs.select("doc_id").distinct().count()  # metadata-scale
+    nodes = _doc_nodes(docs)
+    directed = synth_edges(docs, n_nodes).filter(F.col("src") != F.col("dst"))
+    sym = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        alive = (
+            sym.groupBy("src").agg(F.count("*").alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        sym = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        ).localCheckpoint(eager=True)  # truncate per-round lineage
+    deg_f = sym.groupBy("src").agg(F.count("*").alias("core_deg"))
+    return (
+        nodes.join(deg_f, nodes.node == deg_f.src, "left")
+        .select(
+            "doc_id",
+            F.col("core_deg").cast("long").alias("core_deg"),
+            F.col("core_deg").isNotNull().alias("in_core"),
+        )
+    )
+
+
+def reciprocal_links(docs: DataFrame) -> DataFrame:
+    """Reciprocal-link audit: per source page, how many of its distinct
+    outlinks link straight back — the mutual-link ratio that flags link
+    exchanges and farm rings (organic links reciprocate rarely; quid-pro-quo
+    rings reciprocate by construction).
+
+    Shape: distinct simple edges (one dedup shuffle), then ONE (src, dst)
+    equi-semi-join of the edge set against its own swap to mark mutual
+    edges — never an all-pairs form — and a node-keyed count agg. The
+    ratio is integer micro-units (DIV), same cross-engine-exact discipline
+    as [[pagerank]]'s micro-rank units. Self-loops are excluded up front
+    (a self-loop is trivially 'mutual' and would inflate the signal).
+
+    Returns (doc_id, n_out, n_mutual, mutual_e6): n_out = distinct
+    non-self outlinks, n_mutual = those whose reverse edge exists,
+    mutual_e6 = n_mutual·1e6 DIV n_out (NULL when n_out = 0).
+    """
+    n_nodes = docs.select("doc_id").distinct().count()  # metadata-scale
+    nodes = _doc_nodes(docs)
+    edges = (
+        synth_edges(docs, n_nodes)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src").agg(F.count("*").alias("n_mutual"))
+    )
+    outd = edges.groupBy("src").agg(F.count("*").alias("n_out"))
+    per_src = (
+        outd.join(mutual, "src", "left")
+        .withColumn("n_mutual", F.coalesce("n_mutual", F.lit(0)))
+    )
+    return (
+        nodes.join(per_src, nodes.node == per_src.src, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+            F.expr("CASE WHEN n_out > 0 THEN CAST(n_mutual * 1000000 DIV n_out"
+                   " AS BIGINT) END").alias("mutual_e6"),
+        )
+    )

@@ -372,3 +372,77 @@ def test_grouped_rank_wide_equals_window(spark):
     # (the join hoists its keys to the front without the trailing re-select)
     assert _grouped_rank(df, ["host"], order, "rn",
                          wide_threshold=0).columns == ["host", "doc_id", "rn"]
+
+
+def _synth_graph(doc_ids):
+    """The deterministic synth_edges graph, independently re-derived."""
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nodes = sorted(doc_ids)
+    n = len(nodes)
+    idx = {d: i for i, d in enumerate(nodes)}
+    edges = set()
+    for d in nodes:
+        for k in range(h8(f"{d}:deg") % 3 + 2):
+            edges.add((idx[d], h8(f"{d}:{k}") % n))
+    return nodes, n, edges
+
+
+@pytest.mark.parametrize("k", [2, 5])
+def test_kcore_matches_sequential_peeling(spark, docs, k):
+    from ocr_redaction_engine_spark.analytics.webgraph import kcore
+
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    nodes, n, directed = _synth_graph(doc_ids)
+    sym = {(a, b) for a, b in directed if a != b}
+    sym |= {(b, a) for a, b in sym}
+    rounds = 3
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in sym:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        sym = {(a, b) for a, b in sym if a in alive and b in alive}
+    fin = {}
+    for a, _b in sym:
+        fin[a] = fin.get(a, 0) + 1
+    expected = {
+        d: (fin.get(i), i in fin)
+        for d, i in ((d, ni) for ni, d in enumerate(nodes))
+    }
+
+    got = {r["doc_id"]: (r["core_deg"], r["in_core"])
+           for r in kcore(docs, k=k, rounds=rounds).collect()}
+    assert got == expected
+    if k == 5:
+        # the high-k case must actually peel someone, or it proves nothing
+        assert any(not v[1] for v in got.values())
+
+
+def test_kcore_converged_degrees_meet_threshold(spark, docs):
+    from ocr_redaction_engine_spark.analytics.webgraph import kcore
+
+    # enough rounds to converge on 12 nodes: every surviving degree >= k
+    out = kcore(docs, k=3, rounds=6).collect()
+    assert all(r["core_deg"] >= 3 for r in out if r["in_core"])
+
+
+def test_reciprocal_links_matches_bruteforce(spark, docs):
+    from ocr_redaction_engine_spark.analytics.webgraph import reciprocal_links
+
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    nodes, n, directed = _synth_graph(doc_ids)
+    simple = {(a, b) for a, b in directed if a != b}
+    expected = {}
+    for ni, d in enumerate(nodes):
+        outs = {b for a, b in simple if a == ni}
+        mut = {b for b in outs if (b, ni) in simple}
+        e6 = len(mut) * 1000000 // len(outs) if outs else None
+        expected[d] = (len(outs), len(mut), e6)
+
+    got = {r["doc_id"]: (r["n_out"], r["n_mutual"], r["mutual_e6"])
+           for r in reciprocal_links(docs).collect()}
+    assert got == expected
+    # the synthetic graph must exercise the mutual case somewhere to be a test
+    assert any(v[1] > 0 for v in got.values())
