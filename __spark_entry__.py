@@ -1401,6 +1401,25 @@ def extract_block_labels(spark, sf_dir):
     return classify_blocks(as_html(_t(spark, sf_dir, "documents")))
 
 
+def extract_eval(spark, sf_dir):
+    """Extraction-quality evaluation (cleaneval-style): block-level
+    confusion of the jusText classifier vs the constructed ground truth
+    (the two <p> content halves are content BY CONSTRUCTION), reduced to
+    corpus micro precision/recall/F1 in integer micro-units. One global
+    agg over the map-only block scan."""
+    from ocr_redaction_engine_spark.analytics.extraction import as_html, extraction_eval
+    return extraction_eval(as_html(_t(spark, sf_dir, "documents")))
+
+
+def extract_eval_confusion(spark, sf_dir):
+    """Confusion detail behind extract_eval: block counts by (label_raw,
+    label, is_content) — reads out what the smoothing pass promoted and
+    whether each rescue was right. Bounded 16-row group key."""
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        as_html, extraction_confusion)
+    return extraction_confusion(as_html(_t(spark, sf_dir, "documents")))
+
+
 def layout_reading_order(spark, sf_dir):
     """PDF/layout parse: recover column-major reading order of a two-column
     page from synthesized word boxes (deterministic layout; real PDF decode
@@ -1778,6 +1797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": extract_main_text,
         "extract_dom_main": extract_dom_main,
         "extract_block_labels": extract_block_labels,
+        "extract_eval": extract_eval,
+        "extract_eval_confusion": extract_eval_confusion,
         "layout_reading_order": layout_reading_order,
         "extract_pipeline_spans": extract_pipeline_spans,
         "web_links": web_links,
@@ -4567,6 +4588,69 @@ def oracle_sql() -> dict[str, str]:
                         WHEN label_raw = 'short' AND pg AND ng THEN 'good'
                         ELSE label_raw END AS label
             FROM ctx
+        """,
+        "extract_eval": _HTML_CTE + """
+            , lab AS (
+              SELECT doc_id, pos, text_len, link_density,
+                     CASE WHEN link_density > 0.2 THEN 'bad'
+                          WHEN text_len >= 80 THEN 'good'
+                          WHEN text_len >= 40 THEN 'near'
+                          ELSE 'short' END AS label_raw
+              FROM scored),
+            ctx AS (
+              SELECT *,
+                COALESCE(lag(label_raw) OVER (PARTITION BY doc_id ORDER BY pos) = 'good', FALSE) AS pg,
+                COALESCE(lead(label_raw) OVER (PARTITION BY doc_id ORDER BY pos) = 'good', FALSE) AS ng
+              FROM lab),
+            fin AS (
+              SELECT doc_id, pos, text_len,
+                     CASE WHEN label_raw = 'good' THEN 'good'
+                          WHEN label_raw = 'near' AND (pg OR ng) THEN 'good'
+                          WHEN label_raw = 'short' AND pg AND ng THEN 'good'
+                          ELSE label_raw END AS label
+              FROM ctx),
+            cells AS (
+              SELECT (pos IN (1, 2) AND text_len > 0) AS truth,
+                     label = 'good' AS pred
+              FROM fin),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                     CAST(SUM(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(SUM(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(SUM(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM cells)
+            SELECT n_blocks, tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0 THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_e6,
+                   CASE WHEN tp + fn > 0 THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_e6,
+                   CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) END AS f1_e6
+            FROM agg
+        """,
+        "extract_eval_confusion": _HTML_CTE + """
+            , lab AS (
+              SELECT doc_id, pos, text_len, link_density,
+                     CASE WHEN link_density > 0.2 THEN 'bad'
+                          WHEN text_len >= 80 THEN 'good'
+                          WHEN text_len >= 40 THEN 'near'
+                          ELSE 'short' END AS label_raw
+              FROM scored),
+            ctx AS (
+              SELECT *,
+                COALESCE(lag(label_raw) OVER (PARTITION BY doc_id ORDER BY pos) = 'good', FALSE) AS pg,
+                COALESCE(lead(label_raw) OVER (PARTITION BY doc_id ORDER BY pos) = 'good', FALSE) AS ng
+              FROM lab),
+            fin AS (
+              SELECT doc_id, pos, text_len, label_raw,
+                     CASE WHEN label_raw = 'good' THEN 'good'
+                          WHEN label_raw = 'near' AND (pg OR ng) THEN 'good'
+                          WHEN label_raw = 'short' AND pg AND ng THEN 'good'
+                          ELSE label_raw END AS label
+              FROM ctx)
+            SELECT label_raw, label,
+                   (pos IN (1, 2) AND text_len > 0) AS is_content,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM fin
+            GROUP BY label_raw, label, is_content
         """,
         "web_links": _HTML_CTE + r"""
             , m AS (

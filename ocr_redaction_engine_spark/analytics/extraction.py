@@ -205,6 +205,94 @@ def classify_blocks(pages: DataFrame, short_len: int = 40,
         "label_raw", final.alias("label"))
 
 
+def extraction_eval(pages: DataFrame, truth_pos: tuple[int, ...] = (1, 2),
+                    short_len: int = 40, good_len: int = 80,
+                    max_link_density: float = 0.2) -> DataFrame:
+    """Extraction-quality evaluation: block-level confusion of the
+    [[classify_blocks]] content classifier against constructed ground
+    truth, reduced to corpus micro precision/recall/F1.
+
+    The evaluation corpus is self-labeling: [[as_html]] builds each page
+    deterministically, so the blocks at ``truth_pos`` (the two <p> halves
+    of ``documents.text``; positions 1 and 2 after the block split) are
+    content BY CONSTRUCTION and everything else (head junk, nav, sidebar,
+    footer) is boilerplate — the cleaneval-style labeled-page setup
+    (Pomikálek 2011 evaluates jusText exactly this way), with labels
+    derived instead of hand-annotated. An empty content slot (odd corner:
+    1-char documents leave the second <p> blank) carries no extractable
+    text and is counted as non-content.
+
+    Predicted content = final ``label == 'good'`` (after neighbor
+    smoothing). Metrics are corpus-micro counts in integer micro-units
+    (``tp·1e6 DIV (tp+fp)`` etc.), the same cross-engine-exact discipline
+    as the rest of the analytics layer; NULL when a denominator is zero.
+
+    Shape: the [[html_blocks]] map-only scan + the per-doc smoothing
+    window, then ONE global agg — partial aggregation combines map-side,
+    so the final exchange carries one row per task regardless of corpus
+    size. This is the continuous-eval job a production extraction
+    pipeline runs next to the extractor at 100 TB.
+
+    Returns one row: (n_blocks, tp, fp, fn, tn, precision_e6, recall_e6,
+    f1_e6).
+    """
+    labeled = classify_blocks(
+        pages, short_len=short_len, good_len=good_len,
+        max_link_density=max_link_density,
+    )
+    truth = (F.col("pos").isin(list(truth_pos)) & (F.col("text_len") > 0))
+    pred = F.col("label") == "good"
+    cells = labeled.select(
+        (truth & pred).cast("long").alias("is_tp"),
+        (~truth & pred).cast("long").alias("is_fp"),
+        (truth & ~pred).cast("long").alias("is_fn"),
+        (~truth & ~pred).cast("long").alias("is_tn"),
+    )
+    agg = cells.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("is_tp").alias("tp"),
+        F.sum("is_fp").alias("fp"),
+        F.sum("is_fn").alias("fn"),
+        F.sum("is_tn").alias("tn"),
+    )
+    return agg.select(
+        "n_blocks", "tp", "fp", "fn", "tn",
+        F.expr("CASE WHEN tp + fp > 0 THEN CAST(tp * 1000000 DIV (tp + fp)"
+               " AS BIGINT) END").alias("precision_e6"),
+        F.expr("CASE WHEN tp + fn > 0 THEN CAST(tp * 1000000 DIV (tp + fn)"
+               " AS BIGINT) END").alias("recall_e6"),
+        F.expr("CASE WHEN 2 * tp + fp + fn > 0 THEN "
+               "CAST(2 * tp * 1000000 DIV (2 * tp + fp + fn) AS BIGINT) END"
+               ).alias("f1_e6"),
+    )
+
+
+def extraction_confusion(pages: DataFrame, truth_pos: tuple[int, ...] = (1, 2),
+                         short_len: int = 40, good_len: int = 80,
+                         max_link_density: float = 0.2) -> DataFrame:
+    """Confusion DETAIL for the extraction evaluator: block counts by
+    (label_raw, label, is_content) — the long-form view behind
+    [[extraction_eval]]'s scalar summary, which is what you read to see
+    what the jusText smoothing pass actually did (every cell where
+    ``label_raw != label`` is a smoothing promotion; whether it lands in
+    the is_content=true or =false column is whether the rescue was right).
+
+    Group key cardinality is bounded by construction (4 raw labels × 2
+    final × 2 truth), so the hash agg combines map-side and the exchange
+    carries at most 16 rows per task at any corpus size — no skew surface.
+    """
+    labeled = classify_blocks(
+        pages, short_len=short_len, good_len=good_len,
+        max_link_density=max_link_density,
+    )
+    truth = (F.col("pos").isin(list(truth_pos)) & (F.col("text_len") > 0))
+    return (
+        labeled.withColumn("is_content", truth)
+        .groupBy("label_raw", "label", "is_content")
+        .agg(F.count("*").cast("long").alias("n_blocks"))
+    )
+
+
 def reading_order(docs: DataFrame, max_tokens: int = 24) -> DataFrame:
     """PDF/layout reading-order recovery for a two-column page.
 

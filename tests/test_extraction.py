@@ -137,3 +137,80 @@ def test_classify_blocks_isolated_short_not_promoted(spark):
     rows = {r["pos"]: r for r in classify_blocks(pages).collect()}
     assert rows[0]["label_raw"] == "short" and rows[0]["label"] == "short"
     assert rows[1]["label"] == "good"
+
+
+def test_extraction_eval_matches_bruteforce(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        as_html, classify_blocks, extraction_eval)
+
+    # mixed corpus: long docs (classifier succeeds), a tiny doc (content
+    # halves too short -> false negatives), a mid doc (near-length halves)
+    rows = [
+        ("d0", ("alpha beta gamma delta epsilon zeta " * 5).strip()),
+        ("d1", "tiny"),
+        ("d2", ("word " * 22).strip()),   # halves ~54 chars -> raw near
+        ("d3", ("lorem ipsum dolor sit amet " * 8).strip()),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pages = as_html(docs)
+
+    blocks = classify_blocks(pages).collect()
+    tp = fp = fn = tn = 0
+    for r in blocks:
+        truth = r["pos"] in (1, 2) and r["text_len"] > 0
+        pred = r["label"] == "good"
+        tp += truth and pred
+        fp += (not truth) and pred
+        fn += truth and not pred
+        tn += (not truth) and not pred
+
+    got = extraction_eval(pages).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g["n_blocks"], g["tp"], g["fp"], g["fn"], g["tn"]) == (
+        len(blocks), tp, fp, fn, tn)
+    assert g["precision_e6"] == (tp * 1000000 // (tp + fp) if tp + fp else None)
+    assert g["recall_e6"] == (tp * 1000000 // (tp + fn) if tp + fn else None)
+    assert g["f1_e6"] == (
+        2 * tp * 1000000 // (2 * tp + fp + fn) if 2 * tp + fp + fn else None)
+    # the corpus must exercise both error cells or the test proves nothing
+    assert g["tp"] > 0 and g["fn"] > 0 and g["tn"] > 0
+
+
+def test_extraction_eval_perfect_on_long_docs(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        as_html, extraction_eval)
+
+    docs = spark.createDataFrame(
+        [("a", ("alpha beta gamma delta " * 10).strip()),
+         ("b", ("lorem ipsum dolor sit " * 12).strip())],
+        "doc_id string, text string")
+    g = extraction_eval(as_html(docs)).collect()[0]
+    # both halves of both docs are >= 80 chars -> raw good; chrome blocks
+    # all die on link density or length -> perfect extraction
+    assert g["fp"] == 0 and g["fn"] == 0 and g["tp"] == 4
+    assert g["precision_e6"] == 1000000
+    assert g["recall_e6"] == 1000000
+    assert g["f1_e6"] == 1000000
+
+
+def test_extraction_confusion_detail_sums_to_eval(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        as_html, extraction_confusion, extraction_eval)
+
+    rows = [("d%d" % i, ("tok%d " % i * (4 * i + 1)).strip())
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pages = as_html(docs)
+
+    detail = extraction_confusion(pages).collect()
+    g = extraction_eval(pages).collect()[0]
+    assert sum(r["n_blocks"] for r in detail) == g["n_blocks"]
+    assert sum(r["n_blocks"] for r in detail
+               if r["is_content"] and r["label"] == "good") == g["tp"]
+    assert sum(r["n_blocks"] for r in detail
+               if not r["is_content"] and r["label"] == "good") == g["fp"]
+    # every smoothing promotion shows up as a raw!=final cell
+    for r in detail:
+        if r["label_raw"] != r["label"]:
+            assert r["label_raw"] in ("near", "short") and r["label"] == "good"
