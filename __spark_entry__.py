@@ -1591,6 +1591,25 @@ def search_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), k=10)
 
 
+def search_mlt(spark, sf_dir):
+    """More-like-this lexical retrieval: rank the corpus by rare-term
+    overlap with each query document (first-16-token query profile),
+    integer 1e6-DIV-df term weights — the query-by-document sparse
+    retriever. Postings shuffle + broadcast query terms + salted top-k."""
+    from ocr_redaction_engine_spark.analytics.search import mlt_topk
+    return mlt_topk(_t(spark, sf_dir, "documents"), n_queries=5, k=10)
+
+
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the more-like-this
+    lexical ranking and the dense cosine ranking over the same query ids
+    (vec i = doc i). Integer micro-unit RRF over each ranker's top-20;
+    the fusion join runs on bounded top-k outputs only."""
+    from ocr_redaction_engine_spark.analytics.search import hybrid_rrf
+    return hybrid_rrf(_t(spark, sf_dir, "documents"),
+                      _t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def web_snapshot_delta(spark, sf_dir):
     """Incremental-crawl CDC: diff two snapshots (old = corpus; new =
     deterministic refresh with 10% removed, 10% rewritten, 10% new URLs) —
@@ -1815,6 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
         "search_bm25": search_bm25,
+        "search_mlt": search_mlt,
+        "search_hybrid_rrf": search_hybrid_rrf,
         "dedup_semantic": dedup_semantic,
         "ann_pq_adc": ann_pq_adc,
         "decontam_minhash": decontam_minhash,
@@ -4983,6 +5004,96 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY query_id ORDER BY score DESC, doc_id ASC
                    ) AS INT) AS rank
             FROM scored QUALIFY rank <= 10
+        """,
+        "search_mlt": r"""
+            WITH qt AS (
+              SELECT q_id, term FROM (
+                SELECT doc_id AS q_id,
+                       unnest(list_distinct(
+                         string_split_regex(trim(text), '\s+')[1:16])) AS term
+                FROM documents WHERE doc_id < 5)
+              WHERE term <> ''),
+            post AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS term
+                    FROM documents WHERE doc_id >= 5)
+              WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post
+              WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+            mscored AS (
+              SELECT q.q_id, p.doc_id AS c_id,
+                     CAST(SUM(p.tf * (1000000 // d.df)) AS BIGINT) AS score
+              FROM post p JOIN qt q ON q.term = p.term
+              JOIN dfreq d ON d.term = p.term
+              GROUP BY q.q_id, p.doc_id)
+            SELECT q_id, c_id, score,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY score DESC, c_id ASC
+                   ) AS INT) AS rank
+            FROM mscored QUALIFY rank <= 10
+        """,
+        "search_hybrid_rrf": r"""
+            WITH qt AS (
+              SELECT q_id, term FROM (
+                SELECT doc_id AS q_id,
+                       unnest(list_distinct(
+                         string_split_regex(trim(text), '\s+')[1:16])) AS term
+                FROM documents WHERE doc_id < 5)
+              WHERE term <> ''),
+            post AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS term
+                    FROM documents WHERE doc_id >= 5)
+              WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post
+              WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+            mscored AS (
+              SELECT q.q_id, p.doc_id AS c_id,
+                     CAST(SUM(p.tf * (1000000 // d.df)) AS BIGINT) AS score
+              FROM post p JOIN qt q ON q.term = p.term
+              JOIN dfreq d ON d.term = p.term
+              GROUP BY q.q_id, p.doc_id),
+            lex20 AS (
+              SELECT q_id, c_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, c_id ASC
+                     ) AS INT) AS lex_rank
+              FROM mscored QUALIFY lex_rank <= 20),
+            qv AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) q_emb
+                   FROM embeddings WHERE vec_id < 5),
+            cv AS (SELECT vec_id c_id, CAST(embedding AS DOUBLE[]) c_emb
+                   FROM embeddings WHERE vec_id >= 5),
+            dscored AS (
+              SELECT q_id, c_id,
+                     round(list_cosine_similarity(q_emb, c_emb), 6) AS sim
+              FROM qv, cv),
+            den20 AS (
+              SELECT q_id, c_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, c_id ASC
+                     ) AS INT) AS dense_rank
+              FROM dscored QUALIFY dense_rank <= 20),
+            f AS (
+              SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+                     COALESCE(l.c_id, d.c_id) AS c_id,
+                     l.lex_rank, d.dense_rank
+              FROM lex20 l FULL OUTER JOIN den20 d
+                ON l.q_id = d.q_id AND l.c_id = d.c_id),
+            r AS (
+              SELECT q_id, c_id, lex_rank, dense_rank,
+                     CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+                          + COALESCE(1000000 // (60 + dense_rank), 0)
+                       AS BIGINT) AS rrf_e6
+              FROM f)
+            SELECT q_id, c_id, lex_rank, dense_rank, rrf_e6,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY rrf_e6 DESC, c_id ASC
+                   ) AS INT) AS rank
+            FROM r QUALIFY rank <= 10
         """,
         "bpe_pair_counts": r"""
             WITH words AS (

@@ -17,7 +17,7 @@ pruned scan + broadcast join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ranks import salted_topk
@@ -103,6 +103,105 @@ def bm25_topk(docs: DataFrame, queries: list[str] | None = None,
         scored, ["query_id"], [F.col("score").desc(), F.col("doc_id").asc()],
         k, salt_on="doc_id",
     ).select("query_id", "doc_id", "score", "rank")
+
+
+def mlt_topk(docs: DataFrame, n_queries: int = 5, k: int = 10,
+             max_q_tokens: int = 16) -> DataFrame:
+    """More-like-this lexical retrieval: for each query document
+    (doc_id < ``n_queries``) rank the rest of the corpus by rare-term
+    overlap — the query-by-document form of sparse retrieval every RAG
+    candidate generator needs next to [[bm25_topk]]'s string queries.
+
+    Query terms are the DISTINCT first ``max_q_tokens`` tokens of the
+    query doc (capping bounds the fan-out per query regardless of doc
+    length). Scoring is integer-exact on purpose: each matched term
+    contributes ``tf · (10^6 DIV df)`` — rare terms weigh more, exactly
+    the idf intuition — so the score has no float summation-order or
+    ln() cross-engine surface at all (contrast bm25's round-twice
+    discipline). Ties break on candidate id ascending.
+
+    Shape at 100 TB: the [[postings]] build is the one corpus shuffle;
+    the query-term table is n_queries × max_q_tokens rows (broadcast),
+    document frequencies are computed only for those terms via a
+    broadcast semi-join, and the per-query rank goes through
+    [[salted_topk]] because a hot term matches a corpus-scale candidate
+    set (same Zipf hazard as bm25).
+    """
+    qterms = (
+        docs.filter(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(F.slice(
+                F.split(F.trim("text"), TOKEN_SPLIT), 1, max_q_tokens)))
+            .alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    post = postings(docs.filter(F.col("doc_id") >= n_queries))
+    dfreq = (
+        post.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term").agg(F.count("*").cast("long").alias("df"))
+        .withColumn("w_e6", F.expr("CAST(1000000 DIV df AS BIGINT)"))
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .groupBy("q_id", F.col("doc_id").alias("c_id"))
+        .agg(F.sum(F.col("tf") * F.col("w_e6")).cast("long").alias("score"))
+    )
+    return salted_topk(
+        scored, ["q_id"], [F.col("score").desc(), F.col("c_id").asc()],
+        k, salt_on="c_id",
+    ).select("q_id", "c_id", "score", "rank")
+
+
+def hybrid_rrf(docs: DataFrame, embeddings: DataFrame, n_queries: int = 5,
+               k: int = 10, k_each: int = 20, k_rrf: int = 60) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the [[mlt_topk]] lexical ranking and the [[cosine_topk]] dense
+    ranking of the same query set — the standard two-tower RAG retrieval
+    stack, where BM25-family recall and embedding recall fail on
+    different queries and the fusion beats either alone.
+
+    Query/candidate identification: vector ``vec_id`` i is document
+    ``doc_id`` i (the embeddings table is the dense view of the corpus),
+    so query ids < ``n_queries`` and candidate ids ≥ ``n_queries`` line
+    up across both rankers. Each ranker contributes its top ``k_each``;
+    RRF score = Σ 10^6 DIV (``k_rrf`` + rank) over the lists containing
+    the pair — integer micro-units, so fusion is engine-exact even
+    though the dense ranker's sims are floats (only its RANKS enter).
+
+    Shape: both input rankings are ≤ n_queries·k_each rows BY
+    CONSTRUCTION (top-k output), so the full-outer alignment join and
+    the final per-query re-rank window run on bounded metadata-scale
+    data no matter the corpus size — the heavy lifting happened inside
+    the two rankers, each already skew-safe.
+
+    Returns (q_id, c_id, lex_rank, dense_rank, rrf_e6, rank ≤ ``k``).
+    """
+    from .similarity import cosine_topk
+
+    lex = mlt_topk(docs, n_queries=n_queries, k=k_each).select(
+        "q_id", "c_id", F.col("rank").alias("lex_rank"))
+    dense = cosine_topk(embeddings, n_queries=n_queries, k=k_each).select(
+        "q_id", "c_id", F.col("rank").alias("dense_rank"))
+    fused = (
+        lex.join(dense, ["q_id", "c_id"], "full_outer")
+        .withColumn(
+            "rrf_e6",
+            F.expr(f"CAST(coalesce(1000000 DIV ({k_rrf} + lex_rank), 0)"
+                   f" + coalesce(1000000 DIV ({k_rrf} + dense_rank), 0)"
+                   " AS BIGINT)"),
+        )
+    )
+    # bounded group (≤ 2·k_each rows per query by construction): the plain
+    # window is skew-free here, unlike the corpus-scale ranker interiors
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_e6"), F.asc("c_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "lex_rank", "dense_rank", "rrf_e6", "rank")
+    )
 
 
 #: default phrase workload (contiguous token sequences over the corpus
