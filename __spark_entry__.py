@@ -1507,6 +1507,15 @@ def web_reciprocal(spark, sf_dir):
     return reciprocal_links(_t(spark, sf_dir, "documents"))
 
 
+def web_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation (3 rounds,
+    most-frequent-neighbour label, smallest-label ties): splits the link
+    graph along sparse cuts where connected components would merge.
+    Two hash-aggs + one node-keyed join per round."""
+    from ocr_redaction_engine_spark.analytics.webgraph import label_propagation
+    return label_propagation(_t(spark, sf_dir, "documents"), rounds=3)
+
+
 def url_canonical(spark, sf_dir):
     """Crawl-frontier URL canonicalization: lowercase scheme/host, strip :80
     and fragment, drop utm_*/ref params, sort the survivors."""
@@ -1830,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_bfs_depth": web_bfs_depth,
         "web_kcore": web_kcore,
         "web_reciprocal": web_reciprocal,
+        "web_communities": web_communities,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
         "bpe_pair_counts": bpe_pair_counts,
@@ -4808,6 +4818,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id, CAST(fin.core_deg AS BIGINT) AS core_deg,
                    fin.core_deg IS NOT NULL AS in_core
             FROM nodes n LEFT JOIN fin ON fin.src = n.node
+        """,
+        "web_communities": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            sym AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            v1 AS (SELECT s.dst AS v, l.label, COUNT(*) AS c
+                   FROM sym s JOIN l0 l ON l.node = s.src GROUP BY 1, 2),
+            w1 AS (SELECT v, label FROM (
+                     SELECT v, label, row_number() OVER (
+                       PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                     FROM v1) WHERE rn = 1),
+            l1 AS (SELECT l.node, COALESCE(w.label, l.label) AS label
+                   FROM l0 l LEFT JOIN w1 w ON w.v = l.node),
+            v2 AS (SELECT s.dst AS v, l.label, COUNT(*) AS c
+                   FROM sym s JOIN l1 l ON l.node = s.src GROUP BY 1, 2),
+            w2 AS (SELECT v, label FROM (
+                     SELECT v, label, row_number() OVER (
+                       PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                     FROM v2) WHERE rn = 1),
+            l2 AS (SELECT l.node, COALESCE(w.label, l.label) AS label
+                   FROM l1 l LEFT JOIN w2 w ON w.v = l.node),
+            v3 AS (SELECT s.dst AS v, l.label, COUNT(*) AS c
+                   FROM sym s JOIN l2 l ON l.node = s.src GROUP BY 1, 2),
+            w3 AS (SELECT v, label FROM (
+                     SELECT v, label, row_number() OVER (
+                       PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                     FROM v3) WHERE rn = 1),
+            l3 AS (SELECT l.node, COALESCE(w.label, l.label) AS label
+                   FROM l2 l LEFT JOIN w3 w ON w.v = l.node),
+            sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+                      FROM l3 GROUP BY label)
+            SELECT n.doc_id, CAST(l.label AS BIGINT) AS community,
+                   s.community_size
+            FROM nodes n JOIN l3 l USING (node) JOIN sizes s USING (label)
         """,
         "web_reciprocal": r"""
             WITH nodes AS (

@@ -797,3 +797,65 @@ def reciprocal_links(docs: DataFrame) -> DataFrame:
                    " AS BIGINT) END").alias("mutual_e6"),
         )
     )
+
+
+def label_propagation(docs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected link graph — the clustering a crawl
+    pipeline runs to group mirror/template/link-farm neighbourhoods that
+    are DENSER than connected components can distinguish (CC merges
+    anything touching; LPA splits a component along its sparse cuts).
+
+    Determinism: every node starts labeled with its own id; each round
+    every node SIMULTANEOUSLY adopts the most frequent label among its
+    neighbours, ties broken by smallest label, isolated nodes keep their
+    label. Synchronous updates + total-order tie-break make the result a
+    pure function of the graph and ``rounds`` (asynchronous LPA is
+    run-order dependent — useless under a cross-engine oracle). Like
+    [[kcore]]'s ``rounds``, the iteration count is the documented bound;
+    communities stabilize in a handful of rounds on power-law graphs.
+
+    Shape per round: one (neighbour, label) hash-agg (map-side combine
+    applies), one ``max_by`` argmax agg on the node key, one left join
+    back onto the label table — all node-keyed shuffles, no all-pairs
+    surface; ``localCheckpoint`` truncates per-round lineage exactly as
+    in [[pagerank]]/[[kcore]]. The final size join keys on the label
+    column; a mega-community is a single hot key only in that LAST join,
+    where AQE skew-split applies (the iteration interior never joins on
+    the label).
+
+    Returns (doc_id, community, community_size).
+    """
+    n_nodes = docs.select("doc_id").distinct().count()  # metadata-scale
+    nodes = _doc_nodes(docs)
+    directed = synth_edges(docs, n_nodes).filter(F.col("src") != F.col("dst"))
+    sym = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count desc, label asc) == max_by over (c, -label):
+        # a second partial-aggregating hash agg, never a per-node window
+        winner = votes.groupBy("v").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("new_label"))
+        labels = (
+            labels.join(winner, labels.node == winner.v, "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        ).localCheckpoint(eager=True)  # truncate per-round lineage
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size"))
+    return (
+        nodes.join(labels, "node")
+        .join(sizes, "label")
+        .select("doc_id", F.col("label").cast("long").alias("community"),
+                "community_size")
+    )

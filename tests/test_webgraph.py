@@ -446,3 +446,39 @@ def test_reciprocal_links_matches_bruteforce(spark, docs):
     assert got == expected
     # the synthetic graph must exercise the mutual case somewhere to be a test
     assert any(v[1] > 0 for v in got.values())
+
+
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_label_propagation_matches_sequential(spark, docs, rounds):
+    from ocr_redaction_engine_spark.analytics.webgraph import label_propagation
+
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    nodes, n, directed = _synth_graph(doc_ids)
+    sym = {(a, b) for a, b in directed if a != b}
+    sym |= {(b, a) for a, b in sym}
+
+    labels = {i: i for i in range(n)}
+    for _ in range(rounds):
+        votes = {}
+        for a, b in sym:                       # neighbour a votes its label to b
+            votes.setdefault(b, {}).setdefault(labels[a], 0)
+            votes[b][labels[a]] += 1
+        nxt = {}
+        for v in range(n):
+            vs = votes.get(v)
+            if vs:
+                top = max(vs.values())
+                nxt[v] = min(lb for lb, c in vs.items() if c == top)
+            else:
+                nxt[v] = labels[v]
+        labels = nxt
+    sizes = {}
+    for lb in labels.values():
+        sizes[lb] = sizes.get(lb, 0) + 1
+    expected = {nodes[i]: (labels[i], sizes[labels[i]]) for i in range(n)}
+
+    got = {r["doc_id"]: (r["community"], r["community_size"])
+           for r in label_propagation(docs, rounds=rounds).collect()}
+    assert got == expected
+    # propagation must actually merge someone, or the test proves nothing
+    assert len({v[0] for v in got.values()}) < n
