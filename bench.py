@@ -87,6 +87,11 @@ HEADLINE = [
     # round-3: ExactSubstr span clipping (clean-text output of the span
     # finder)
     "dedup_substring_clip",
+    # round-3 tail: hybrid retrieval (more-like-this + RRF fusion), LPA
+    # communities / k-core / reciprocal-link spam signals, extraction
+    # quality eval
+    "search_mlt", "search_hybrid_rrf", "web_communities", "web_kcore",
+    "web_reciprocal", "extract_eval",
 ]
 
 
