@@ -1695,6 +1695,33 @@ def text_lm_xent(spark, sf_dir):
     return lm_cross_entropy(docs, docs.filter(F.col("lang") == "en"))
 
 
+def pii_dict_match(spark, sf_dir):
+    """Broadcast Aho–Corasick dictionary matching (north_star's "dictionary
+    name matching ... broadcast Aho-Corasick automaton"): ONE automaton pass
+    per document over a deterministically name-planted corpus (the base
+    word-soup text is lowercase; the dictionary is uppercase, so every match
+    is a planted name), emitting (doc_id, term, n_matches, first_pos) with
+    greedy-left non-overlapping per-term counts — replace-fold comparable.
+    Zero shuffles: a broadcast + one Arrow map stage."""
+    from ocr_redaction_engine_spark.pii import dict_match
+    from ocr_redaction_engine_spark.places import GIVEN_NAMES, SURNAMES
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    g = F.array(*[F.lit(x) for x in GIVEN_NAMES])
+    s = F.array(*[F.lit(x) for x in SURNAMES])
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 2 == 0, F.concat(
+            F.lit(" "), F.element_at(g, (did % 64 + 1).cast("int")),
+            F.lit(" "), F.element_at(s, (did % 40 + 1).cast("int")))
+        ).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" "), F.element_at(g, ((did * 7) % 64 + 1).cast("int")))
+        ).otherwise(F.lit("")),
+    )
+    return dict_match(docs.withColumn("text", aug), GIVEN_NAMES + SURNAMES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_pushdown_sum": q01_filter_pushdown_sum,
@@ -1804,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_probe": dedup_bloom_probe,
         "pack_sequences": pack_sequences,
         "text_pii_density": text_pii_density,
+        "pii_dict_match": pii_dict_match,
         "embed_quantize": embed_quantize,
         "sample_temperature": sample_temperature,
         "text_repeated_spans": text_repeated_spans,
@@ -1867,6 +1895,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+def _names_sql_list(which: int) -> str:
+    """DuckDB list literal of the planted-name dictionary halves — the SAME
+    constants the Spark side reads from places.py, so query and oracle can
+    never drift."""
+    from ocr_redaction_engine_spark.places import GIVEN_NAMES, SURNAMES
+    names = GIVEN_NAMES if which == 0 else SURNAMES
+    return "[" + ", ".join(f"'{n}'" for n in names) + "]"
 
 # phrase workload rendered as SQL VALUES from the single source of truth
 # (analytics/search.DEFAULT_PHRASES) so Spark query and oracle cannot drift
@@ -3883,6 +3920,26 @@ def oracle_sql() -> dict[str, str]:
                    (n_email + n_phone + n_ssn + n_pan) AS n_pii,
                    round((n_email + n_phone + n_ssn + n_pan) * 100.0 / len(text), 6) AS pii_per_100c
             FROM c
+        """,
+        # replace-fold n_matches == the automaton's greedy-left
+        # non-overlapping per-term count; strpos is 1-based (hence -1).
+        "pii_dict_match": f"""
+            WITH g AS (SELECT {_names_sql_list(0)} AS arr),
+            s AS (SELECT {_names_sql_list(1)} AS arr),
+            aug AS (
+              SELECT d.doc_id,
+                d.text ||
+                CASE WHEN d.doc_id % 2 = 0 THEN ' ' || g.arr[CAST(d.doc_id % 64 + 1 AS INT)]
+                     || ' ' || s.arr[CAST(d.doc_id % 40 + 1 AS INT)] ELSE '' END ||
+                CASE WHEN d.doc_id % 3 = 0 THEN ' ' || g.arr[CAST((d.doc_id * 7) % 64 + 1 AS INT)] ELSE '' END
+                AS text
+              FROM documents d, g, s),
+            terms AS (SELECT unnest(g.arr || s.arr) AS term FROM g, s)
+            SELECT a.doc_id, t.term,
+                   (len(a.text) - len(replace(a.text, t.term, ''))) // len(t.term) AS n_matches,
+                   CAST(strpos(a.text, t.term) - 1 AS BIGINT) AS first_pos
+            FROM aug a CROSS JOIN terms t
+            WHERE strpos(a.text, t.term) > 0
         """,
         "sample_temperature": """
             WITH sizes AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
