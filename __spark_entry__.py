@@ -1695,6 +1695,17 @@ def text_lm_xent(spark, sf_dir):
     return lm_cross_entropy(docs, docs.filter(F.col("lang") == "en"))
 
 
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): per-source
+    perplexity terciles of the bigram-LM cross-entropy under the English
+    reference slice. Integer micro-nat scores + the histogram-quantile
+    sketch keep banding exact cross-engine; assignment is a broadcast join
+    of one boundary array per source, no global sort."""
+    from ocr_redaction_engine_spark.analytics.lm import ccnet_buckets
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, docs.filter(F.col("lang") == "en"))
+
+
 def pii_dict_match(spark, sf_dir):
     """Broadcast Aho–Corasick dictionary matching (north_star's "dictionary
     name matching ... broadcast Aho-Corasick automaton"): ONE automaton pass
@@ -1882,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_pieces": bpe_encode_pieces,
         "text_nb_classifier": text_nb_classifier,
         "text_lm_xent": text_lm_xent,
+        "text_ccnet_buckets": text_ccnet_buckets,
         "extract_metadata": extract_metadata,
         "sample_leakage_split": sample_leakage_split,
         "search_phrase": search_phrase,
@@ -4300,6 +4312,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
                    round(-SUM(lp), 6) AS nll
             FROM lp GROUP BY doc_id
+        """,
+        "text_ccnet_buckets": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, lang, p.prev AS prev, p.cur AS cur
+              FROM (SELECT doc_id, lang,
+                           unnest(list_transform(toks, (t, i) -> struct_pack(
+                             prev := CASE WHEN i = 1 THEN '<s>'
+                                          ELSE toks[i - 1] END,
+                             cur := t))) AS p
+                    FROM tok WHERE len(toks) > 0)),
+            cb AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+                   FROM pairs WHERE lang = 'en' GROUP BY prev, cur),
+            ch AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS ch FROM cb GROUP BY prev),
+            v AS (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) AS v
+                  FROM pairs WHERE lang = 'en'),
+            lp AS (SELECT doc_id,
+                          round(ln((COALESCE(cb.cb, 0) + 1.0) /
+                                   (COALESCE(ch.ch, 0) + v.v)), 6) AS lp
+                   FROM pairs
+                   LEFT JOIN cb ON cb.prev = pairs.prev AND cb.cur = pairs.cur
+                   LEFT JOIN ch ON ch.prev = pairs.prev, v),
+            sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                          round(-SUM(lp), 6) AS nll
+                   FROM lp GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id, d.source,
+                     CAST(round(sc.nll * 1000000) AS BIGINT) // sc.n_bigrams
+                       AS xent_micro
+              FROM documents d JOIN sc USING (doc_id)),
+            ext AS (
+              SELECT source, MIN(xent_micro) AS mn, COUNT(*) AS n,
+                     (MAX(xent_micro) - MIN(xent_micro)) // 32 + 1 AS width
+              FROM scored GROUP BY source),
+            hist AS (
+              SELECT s.source, e.mn, e.width, e.n,
+                     CAST((s.xent_micro - e.mn) // e.width AS BIGINT) AS bin,
+                     COUNT(*) AS cnt
+              FROM scored s JOIN ext e USING (source)
+              GROUP BY 1, 2, 3, 4, 5),
+            cum AS (
+              SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+              FROM hist),
+            qq AS (
+              SELECT c.*, (c.n * q.qv + 99) // 100 AS target
+              FROM cum c CROSS JOIN (SELECT unnest([33, 67]) AS qv) q),
+            est AS (
+              SELECT source,
+                     CAST(mn + bin*width + (CAST(target - (cum - cnt) - 1 AS HUGEINT) * width) // cnt AS BIGINT) AS est
+              FROM qq WHERE cum >= target AND cum - cnt < target),
+            b AS (
+              SELECT s.doc_id, s.source, s.xent_micro,
+                     CAST(SUM(CASE WHEN e.est < s.xent_micro THEN 1 ELSE 0 END)
+                          AS BIGINT) AS bucket
+              FROM scored s JOIN est e USING (source)
+              GROUP BY 1, 2, 3)
+            SELECT doc_id, source, xent_micro, bucket,
+                   CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS band
+            FROM b
         """,
         "sample_dsir": f"""
             WITH rawtok AS (

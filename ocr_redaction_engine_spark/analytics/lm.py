@@ -251,3 +251,67 @@ def lm_cross_entropy(docs: DataFrame, reference: DataFrame,
             F.round(-F.sum("lp"), 6).alias("nll"),
         )
     )
+
+
+def ccnet_buckets(docs: DataFrame, reference: DataFrame,
+                  group: str = "source", bins: int = 32,
+                  qs: tuple = (33, 67)) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.4): score
+    every document by LM cross-entropy under the reference corpus, then band
+    each GROUP (source/domain/snapshot) into perplexity terciles — "head" is
+    the third of the group's documents closest to the reference distribution,
+    the slice CCNet keeps for LM pretraining.
+
+    Composition of two existing primitives, both integer-exact:
+      * [[lm_cross_entropy]] gives (doc_id, n_bigrams, nll); the banding key
+        is xent in integer micro-nats/bigram — ``round(nll·1e6) DIV
+        n_bigrams`` — so no float ordering ever crosses an engine boundary.
+      * the histogram-quantile sketch (sampling.hist_quantile_sketch) turns
+        one (group, bin) hash-agg into per-group tercile boundaries; docs
+        never sort globally (a corpus ntile() would funnel 10^12 rows
+        through |groups| sorted partitions).
+
+    Assignment is map-only: the |groups|×|qs| boundary rows collapse to one
+    sorted array per group, broadcast, and each doc's bucket is the count of
+    boundaries strictly below its score (monotone in xent by construction).
+    Unlike [[quantile_bucket_assign]]'s groupBy re-agg, no second doc-keyed
+    shuffle. Docs with zero bigrams have no score and emit no row (the
+    lm_cross_entropy contract).
+
+    Returns (doc_id, group, xent_micro, bucket, band) with bucket in
+    0..len(qs) and band head/middle/tail for the default terciles.
+    """
+    from .sampling import hist_quantile_sketch
+
+    scores = lm_cross_entropy(docs, reference)
+    scored = (
+        docs.select("doc_id", group)
+        .join(scores.select(
+            "doc_id",
+            F.expr("CAST(round(nll * 1000000) AS BIGINT) DIV n_bigrams")
+            .alias("xent_micro")), "doc_id")
+    )
+    bounds = (
+        hist_quantile_sketch(scored, group, "xent_micro", bins, qs)
+        .groupBy(group)
+        .agg(F.sort_array(F.collect_list(F.struct("q", "est"))).alias("bs"))
+        .select(group, F.transform("bs", lambda s: s["est"]).alias("bounds"))
+    )
+    if len(qs) == 2:
+        band = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket").cast("int") + 1)
+    else:
+        band = F.concat(F.lit("q"), F.col("bucket"))
+    return (
+        scored.join(F.broadcast(bounds), group)
+        .select(
+            "doc_id", group, "xent_micro",
+            F.aggregate(
+                "bounds", F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(b < F.col("xent_micro"), 1).otherwise(0),
+            ).alias("bucket"),
+        )
+        .withColumn("band", band)
+    )

@@ -174,3 +174,78 @@ def test_lm_min_count_prunes_bigrams(spark):
            round(math.log((0 + 1) / (0 + 2)), 6)]   # b -> c (pruned => OOV)
     assert row["n_bigrams"] == 3 and row["oov_bigrams"] == 1
     assert row["nll"] == round(-sum(lps), 6)
+
+
+def test_ccnet_buckets_monotone_and_exact(spark):
+    """ccnet_buckets vs an independent pure-Python recomputation: score every
+    doc with the already-tested lm_cross_entropy analog, rebuild the
+    histogram-sketch tercile boundaries per source with plain Python ints,
+    and compare every (bucket, band) assignment exactly."""
+    from ocr_redaction_engine_spark.analytics.lm import ccnet_buckets
+
+    rows = []
+    for i in range(60):
+        src = f"s{i % 3}"
+        # vary fluency: repeat a fluent phrase k times, pad with rare tokens
+        k = i % 5 + 1
+        text = " ".join(["spark table join scan"] * k + [f"tok{i}"] * (5 - k))
+        rows.append((f"d{i:02d}", src, text))
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    ref = docs.filter(F.col("source") == "s0")
+
+    out = ccnet_buckets(docs, ref, group="source").collect()
+    assert len(out) == 60  # every doc has bigrams
+
+    # independent recomputation
+    def bigrams(text):
+        toks = [t for t in text.split() if t]
+        return list(zip(["<s>"] + toks[:-1], toks))
+
+    cb = Counter()
+    for _, src, text in rows:
+        if src == "s0":
+            cb.update(bigrams(text))
+    ch = Counter()
+    for (p, _), c in cb.items():
+        ch[p] += c
+    v = len({c for (_, c) in cb})
+    xent = {}
+    for did, _, text in rows:
+        nll = round(-sum(round(math.log((cb.get(bg, 0) + 1.0) / (ch.get(bg[0], 0) + v)), 6)
+                         for bg in bigrams(text)), 6)
+        xent[did] = int(round(nll * 1000000)) // len(bigrams(text))
+
+    # histogram-sketch tercile boundaries, integer arithmetic (bins=32)
+    def bounds(vals):
+        mn, mx, n = min(vals), max(vals), len(vals)
+        width = (mx - mn) // 32 + 1
+        hist = Counter((x - mn) // width for x in vals)
+        out_b = []
+        for q in (33, 67):
+            target = (n * q + 99) // 100
+            cum = 0
+            for b in sorted(hist):
+                cnt = hist[b]
+                cum += cnt
+                if cum >= target and cum - cnt < target:
+                    out_b.append(mn + b * width + (target - (cum - cnt) - 1) * width // cnt)
+                    break
+        return out_b
+
+    by_src = {}
+    for did, src, _ in rows:
+        by_src.setdefault(src, []).append(xent[did])
+    bnds = {s: bounds(vs) for s, vs in by_src.items()}
+
+    names = ["head", "middle", "tail"]
+    for r in out:
+        assert r.xent_micro == xent[r.doc_id], r
+        exp = sum(1 for b in bnds[r.source] if b < r.xent_micro)
+        assert r.bucket == exp, (r, bnds[r.source])
+        assert r.band == names[r.bucket]
+
+    # banding is monotone in xent within each source
+    for src in by_src:
+        per = sorted((r.xent_micro, r.bucket) for r in out if r.source == src)
+        bks = [b for _, b in per]
+        assert bks == sorted(bks)
