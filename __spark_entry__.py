@@ -1220,6 +1220,20 @@ def dedup_substring_clip(spark, sf_dir):
     return clip_repeated_substrings(_t(spark, sf_dir, "documents"), n=3, min_docs=2)
 
 
+def dedup_incremental(spark, sf_dir):
+    """Cross-snapshot incremental dedup: the md5-fold 75% of documents plays
+    the already-deduped corpus, the 25% remainder the new crawl batch; each
+    new doc keeps only if it near-duplicates (MinHash-banded, Jaccard>=0.5)
+    neither any old doc nor a lower-id new doc. The old side is touched by
+    ONE signature hash-agg and never self-joins — the delta-dedup shape that
+    makes recurring crawls affordable at 100 TB."""
+    from ocr_redaction_engine_spark.analytics.dedup import incremental_dedup
+    docs = _t(spark, sf_dir, "documents")
+    fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                   16, 10).cast("long") < 192)
+    return incremental_dedup(docs.filter(fold), docs.filter(~fold))
+
+
 def sketch_cm_heavy_hitters(spark, sf_dir):
     """Count-min sketch point queries for the exact top-20 tokens:
     (token, exact_cnt, cm_estimate) with estimate >= exact guaranteed."""
@@ -1847,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sample_temperature,
         "text_repeated_spans": text_repeated_spans,
         "dedup_substring_clip": dedup_substring_clip,
+        "dedup_incremental": dedup_incremental,
         "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
@@ -3018,6 +3033,71 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
             FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
             WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.8
+        """,
+        "dedup_incremental": f"""
+            WITH fold AS (
+              SELECT doc_id, text,
+                     (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                           AS BIGINT) < 192) AS is_old
+              FROM documents),
+            toks AS (
+              SELECT DISTINCT doc_id, is_old, unnest({_TOK}) AS token FROM fold),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+            sigs AS (
+              SELECT doc_id, is_old,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id, is_old),
+            cand_old AS (
+              SELECT DISTINCT n, o FROM (
+                SELECT x.doc_id n, y.doc_id o FROM sigs x JOIN sigs y
+                  ON x.sig_0 = y.sig_0 AND NOT x.is_old AND y.is_old
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+                  ON x.sig_1 = y.sig_1 AND NOT x.is_old AND y.is_old
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+                  ON x.sig_2 = y.sig_2 AND NOT x.is_old AND y.is_old
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+                  ON x.sig_3 = y.sig_3 AND NOT x.is_old AND y.is_old)),
+            cand_new AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y
+                  ON x.sig_0 = y.sig_0 AND NOT x.is_old AND NOT y.is_old AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+                  ON x.sig_1 = y.sig_1 AND NOT x.is_old AND NOT y.is_old AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+                  ON x.sig_2 = y.sig_2 AND NOT x.is_old AND NOT y.is_old AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+                  ON x.sig_3 = y.sig_3 AND NOT x.is_old AND NOT y.is_old AND x.doc_id < y.doc_id)),
+            io AS (
+              SELECT c.n, c.o, COUNT(*) AS inter
+              FROM cand_old c
+              JOIN toks ta ON ta.doc_id = c.n
+              JOIN toks tb ON tb.doc_id = c.o AND tb.token = ta.token
+              GROUP BY c.n, c.o),
+            v_old AS (
+              SELECT i.n, CAST(COUNT(*) AS BIGINT) AS n_old_dups
+              FROM io i JOIN sizes sa ON sa.doc_id = i.n JOIN sizes sb ON sb.doc_id = i.o
+              WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5
+              GROUP BY i.n),
+            inn AS (
+              SELECT c.a, c.b, COUNT(*) AS inter
+              FROM cand_new c
+              JOIN toks ta ON ta.doc_id = c.a
+              JOIN toks tb ON tb.doc_id = c.b AND tb.token = ta.token
+              GROUP BY c.a, c.b),
+            v_new AS (
+              SELECT i.b, MIN(i.a) AS first_new_dup
+              FROM inn i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+              WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5
+              GROUP BY i.b)
+            SELECT f.doc_id,
+                   CAST(COALESCE(vo.n_old_dups, 0) AS BIGINT) AS n_old_dups,
+                   vn.first_new_dup,
+                   (COALESCE(vo.n_old_dups, 0) = 0 AND vn.first_new_dup IS NULL) AS keep
+            FROM fold f
+            LEFT JOIN v_old vo ON vo.n = f.doc_id
+            LEFT JOIN v_new vn ON vn.b = f.doc_id
+            WHERE NOT f.is_old
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id q_id, CAST(embedding AS DOUBLE[]) q_emb

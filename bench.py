@@ -95,6 +95,10 @@ HEADLINE = [
     # round-3b: broadcast Aho-Corasick dictionary matching (north_star's
     # named dictionary-matching scale path — zero-shuffle Arrow map stage)
     "pii_dict_match",
+    # round-3c: CCNet perplexity terciles (LM filter -> sketch banding),
+    # cross-snapshot incremental dedup (delta vs corpus, old side never
+    # self-joins)
+    "text_ccnet_buckets", "dedup_incremental",
 ]
 
 

@@ -712,3 +712,98 @@ def prefix_jaccard_join(docs: DataFrame, t_num: int = 4, t_den: int = 5) -> Data
             .alias("jaccard"),
         )
     )
+
+
+def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
+                      n_bands: int = N_BANDS,
+                      threshold: float = 0.5) -> DataFrame:
+    """Cross-snapshot incremental near-dedup: decide keep/drop for every doc
+    of a NEW crawl batch against an already-deduped corpus — the production
+    shape for recurring crawls, where you never re-dedup the accumulated
+    100 TB, only the delta.
+
+    Two candidate lanes, both MinHash-banded ([[minhash_signatures]]):
+      * new-vs-old: ONE equi-join of the old corpus's melted band
+        signatures against the (broadcast — a crawl batch is tiny next to
+        the corpus) new batch's; the old side is touched by exactly one
+        signature hash-agg and never self-joins. In steady state the old
+        signatures are persisted and even that agg amortizes away.
+      * new-vs-new: the batch-sized self-join of [[candidate_pairs]]
+        restricted to the new docs.
+    Candidates verify with exact token-set Jaccard >= threshold (rounded to
+    6dp first, the cross-engine rule). A new doc is dropped if it
+    near-duplicates ANY old doc or any LOWER-id verified new doc (the
+    first-occurrence rule — pairwise, not transitive; the cluster-exact
+    variant is [[apply_dedup]], which this deliberately avoids because an
+    iterative CC over the delta is not needed to keep a batch idempotent).
+
+    Returns one row per new doc:
+    (doc_id, n_old_dups, first_new_dup, keep) — zero/NULL-filled so the
+    keep decision is auditable per document.
+    """
+    def melt(docs: DataFrame, alias: str) -> DataFrame:
+        sigs = minhash_signatures(docs, n_bands)
+        return sigs.select(
+            F.col("doc_id").alias(alias),
+            F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
+            .alias("band", "sig"),
+        )
+
+    t_old = doc_tokens_distinct(old_docs).select(F.col("doc_id").alias("o"), "token")
+    t_new = doc_tokens_distinct(new_docs).select(F.col("doc_id").alias("n"), "token")
+    sz_old = t_old.groupBy("o").agg(F.count("*").alias("no"))
+    sz_new = t_new.groupBy("n").agg(F.count("*").alias("nn"))
+
+    def verified(cand: DataFrame, left: str, right: str,
+                 tl: DataFrame, tr: DataFrame,
+                 szl: DataFrame, szr: DataFrame) -> DataFrame:
+        inter = (
+            cand.join(tl, left).join(tr, [right, "token"])
+            .groupBy(left, right).agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(szl, left).join(szr, right)
+            .withColumn("jaccard", F.round(
+                F.col("inter") /
+                (F.col(szl.columns[1]) + F.col(szr.columns[1]) - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    new_m = melt(new_docs, "n")
+    cand_old = (
+        melt(old_docs, "o").join(F.broadcast(new_m), ["band", "sig"])
+        .select("n", "o").distinct()
+    )
+    vs_old = (
+        verified(cand_old, "n", "o", t_new, t_old, sz_new, sz_old)
+        .groupBy("n").agg(F.count("*").cast("long").alias("n_old_dups"))
+    )
+
+    cand_new = (
+        new_m.select(F.col("n").alias("a"), "band", "sig")
+        .join(new_m.select(F.col("n").alias("b"), "band", "sig"),
+              ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    vs_new = (
+        verified(cand_new, "a", "b",
+                 t_new.withColumnRenamed("n", "a"),
+                 t_new.withColumnRenamed("n", "b"),
+                 sz_new.withColumnRenamed("n", "a").withColumnRenamed("nn", "na"),
+                 sz_new.withColumnRenamed("n", "b").withColumnRenamed("nn", "nb"))
+        .groupBy("b").agg(F.min("a").alias("first_new_dup"))
+    )
+
+    return (
+        new_docs.select("doc_id")
+        .join(vs_old.withColumnRenamed("n", "doc_id"), "doc_id", "left")
+        .join(vs_new.withColumnRenamed("b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_old_dups", F.lit(0)).alias("n_old_dups"),
+            "first_new_dup",
+            ((F.coalesce("n_old_dups", F.lit(0)) == 0) &
+             F.col("first_new_dup").isNull()).alias("keep"),
+        )
+    )

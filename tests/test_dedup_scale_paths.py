@@ -236,3 +236,57 @@ def test_prefix_jaccard_join_complete_vs_bruteforce(spark, docs):
                 expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
     assert got == expect
     assert ("zz-bound-a", "zz-bound-b") in got  # the exact-boundary pair survived
+
+
+def test_incremental_dedup_planted_cases(spark):
+    """Planted keep/drop decisions: a new doc duplicating an old doc drops
+    with n_old_dups counted; an exact new-new pair keeps the min id; a
+    unique new doc keeps; a new doc near-dup of BOTH lanes reports both."""
+    from ocr_redaction_engine_spark.analytics.dedup import incremental_dedup
+
+    old = spark.createDataFrame(
+        [("o1", "alpha beta gamma delta epsilon zeta"),
+         ("o2", "one two three four five six seven")],
+        "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("n1", "alpha beta gamma delta epsilon zeta"),      # dup of o1
+         ("n2", "unique content nothing shares tokens here"),
+         ("n3", "repeated payload tokens aa bb cc dd"),
+         ("n4", "repeated payload tokens aa bb cc dd"),      # dup of n3
+         ("n5", "one two three four five six seven"),        # dup of o2
+        ],
+        "doc_id string, text string")
+
+    out = {r.doc_id: r for r in incremental_dedup(old, new).collect()}
+    assert len(out) == 5
+    assert out["n1"].n_old_dups == 1 and not out["n1"].keep
+    assert out["n2"].n_old_dups == 0 and out["n2"].first_new_dup is None
+    assert out["n2"].keep
+    assert out["n3"].keep and out["n3"].first_new_dup is None
+    assert out["n4"].first_new_dup == "n3" and not out["n4"].keep
+    assert out["n5"].n_old_dups == 1 and not out["n5"].keep
+
+    # n5 also near-duplicates n... no: make a doc that dups both lanes
+    new2 = new.union(spark.createDataFrame(
+        [("n6", "alpha beta gamma delta epsilon zeta")], "doc_id string, text string"))
+    out2 = {r.doc_id: r for r in incremental_dedup(old, new2).collect()}
+    assert out2["n6"].n_old_dups == 1 and out2["n6"].first_new_dup == "n1"
+    assert not out2["n6"].keep
+
+
+def test_incremental_dedup_threshold_and_banding(spark):
+    """A below-threshold candidate (shares a band via one common rare token
+    pattern but Jaccard < 0.5) must survive: verification is exact Jaccard,
+    not bucket membership."""
+    from ocr_redaction_engine_spark.analytics.dedup import incremental_dedup
+
+    # o1 and n1 share 2 of 10 distinct tokens -> jaccard 2/18 < 0.5, but the
+    # shared tokens can still win a band min-hash.
+    old = spark.createDataFrame(
+        [("o1", "shared1 shared2 oa ob oc od oe of og oh")],
+        "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("n1", "shared1 shared2 na nb nc nd ne nf ng nh")],
+        "doc_id string, text string")
+    row = incremental_dedup(old, new).collect()[0]
+    assert row.keep and row.n_old_dups == 0
