@@ -750,7 +750,13 @@ def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
         )
 
     t_old = doc_tokens_distinct(old_docs).select(F.col("doc_id").alias("o"), "token")
-    t_new = doc_tokens_distinct(new_docs).select(F.col("doc_id").alias("n"), "token")
+    # The batch side feeds both candidate lanes and both verifies; persist it
+    # (accurate-stats rule, see ccnet_buckets / the prefix-jaccard bisect in
+    # COVERAGE.md) so the batch tokenizes once, not four times. The corpus
+    # side is deliberately NOT persisted — it is the 100 TB side and each of
+    # its two consumers (melt, verify) scans it exactly once.
+    t_new = (doc_tokens_distinct(new_docs)
+             .select(F.col("doc_id").alias("n"), "token").persist())
     sz_old = t_old.groupBy("o").agg(F.count("*").alias("no"))
     sz_new = t_new.groupBy("n").agg(F.count("*").alias("nn"))
 
@@ -769,7 +775,7 @@ def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
             .filter(F.col("jaccard") >= threshold)
         )
 
-    new_m = melt(new_docs, "n")
+    new_m = melt(new_docs, "n").persist()
     cand_old = (
         melt(old_docs, "o").join(F.broadcast(new_m), ["band", "sig"])
         .select("n", "o").distinct()

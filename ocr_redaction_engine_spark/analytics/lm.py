@@ -284,12 +284,19 @@ def ccnet_buckets(docs: DataFrame, reference: DataFrame,
     from .sampling import hist_quantile_sketch
 
     scores = lm_cross_entropy(docs, reference)
+    # Both the sketch and the assignment consume the scored table; without a
+    # persist the whole LM-scoring subtree (bigram explode + model joins)
+    # would execute twice — a doubled corpus pass at 100 TB. persist (not
+    # localCheckpoint) keeps ACCURATE byte-size stats so Catalyst still
+    # broadcasts correctly downstream (see the prefix-jaccard bisect note in
+    # COVERAGE.md); cache lifetime: clearCache between corpora.
     scored = (
         docs.select("doc_id", group)
         .join(scores.select(
             "doc_id",
             F.expr("CAST(round(nll * 1000000) AS BIGINT) DIV n_bigrams")
             .alias("xent_micro")), "doc_id")
+        .persist()
     )
     bounds = (
         hist_quantile_sketch(scored, group, "xent_micro", bins, qs)

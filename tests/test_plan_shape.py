@@ -98,3 +98,37 @@ def test_no_query_plans_cartesian_or_bnl_join(spark):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ccnet_buckets_assignment_is_broadcast(spark):
+    """The tercile-boundary assignment join must be a broadcast of the
+    |groups|-row bounds array — a shuffled assignment join would re-key the
+    whole scored corpus just to attach 2 integers per group."""
+    from ocr_redaction_engine_spark.analytics.lm import ccnet_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_buckets(docs, docs.filter(F.col("lang") == "en"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the final assignment join (topmost join in the plan) is the broadcast:
+    # no Exchange may sit between the top and the first join marker
+    top = plan.split("Join", 1)[0]
+    assert "Exchange hashpartitioning" not in top
+    spark.catalog.clearCache()
+
+
+def test_incremental_dedup_old_side_never_self_joins(spark):
+    """The corpus (old) side must appear in exactly the two scans the design
+    promises (signature melt + verify), and the new-vs-old candidate join
+    must broadcast the batch side."""
+    from ocr_redaction_engine_spark.analytics.dedup import incremental_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                   16, 10).cast("long") < 192)
+    out = incremental_dedup(docs.filter(fold), docs.filter(~fold))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # batch side broadcasts vs the corpus
+    spark.catalog.clearCache()
