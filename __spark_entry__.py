@@ -3036,17 +3036,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_incremental": f"""
             WITH fold AS (
-              SELECT doc_id, text,
+              SELECT doc_id, {_TOK} AS t,
                      (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
                            AS BIGINT) < 192) AS is_old
               FROM documents),
             toks AS (
-              SELECT DISTINCT doc_id, is_old, unnest({_TOK}) AS token FROM fold),
+              SELECT DISTINCT doc_id, is_old,
+                     unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                            i -> CAST(('0x' || substring(md5(array_to_string(
+                                   list_slice(t, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')),
+                                 1, 15)) AS BIGINT))) AS token
+              FROM fold),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
             sigs AS (
               SELECT doc_id, is_old,
-                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
-                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+                     MIN(md5('0:' || CAST(token AS VARCHAR))) AS sig_0,
+                     MIN(md5('1:' || CAST(token AS VARCHAR))) AS sig_1,
+                     MIN(md5('2:' || CAST(token AS VARCHAR))) AS sig_2,
+                     MIN(md5('3:' || CAST(token AS VARCHAR))) AS sig_3
               FROM toks GROUP BY doc_id, is_old),
             cand_old AS (
               SELECT DISTINCT n, o FROM (

@@ -266,27 +266,33 @@ def test_incremental_dedup_planted_cases(spark):
     assert out["n4"].first_new_dup == "n3" and not out["n4"].keep
     assert out["n5"].n_old_dups == 1 and not out["n5"].keep
 
-    # n5 also near-duplicates n... no: make a doc that dups both lanes
+    # a doc that dups both lanes reports both signals
     new2 = new.union(spark.createDataFrame(
         [("n6", "alpha beta gamma delta epsilon zeta")], "doc_id string, text string"))
     out2 = {r.doc_id: r for r in incremental_dedup(old, new2).collect()}
     assert out2["n6"].n_old_dups == 1 and out2["n6"].first_new_dup == "n1"
     assert not out2["n6"].keep
 
+    # a doc shorter than the shingle width has no shingles and trivially keeps
+    new3 = new.union(spark.createDataFrame(
+        [("n7", "tiny doc")], "doc_id string, text string"))
+    out3 = {r.doc_id: r for r in incremental_dedup(old, new3).collect()}
+    assert out3["n7"].keep and out3["n7"].n_old_dups == 0
+
 
 def test_incremental_dedup_threshold_and_banding(spark):
-    """A below-threshold candidate (shares a band via one common rare token
-    pattern but Jaccard < 0.5) must survive: verification is exact Jaccard,
-    not bucket membership."""
+    """A pair sharing one 3-gram shingle (possible band collision) but with
+    shingle Jaccard far below 0.5 must survive: verification is exact
+    Jaccard, not bucket membership."""
     from ocr_redaction_engine_spark.analytics.dedup import incremental_dedup
 
-    # o1 and n1 share 2 of 10 distinct tokens -> jaccard 2/18 < 0.5, but the
-    # shared tokens can still win a band min-hash.
+    # shared prefix "shared1 shared2 shared3" = 1 common shingle out of 15
+    # union shingles -> jaccard 1/15 < 0.5, whether or not a band collides.
     old = spark.createDataFrame(
-        [("o1", "shared1 shared2 oa ob oc od oe of og oh")],
+        [("o1", "shared1 shared2 shared3 oa ob oc od oe of oh")],
         "doc_id string, text string")
     new = spark.createDataFrame(
-        [("n1", "shared1 shared2 na nb nc nd ne nf ng nh")],
+        [("n1", "shared1 shared2 shared3 na nb nc nd ne nf nh")],
         "doc_id string, text string")
     row = incremental_dedup(old, new).collect()[0]
     assert row.keep and row.n_old_dups == 0
