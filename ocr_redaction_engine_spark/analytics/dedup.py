@@ -40,18 +40,40 @@ def exact_dupes(docs: DataFrame) -> DataFrame:
     return fp.join(groups, "fp").select("doc_id", "fp", "canonical_doc_id", "dup_count")
 
 
-def doc_tokens_distinct(docs: DataFrame) -> DataFrame:
+def doc_tokens_distinct(docs: DataFrame,
+                        shingle_n: int | None = None) -> DataFrame:
+    """The per-doc set the MinHash family hashes and verifies over.
+
+    ``shingle_n=None`` (default) = distinct unigram tokens — the
+    oracle-pinned demo configuration. Production corpora set ``shingle_n``
+    (3-5, RefinedWeb/GPT-3 practice): template-correlated documents share
+    enough individual WORDS that unigram band signatures collide for nearly
+    every cross pair (measured at sf0.1: 94 % of the cross product
+    banded as candidates; 3-gram shingles cut that 280x — see
+    [[incremental_dedup]], which defaults to shingles). Shingle values are
+    the shared 60-bit fingerprints rendered as decimal strings so the band
+    hash below stays one md5 of a short string either way."""
+    if shingle_n:
+        return (
+            with_tokens(docs)
+            .select("doc_id",
+                    F.explode(F.array_distinct(gram_fp64_expr(shingle_n)))
+                    .alias("gram"))
+            .select("doc_id", F.col("gram").cast("string").alias("token"))
+        )
     return (
         with_tokens(docs)
         .select("doc_id", F.explode(F.array_distinct("tokens")).alias("token"))
     )
 
 
-def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Per-doc MinHash signature per band: min over tokens of
-    md5(band || ':' || token). Shape (doc_id, sig_0..sig_{B-1}) — one
+def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
+                       shingle_n: int | None = None) -> DataFrame:
+    """Per-doc MinHash signature per band: min over the doc's unit set
+    (unigrams, or ``shingle_n``-gram shingles — see [[doc_tokens_distinct]])
+    of md5(band || ':' || unit). Shape (doc_id, sig_0..sig_{B-1}) — one
     hash-agg, no explode of the band dimension."""
-    toks = doc_tokens_distinct(docs)
+    toks = doc_tokens_distinct(docs, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("token")))).alias(f"sig_{b}")
         for b in range(n_bands)
@@ -59,13 +81,16 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
+                    shingle_n: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band signature (a < b).
 
     The band dimension is melted to rows so candidate generation is ONE
     self-equi-join on (band, sig) — a single shuffle regardless of band
-    count, vs one join per band; hot buckets split under AQE."""
-    sigs = minhash_signatures(docs, n_bands)
+    count, vs one join per band; hot buckets split under AQE. At corpus
+    scale pass ``shingle_n`` (precision envelope: see
+    [[doc_tokens_distinct]])."""
+    sigs = minhash_signatures(docs, n_bands, shingle_n)
     melted = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
@@ -81,11 +106,15 @@ def candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                  n_bands: int = N_BANDS) -> DataFrame:
-    """Verify LSH candidates with exact token-set Jaccard ≥ threshold."""
-    toks = doc_tokens_distinct(docs)
+                  n_bands: int = N_BANDS,
+                  shingle_n: int | None = None) -> DataFrame:
+    """Verify LSH candidates with exact set Jaccard ≥ threshold, over the
+    same unit set that banded them (unigrams, or ``shingle_n``-gram
+    shingles — the corpus-scale configuration; see
+    [[doc_tokens_distinct]])."""
+    toks = doc_tokens_distinct(docs, shingle_n)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cands = candidate_pairs(docs, n_bands)
+    cands = candidate_pairs(docs, n_bands, shingle_n)
     ta = toks.select(F.col("doc_id").alias("a"), "token")
     tb = toks.select(F.col("doc_id").alias("b"), "token")
     inter = (
@@ -521,7 +550,8 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
 
 def minhash_decontaminate(train: DataFrame, eval_docs: DataFrame,
                           n_bands: int = N_BANDS,
-                          threshold: float = 0.5) -> DataFrame:
+                          threshold: float = 0.5,
+                          shingle_n: int | None = None) -> DataFrame:
     """Fuzzy train-vs-eval decontamination: MinHash band signatures computed
     per corpus, candidates generated by ONE cross-corpus equi-join on
     (band, sig) — never train×train or eval×eval pairs — then exact
@@ -535,9 +565,14 @@ def minhash_decontaminate(train: DataFrame, eval_docs: DataFrame,
 
     Returns one row per eval doc: (doc_id, n_candidates, n_contaminated,
     max_jaccard) — zero-filled for clean docs so coverage is auditable.
+
+    At corpus scale set ``shingle_n`` (3-5): with unigram banding a hot
+    band signature on the 100 TB train side pulls every matching train doc
+    into the candidate join for each colliding eval item (the measured 94 %
+    collision envelope — see [[doc_tokens_distinct]]).
     """
     def melted(docs: DataFrame, alias: str) -> DataFrame:
-        sigs = minhash_signatures(docs, n_bands)
+        sigs = minhash_signatures(docs, n_bands, shingle_n)
         return sigs.select(
             F.col("doc_id").alias(alias),
             F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
@@ -549,8 +584,8 @@ def minhash_decontaminate(train: DataFrame, eval_docs: DataFrame,
                                 ["band", "sig"])
         .select("e", "t").distinct()
     )
-    tt = doc_tokens_distinct(train).select(F.col("doc_id").alias("t"), "token")
-    te = doc_tokens_distinct(eval_docs).select(F.col("doc_id").alias("e"), "token")
+    tt = doc_tokens_distinct(train, shingle_n).select(F.col("doc_id").alias("t"), "token")
+    te = doc_tokens_distinct(eval_docs, shingle_n).select(F.col("doc_id").alias("e"), "token")
     sizes_t = tt.groupBy("t").agg(F.count("*").alias("nt"))
     sizes_e = te.groupBy("e").agg(F.count("*").alias("ne"))
     inter = (

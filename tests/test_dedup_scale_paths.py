@@ -296,3 +296,34 @@ def test_incremental_dedup_threshold_and_banding(spark):
         "doc_id string, text string")
     row = incremental_dedup(old, new).collect()[0]
     assert row.keep and row.n_old_dups == 0
+
+
+def test_minhash_family_shingle_mode(spark):
+    """shingle_n threads through signatures -> candidates -> verify: exact
+    dups still pair at jaccard 1.0, while template-correlated non-dups that
+    unigram banding pairs up produce no shingle candidates."""
+    from ocr_redaction_engine_spark.analytics.dedup import (
+        candidate_pairs, jaccard_pairs, minhash_decontaminate)
+
+    # all docs share the template words, differ in the payload slot -> no
+    # shared 3-gram between different payloads
+    rows = [(f"d{i}", f"the quick brown slot{i} jumps over the lazy dog {i}")
+            for i in range(12)]
+    rows.append(("d99", rows[0][1]))  # exact dup of d0
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    uni = candidate_pairs(docs).count()
+    shi = candidate_pairs(docs, shingle_n=3)
+    shi_pairs = {(r.a, r.b) for r in shi.collect()}
+    assert ("d0", "d99") in shi_pairs
+    assert len(shi_pairs) < uni  # the unigram mode over-bands the template
+
+    ver = {(r.a, r.b): r.jaccard
+           for r in jaccard_pairs(docs, threshold=0.5, shingle_n=3).collect()}
+    assert ver[("d0", "d99")] == 1.0
+    assert all(p == ("d0", "d99") for p in ver)
+
+    dec = {r.doc_id: r for r in minhash_decontaminate(
+        docs.filter(F.col("doc_id") != "d99"),
+        docs.filter(F.col("doc_id") == "d99"), shingle_n=3).collect()}
+    assert dec["d99"].n_contaminated == 1 and dec["d99"].max_jaccard == 1.0
