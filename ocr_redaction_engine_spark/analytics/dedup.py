@@ -67,6 +67,29 @@ def doc_tokens_distinct(docs: DataFrame,
     )
 
 
+def _band_sig_aggs(n_bands: int) -> list:
+    """The canonical per-band MinHash aggregate: min over the doc's unit
+    set of md5(band || ':' || unit), unit rendered in the ``token`` column.
+    This expression is the determinism contract shared by every banding
+    consumer in this module AND mirrored by the DuckDB oracles — there must
+    be exactly one copy of it."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("token")))).alias(f"sig_{b}")
+        for b in range(n_bands)
+    ]
+
+
+def _melt_bands(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """Melt a (id, sig_0..sig_{B-1}) signature table to (id, band, sig)
+    rows, so candidate generation is ONE equi-join on (band, sig) no matter
+    the band count. The single canonical copy of the band-melt idiom."""
+    return sigs.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
+        .alias("band", "sig"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
                        shingle_n: int | None = None) -> DataFrame:
     """Per-doc MinHash signature per band: min over the doc's unit set
@@ -74,11 +97,7 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
     of md5(band || ':' || unit). Shape (doc_id, sig_0..sig_{B-1}) — one
     hash-agg, no explode of the band dimension."""
     toks = doc_tokens_distinct(docs, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("token")))).alias(f"sig_{b}")
-        for b in range(n_bands)
-    ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return toks.groupBy("doc_id").agg(*_band_sig_aggs(n_bands))
 
 
 def candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
@@ -91,11 +110,7 @@ def candidate_pairs(docs: DataFrame, n_bands: int = N_BANDS,
     scale pass ``shingle_n`` (precision envelope: see
     [[doc_tokens_distinct]])."""
     sigs = minhash_signatures(docs, n_bands, shingle_n)
-    melted = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
-        .alias("band", "sig"),
-    )
+    melted = _melt_bands(sigs, "doc_id", n_bands)
     left = melted.select(F.col("doc_id").alias("a"), "band", "sig")
     right = melted.select(F.col("doc_id").alias("b"), "band", "sig")
     return (
@@ -573,11 +588,8 @@ def minhash_decontaminate(train: DataFrame, eval_docs: DataFrame,
     """
     def melted(docs: DataFrame, alias: str) -> DataFrame:
         sigs = minhash_signatures(docs, n_bands, shingle_n)
-        return sigs.select(
-            F.col("doc_id").alias(alias),
-            F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
-            .alias("band", "sig"),
-        )
+        return _melt_bands(sigs.withColumnRenamed("doc_id", alias),
+                           alias, n_bands)
 
     cand = (
         melted(train, "t").join(F.broadcast(melted(eval_docs, "e")),
@@ -773,9 +785,13 @@ def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
       * new-vs-old: ONE equi-join of the old corpus's melted band
         signatures against the (broadcast — a crawl batch is tiny next to
         the corpus) new batch's; the old side never self-joins and is
-        scanned exactly twice (signature pass + verify pass). In steady
-        state the old signatures/shingles are persisted tables and even
-        those passes amortize away.
+        scanned exactly twice: ONE pass builds the persisted per-doc
+        signature+size table (corpus-row-count × ~140 B — far narrower
+        than the corpus itself; both the candidate melt and the Jaccard
+        denominators read that cached aggregate, not the corpus), and ONE
+        pass feeds the verify join's shingle side. In steady state the old
+        signature/shingle tables are persisted across batches and even
+        those two passes amortize away.
       * new-vs-new: the batch-sized banded self-join.
     Candidates verify with exact shingle-set Jaccard >= threshold (rounded
     to 6dp first, the cross-engine rule). A new doc is dropped if it
@@ -796,27 +812,28 @@ def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
                     F.explode(F.array_distinct(gram_fp64_expr(n))).alias("gram"))
         )
 
-    def sigs(sh: DataFrame, alias: str) -> DataFrame:
-        return sh.groupBy(alias).agg(*[
-            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("gram").cast("string"))))
-            .alias(f"sig_{b}") for b in range(n_bands)])
-
-    def melt(sg: DataFrame, alias: str) -> DataFrame:
-        return sg.select(
-            alias,
-            F.posexplode(F.array(*[F.col(f"sig_{b}") for b in range(n_bands)]))
-            .alias("band", "sig"),
-        )
+    def sized_sigs(sh: DataFrame, alias: str, sz_alias: str) -> DataFrame:
+        # Band signatures AND the exact set size ride ONE hash-agg, so the
+        # scan that produces them is paid once per side. The signature
+        # expression is the module-wide canonical one (_band_sig_aggs);
+        # shingle fingerprints render as decimal strings, matching
+        # doc_tokens_distinct's shingle path and the DuckDB oracle.
+        units = sh.select(alias, F.col("gram").cast("string").alias("token"))
+        return units.groupBy(alias).agg(
+            *_band_sig_aggs(n_bands), F.count("*").alias(sz_alias))
 
     t_old = shingles(old_docs, "o")
     # The batch side feeds both candidate lanes and both verifies; persist it
     # (accurate-stats rule, see ccnet_buckets / the prefix-jaccard bisect in
     # COVERAGE.md) so the batch shingles once, not four times. The corpus
-    # side is deliberately NOT persisted — it is the 100 TB side and each of
-    # its two consumers (signatures, verify) scans it exactly once.
+    # side is scanned exactly twice: sig_old below (persisted — it is the
+    # per-doc signature+size aggregate, corpus-row-count × ~140 B, the
+    # steady-state "signature table") and the verify join's shingle side.
     t_new = shingles(new_docs, "n").persist()
-    sz_old = t_old.groupBy("o").agg(F.count("*").alias("no"))
-    sz_new = t_new.groupBy("n").agg(F.count("*").alias("nn"))
+    sig_old = sized_sigs(t_old, "o", "no").persist()
+    sig_new = sized_sigs(t_new, "n", "nn")
+    sz_old = sig_old.select("o", "no")
+    sz_new = sig_new.select("n", "nn")
 
     def verified(cand: DataFrame, left: str, right: str,
                  tl: DataFrame, tr: DataFrame,
@@ -833,9 +850,10 @@ def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
             .filter(F.col("jaccard") >= threshold)
         )
 
-    new_m = melt(sigs(t_new, "n"), "n").persist()
+    new_m = _melt_bands(sig_new, "n", n_bands).persist()
     cand_old = (
-        melt(sigs(t_old, "o"), "o").join(F.broadcast(new_m), ["band", "sig"])
+        _melt_bands(sig_old, "o", n_bands)
+        .join(F.broadcast(new_m), ["band", "sig"])
         .select("n", "o").distinct()
     )
     vs_old = (

@@ -236,24 +236,28 @@ def extraction_eval(pages: DataFrame, truth_pos: tuple[int, ...] = (1, 2),
     Returns one row: (n_blocks, tp, fp, fn, tn, precision_e6, recall_e6,
     f1_e6).
     """
-    labeled = classify_blocks(
-        pages, short_len=short_len, good_len=good_len,
+    # The scalar summary is BY CONSTRUCTION a reduce of the confusion
+    # detail: one truth/pred definition lives in extraction_confusion, and
+    # these tp/fp/fn/tn are sums over its <=16 bounded cells — the summary
+    # cannot de-sync from its own detail view.
+    cells = extraction_confusion(
+        pages, truth_pos=truth_pos, short_len=short_len, good_len=good_len,
         max_link_density=max_link_density,
     )
-    truth = (F.col("pos").isin(list(truth_pos)) & (F.col("text_len") > 0))
     pred = F.col("label") == "good"
-    cells = labeled.select(
-        (truth & pred).cast("long").alias("is_tp"),
-        (~truth & pred).cast("long").alias("is_fp"),
-        (truth & ~pred).cast("long").alias("is_fn"),
-        (~truth & ~pred).cast("long").alias("is_tn"),
-    )
+    truth = F.col("is_content")
+
+    def cell_sum(cond) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("n_blocks")).otherwise(F.lit(0))),
+            F.lit(0)).cast("long")
+
     agg = cells.agg(
-        F.count("*").cast("long").alias("n_blocks"),
-        F.sum("is_tp").alias("tp"),
-        F.sum("is_fp").alias("fp"),
-        F.sum("is_fn").alias("fn"),
-        F.sum("is_tn").alias("tn"),
+        F.coalesce(F.sum("n_blocks"), F.lit(0)).cast("long").alias("n_blocks"),
+        cell_sum(truth & pred).alias("tp"),
+        cell_sum(~truth & pred).alias("fp"),
+        cell_sum(truth & ~pred).alias("fn"),
+        cell_sum(~truth & ~pred).alias("tn"),
     )
     return agg.select(
         "n_blocks", "tp", "fp", "fn", "tn",

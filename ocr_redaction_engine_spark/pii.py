@@ -156,10 +156,21 @@ def dict_match(docs, terms: list[str], text_col: str = "text",
     the price of dictionary-size independence — for dictionaries small
     enough to compile into one alternation, prefer :func:`redact_text_col`'s
     codegen path (differentially tested against this one).
+
+    ``id_col`` keeps its INPUT type (long, string, UUID, …): the output
+    schema's id field is copied from ``docs.schema``, not assumed integer.
     """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     ac = build_aho_corasick(terms)
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast(ac)
+    out_schema = StructType([
+        docs.schema[id_col],
+        StructField("term", StringType()),
+        StructField("n_matches", LongType()),
+        StructField("first_pos", LongType()),
+    ])
 
     def scan(batches):
         import pandas as pd
@@ -176,11 +187,12 @@ def dict_match(docs, terms: list[str], text_col: str = "text",
                     out_terms.append(tlist[idx])
                     counts.append(n)
                     firsts.append(first)
+            # object dtype lets Arrow cast to whatever type the id field
+            # declares (int ids and string ids both round-trip exactly).
             yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype="int64"),
+                {id_col: pd.Series(ids, dtype="object"),
                  "term": pd.Series(out_terms, dtype="object"),
                  "n_matches": pd.Series(counts, dtype="int64"),
                  "first_pos": pd.Series(firsts, dtype="int64")})
 
-    return docs.select(id_col, text_col).mapInPandas(
-        scan, schema=f"{id_col} long, term string, n_matches long, first_pos long")
+    return docs.select(id_col, text_col).mapInPandas(scan, schema=out_schema)

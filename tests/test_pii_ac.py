@@ -88,3 +88,20 @@ def test_dict_match_spark(spark):
     # zero-shuffle plan: a scan + one ArrowEvalPython/mapInPandas, no Exchange
     plan = dict_match(docs, terms)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dict_match_string_ids(spark):
+    # id_col keeps its input type: string/UUID ids must round-trip, not
+    # crash in the Arrow worker on an int64 assumption.
+    rows = [
+        ("url-a", "RAHUL met PRIYA"),
+        ("url-b", "nothing"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    out = dict_match(docs, ["RAHUL", "PRIYA"], id_col="url")
+    assert dict(out.dtypes)["url"] == "string"
+    got = {(r.url, r.term): (r.n_matches, r.first_pos) for r in out.collect()}
+    assert got == {
+        ("url-a", "RAHUL"): (1, 0),
+        ("url-a", "PRIYA"): (1, 10),
+    }
