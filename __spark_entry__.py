@@ -1545,6 +1545,27 @@ def dedup_sentences(spark, sf_dir):
     return sentence_dedup(_t(spark, sf_dir, "documents"))
 
 
+def dedup_host_boilerplate(spark, sf_dir):
+    """Host-frequency boilerplate strip (the RefinedWeb/OSCAR line rule,
+    host-conditional): sentences in >=2 docs AND >=50% of a host's docs are
+    stripped from EVERY document of that host. The raw synthetic corpus has
+    no within-host repeats, so the query derives a corpus with the real-web
+    shape: every doc gains its host's footer sentence, and docs with
+    doc_id % 97 == 3 additionally quote src0's footer — boilerplate on
+    src0, a kept minority quote on every other host."""
+    from ocr_redaction_engine_spark.analytics.dedup import host_boilerplate_strip
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.lit(". reserved footer "), F.col("source"), F.lit("."),
+            F.when(F.col("doc_id") % 97 == F.lit(3),
+                   F.lit(" reserved footer src0.")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return host_boilerplate_strip(docs, min_docs=2, pct=50)
+
+
 def bpe_pair_counts(spark, sf_dir):
     """Distributed BPE pair counting (the per-iteration hot step of tokenizer
     training): distinct-word pre-agg → char-pair explode weighted by word
@@ -1896,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_communities": web_communities,
         "url_canonical": url_canonical,
         "dedup_sentences": dedup_sentences,
+        "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
         "search_bm25": search_bm25,
         "search_mlt": search_mlt,
@@ -5247,6 +5269,47 @@ def oracle_sql() -> dict[str, str]:
                          string_agg(sentence, ' ' ORDER BY pos) AS kept_text,
                          CAST(count(*) AS BIGINT) AS n_kept
                   FROM m WHERE rk = 1 GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(k.kept_text, '') AS kept_text,
+                   t.n_sentences, coalesce(k.n_kept, 0) AS n_kept
+            FROM tot t LEFT JOIN k ON k.doc_id = t.doc_id
+        """,
+        "dedup_host_boilerplate": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     text || '. reserved footer ' || source || '.' ||
+                     CASE WHEN doc_id % 97 = 3
+                          THEN ' reserved footer src0.' ELSE '' END AS text
+              FROM documents),
+            s0 AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(
+                       regexp_extract_all(text, '[^.]+\.?', 0),
+                       (x, i) -> struct_pack(i := i, t := x))) AS s
+              FROM d),
+            s AS (
+              SELECT doc_id, source, CAST(s.i - 1 AS INT) AS pos,
+                     trim(s.t) AS sentence
+              FROM s0 WHERE trim(s.t) <> ''),
+            hd AS (SELECT source, count(*) AS host_docs FROM d GROUP BY source),
+            sdf AS (SELECT source, sentence,
+                           count(DISTINCT doc_id) AS n_docs_with
+                    FROM s GROUP BY source, sentence),
+            boiler AS (
+              SELECT sdf.source, sdf.sentence
+              FROM sdf JOIN hd ON hd.source = sdf.source
+              WHERE n_docs_with >= 2
+                AND n_docs_with * 100 >= 50 * host_docs),
+            kept AS (
+              SELECT s.* FROM s
+              WHERE NOT EXISTS (
+                SELECT 1 FROM boiler b
+                WHERE b.source = s.source AND b.sentence = s.sentence)),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences
+                    FROM s GROUP BY doc_id),
+            k AS (SELECT doc_id,
+                         string_agg(sentence, ' ' ORDER BY pos) AS kept_text,
+                         CAST(count(*) AS BIGINT) AS n_kept
+                  FROM kept GROUP BY doc_id)
             SELECT t.doc_id, coalesce(k.kept_text, '') AS kept_text,
                    t.n_sentences, coalesce(k.n_kept, 0) AS n_kept
             FROM tot t LEFT JOIN k ON k.doc_id = t.doc_id

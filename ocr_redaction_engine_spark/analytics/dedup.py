@@ -563,6 +563,73 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
                 "n_sentences", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
     )
 
+def host_boilerplate_strip(docs: DataFrame, min_docs: int = 2,
+                           pct: int = 50) -> DataFrame:
+    """Host-frequency boilerplate removal (the RefinedWeb/OSCAR line-dedup
+    rule, host-conditional): a sentence is boilerplate WITHIN a host
+    (``source``) when it appears in at least ``min_docs`` of the host's
+    documents AND in at least ``pct`` percent of them; EVERY copy is
+    stripped — unlike [[sentence_dedup]]'s C4 first-occurrence rule, which
+    keeps one copy corpus-wide. Documents reassemble from surviving
+    sentences in original order. The host conditioning is the point: a
+    navigation footer that covers a whole host is boilerplate there, while
+    the same words quoted once on another host are content.
+
+    Scale shape: sentence document-frequency is a per-doc distinct
+    projection then ONE hash-agg on (source, sentence) — map-side partials
+    collapse the Zipf head ("all rights reserved" on every page of a host)
+    before the shuffle; host doc totals are a metadata-scale agg (one row
+    per host) broadcast into the threshold filter; the strip is a
+    left_anti join whose build side is ONLY the sentences that crossed the
+    threshold, not the corpus. Threshold math is integer
+    (n_docs_with·100 ≥ pct·host_docs — no float cross-engine surface).
+
+    Returns (doc_id, kept_text, n_sentences, n_kept).
+    """
+    # Same RE2-compatible segmentation as sentence_dedup (identical under
+    # Java regex and the DuckDB oracle's RE2)
+    sents = docs.select(
+        "doc_id", "source",
+        F.posexplode(F.expr(r"regexp_extract_all(text, '[^.]+\\.?', 0)"))
+        .alias("pos", "raw"),
+    ).select(
+        "doc_id", "source", "pos", F.trim("raw").alias("sentence")
+    ).filter(F.col("sentence") != "")
+
+    sent_df = (
+        sents.select("source", "sentence", "doc_id").distinct()
+        .groupBy("source", "sentence")
+        .agg(F.count("*").alias("n_docs_with"))
+    )
+    host_docs = docs.groupBy("source").agg(F.count("*").alias("host_docs"))
+    boiler = (
+        sent_df.join(F.broadcast(host_docs), "source")
+        .filter((F.col("n_docs_with") >= min_docs) &
+                (F.col("n_docs_with") * 100 >= F.lit(pct) * F.col("host_docs")))
+        .select("source", "sentence")
+    )
+    kept = sents.join(boiler, ["source", "sentence"], "left_anti")
+    return (
+        sents.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_sentences"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "sentence"))),
+                        lambda s: s["sentence"],
+                    ),
+                ).alias("kept_text"),
+                F.count("*").cast("long").alias("n_kept"),
+            ),
+            "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+                "n_sentences", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+    )
+
+
 def minhash_decontaminate(train: DataFrame, eval_docs: DataFrame,
                           n_bands: int = N_BANDS,
                           threshold: float = 0.5,

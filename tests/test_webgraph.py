@@ -106,6 +106,38 @@ def test_sentence_dedup_keeps_first_occurrence_globally(spark):
     assert got["d2"]["n_sentences"] == 1
 
 
+def test_host_boilerplate_strip_host_conditional(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import host_boilerplate_strip
+    rows = [
+        # host A: footer in 3/3 docs -> boilerplate; EVERY copy stripped,
+        # including a within-doc repeat
+        ("a0", "A", "Body zero. All rights reserved."),
+        ("a1", "A", "All rights reserved. Body one."),
+        ("a2", "A", "Body two. All rights reserved. All rights reserved."),
+        # host B: the SAME sentence quoted in only 1/3 docs -> kept there
+        ("b0", "B", "All rights reserved. Unique b zero."),
+        ("b1", "B", "Other text."),
+        ("b2", "B", "More text."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {r["doc_id"]: r
+           for r in host_boilerplate_strip(docs, min_docs=2, pct=50).collect()}
+    assert got["a0"]["kept_text"] == "Body zero."
+    assert got["a0"]["n_sentences"] == 2 and got["a0"]["n_kept"] == 1
+    assert got["a1"]["kept_text"] == "Body one."
+    assert got["a2"]["kept_text"] == "Body two."
+    assert got["a2"]["n_sentences"] == 3 and got["a2"]["n_kept"] == 1
+    # host-conditional: below min_docs on host B, the quote survives intact
+    assert got["b0"]["kept_text"] == "All rights reserved. Unique b zero."
+    assert got["b0"]["n_kept"] == 2
+    assert got["b1"]["kept_text"] == "Other text."
+    # pct gate: with pct=200 nothing can cross (200% of host docs) -> identity
+    ident = {r["doc_id"]: r["n_kept"]
+             for r in host_boilerplate_strip(docs, min_docs=2, pct=200).collect()}
+    assert ident == {r["doc_id"]: r["n_sentences"]
+                     for r in host_boilerplate_strip(docs, min_docs=2, pct=200).collect()}
+
+
 def test_snapshot_delta_classes(spark):
     from ocr_redaction_engine_spark.analytics.webgraph import snapshot_delta
     old = spark.createDataFrame(
