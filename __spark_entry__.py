@@ -1584,6 +1584,19 @@ def bpe_encode_pieces(spark, sf_dir):
     return bpe_encode(docs, bpe_learn(docs, n_merges=20))
 
 
+def text_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility audit (pieces/word, continuation
+    rate, chars/piece) for the 20-merge BPE — the standard multilingual
+    tokenizer-quality table. Never materializes the piece stream: one
+    (lang, word) hash-agg + vocab-sized Arrow segmentation + tiny group
+    agg; fixed-point DECIMAL ratios. Oracled against the pure-Python BPE
+    golden joined to documents."""
+    from ocr_redaction_engine_spark.analytics.text import (
+        bpe_learn, tokenizer_fertility)
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, bpe_learn(docs, n_merges=20))
+
+
 def text_chunks(spark, sf_dir):
     """Overlapping token-window chunking (embedding/RAG prep): 64-token
     chunks, 16-token overlap — map-only, zero shuffles."""
@@ -1928,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": text_chunks,
         "sample_dsir": sample_dsir,
         "bpe_encode_pieces": bpe_encode_pieces,
+        "text_tokenizer_fertility": text_tokenizer_fertility,
         "text_nb_classifier": text_nb_classifier,
         "text_lm_xent": text_lm_xent,
         "text_ccnet_buckets": text_ccnet_buckets,
@@ -4217,6 +4231,27 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_pieces": """
             SELECT doc_id, word_pos, piece_pos, piece
             FROM read_parquet('/root/repo/tests/golden/bpe_pieces.parquet')
+        """,
+        # Fertility over the same golden piece stream, joined to documents
+        # for the language column; HUGEINT mirrors Spark's DECIMAL(38,0).
+        "text_tokenizer_fertility": """
+            SELECT d.lang AS lang,
+                   CAST(SUM(CASE WHEN g.piece_pos = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_pieces,
+                   CAST(SUM(LENGTH(g.piece)) AS BIGINT) AS n_chars,
+                   CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+                        // SUM(CASE WHEN g.piece_pos = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fertility_e6,
+                   CAST(CAST(COUNT(*) - SUM(CASE WHEN g.piece_pos = 0
+                                            THEN 1 ELSE 0 END) AS HUGEINT)
+                        * 10000 // COUNT(*) AS BIGINT) AS continuation_bp,
+                   CAST(CAST(SUM(LENGTH(g.piece)) AS HUGEINT) * 1000000
+                        // COUNT(*) AS BIGINT) AS chars_per_piece_e6
+            FROM read_parquet('/root/repo/tests/golden/bpe_pieces.parquet') g
+            JOIN documents d ON d.doc_id = g.doc_id
+            GROUP BY d.lang
+            ORDER BY lang
         """,
         "text_chunks": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),

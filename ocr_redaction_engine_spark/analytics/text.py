@@ -654,6 +654,64 @@ def bpe_encode(docs: DataFrame, merges: list) -> DataFrame:
     )
 
 
+def tokenizer_fertility(docs: DataFrame, merges: list,
+                        by: str = "lang") -> DataFrame:
+    """Tokenizer fertility audit: mean subword pieces per whitespace word,
+    grouped by ``by`` (default language) — THE standard multilingual
+    tokenizer-quality table (XLM-R, BLOOM report it per language): a merge
+    table trained on a skewed language mix shows fertility blow-up on the
+    underrepresented languages, directly inflating their effective sequence
+    length and per-token training cost.
+
+    Scale shape: the encoded piece stream is NEVER materialized. The 100 TB
+    token stream is touched exactly once — the (group, word) hash-agg with
+    map-side combine, Zipf-collapsed to ≈|groups|×vocab rows — then the
+    distinct vocabulary is segmented once in a vectorized Arrow pass and
+    joined back (vocab vs vocab, broadcast-sized), and the audit is one
+    tiny group agg. Ratios are fixed-point over DECIMAL(38,0) (then BIGINT)
+    so they are engine-exact and overflow-proof at 10^14 pieces (a BIGINT
+    ``n_pieces·1e6`` would wrap past ~9.2e12 words).
+
+    Returns (``by``, n_words, n_pieces, n_chars, fertility_e6,
+    continuation_bp, chars_per_piece_e6), one row per group, ordered.
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "n_pieces_w": [len(_bpe_apply(w, ranks)) for w in pdf["w"]],
+            })
+
+    gw = (
+        docs.select(F.col(by).alias("grp"),
+                    F.explode(F.split(F.trim("text"), TOKEN_SPLIT)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("grp", "w").agg(F.count("*").cast("long").alias("wcount"))
+    )
+    seg = gw.select("w").distinct().mapInPandas(
+        run, "w string, n_pieces_w long")
+    out = (
+        gw.join(seg, "w")
+        .groupBy("grp")
+        .agg(F.sum("wcount").alias("n_words"),
+             F.sum(F.col("wcount") * F.col("n_pieces_w")).alias("n_pieces"),
+             F.sum(F.col("wcount") * F.length("w")).alias("n_chars"))
+    )
+    return out.select(
+        F.col("grp").alias(by),
+        "n_words", "n_pieces", "n_chars",
+        F.expr("CAST(CAST(n_pieces AS DECIMAL(38,0)) * 1000000"
+               " DIV n_words AS BIGINT)").alias("fertility_e6"),
+        F.expr("CAST(CAST(n_pieces - n_words AS DECIMAL(38,0)) * 10000"
+               " DIV n_pieces AS BIGINT)").alias("continuation_bp"),
+        F.expr("CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000"
+               " DIV n_pieces AS BIGINT)").alias("chars_per_piece_e6"),
+    ).orderBy(by)
+
+
 def pmi_collocations(docs: DataFrame, min_count: int = 5,
                      k: int = 30) -> DataFrame:
     """Top-k bigram collocations by pointwise mutual information

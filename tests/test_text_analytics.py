@@ -436,3 +436,28 @@ def test_langid_confusion_rows_sum_and_shares(spark):
     assert {k: v[0] for k, v in got.items()} == dict(expect)
     for (lang, guess), (n, bp) in got.items():
         assert bp == n * 10000 // row_totals[lang]
+
+
+def test_tokenizer_fertility_by_lang(spark):
+    from ocr_redaction_engine_spark.analytics.text import (
+        bpe_learn, tokenizer_fertility)
+    # merges learned on the corpus below: (a,a) then (a,b) (see
+    # test_bpe_learn_merges). Segmentations: "aaab"→[aa,ab], "ab"→[ab].
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab", "en"), (1, "aaab ab ab", "fr")],
+        "doc_id long, text string, lang string")
+    merges = bpe_learn(docs, n_merges=2)
+    got = {r.lang: r for r in tokenizer_fertility(docs, merges).collect()}
+    # en: 2 words ("aaab" x2) → 4 pieces, 8 chars
+    assert (got["en"].n_words, got["en"].n_pieces, got["en"].n_chars) == (2, 4, 8)
+    assert got["en"].fertility_e6 == 2_000_000          # 2 pieces/word
+    assert got["en"].continuation_bp == 5000            # half the pieces continue
+    assert got["en"].chars_per_piece_e6 == 2_000_000
+    # fr: 3 words (aaab, ab, ab) → 2+1+1 = 4 pieces, 8 chars
+    assert (got["fr"].n_words, got["fr"].n_pieces, got["fr"].n_chars) == (3, 4, 8)
+    assert got["fr"].fertility_e6 == 4_000_000 // 3     # 1333333
+    assert got["fr"].continuation_bp == (4 - 3) * 10000 // 4
+    assert got["fr"].chars_per_piece_e6 == 2_000_000
+    # output ordered by group
+    order = [r.lang for r in tokenizer_fertility(docs, merges).collect()]
+    assert order == ["en", "fr"]
