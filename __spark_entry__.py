@@ -1329,6 +1329,17 @@ def dedup_components(spark, sf_dir):
     return connected_components(candidate_pairs(docs))
 
 
+def dedup_cluster_stats(spark, sf_dir):
+    """Duplicate-cluster size audit (the table every dedup paper reports):
+    per cluster size — cluster count, docs held, docs the keep-one rule
+    removes, corpus share in bp; singletons as the size-1 row. Aggregates
+    strictly downward from the component table (≤1 row per cluster, then
+    per distinct size)."""
+    from ocr_redaction_engine_spark.analytics.dedup import (
+        dedup_cluster_stats as _stats)
+    return _stats(_t(spark, sf_dir, "documents"))
+
+
 N_MEDIA = 500
 
 
@@ -1904,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_components": dedup_components,
+        "dedup_cluster_stats": dedup_cluster_stats,
         "multimodal_byte_features": multimodal_byte_features,
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_window_energy": multimodal_window_energy,
@@ -4709,6 +4721,48 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v)
             SELECT u AS node, MIN(lab) AS component FROM reach GROUP BY u
+        """,
+        # Same recursive-CTE components, aggregated to the cluster-size
+        # histogram + the singleton (no-candidate-pair) row.
+        "dedup_cluster_stats": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM documents),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            edges AS (
+              SELECT a AS u, b AS v FROM cands
+              UNION SELECT b, a FROM cands),
+            reach(u, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lab FROM edges e JOIN reach r ON r.u = e.v),
+            comp AS (SELECT u AS node, MIN(lab) AS component FROM reach GROUP BY u),
+            hist AS (
+              SELECT size, COUNT(*) AS n_clusters FROM (
+                SELECT component, COUNT(*) AS size FROM comp GROUP BY component)
+              GROUP BY size),
+            tot AS (SELECT COUNT(*) AS n FROM documents),
+            cl AS (SELECT COALESCE(SUM(size * n_clusters), 0) AS c FROM hist),
+            allrows AS (
+              SELECT size, n_clusters FROM hist
+              UNION ALL
+              SELECT 1, (SELECT n FROM tot) - (SELECT c FROM cl)
+              WHERE (SELECT n FROM tot) > (SELECT c FROM cl))
+            SELECT CAST(size AS BIGINT) AS size,
+                   CAST(n_clusters AS BIGINT) AS n_clusters,
+                   CAST(size * n_clusters AS BIGINT) AS n_docs,
+                   CAST((size - 1) * n_clusters AS BIGINT) AS docs_removed,
+                   CAST(size * n_clusters * 10000 // (SELECT n FROM tot) AS BIGINT) AS docs_share_bp
+            FROM allrows ORDER BY size
         """,
         "dedup_simhash_cands": f"""
             WITH toks AS (

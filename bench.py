@@ -99,6 +99,9 @@ HEADLINE = [
     # cross-snapshot incremental dedup (delta vs corpus, old side never
     # self-joins)
     "text_ccnet_buckets", "dedup_incremental",
+    # round-3d: per-language tokenizer fertility audit (vocab-sized Arrow
+    # segmentation; piece stream never materialized)
+    "text_tokenizer_fertility",
 ]
 
 

@@ -348,6 +348,51 @@ def apply_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
 
 
+def dedup_cluster_stats(docs: DataFrame,
+                        pairs: DataFrame | None = None) -> DataFrame:
+    """Duplicate-cluster size audit — the histogram every dedup run reports
+    (Lee et al. 2022 "Deduplicating Training Data..." §4; RefinedWeb §3.2
+    publish exactly this table): how many clusters of each size exist, how
+    many documents they hold, and how many the keep-one rule removes.
+
+    Scale shape: the heavy input is :func:`connected_components` (already
+    run for the dedup itself — pass its candidate ``pairs`` to share the
+    lineage); everything here aggregates downward — (node, component) →
+    per-component sizes → size histogram — so the shuffles carry at most
+    one row per CLUSTER, then one per distinct SIZE. The two driver scalars
+    (corpus total, clustered total) are metadata-scale. Singletons (docs in
+    no candidate pair, absent from the component table by construction) are
+    reported as the ``size = 1`` row when present.
+
+    Returns (size, n_clusters, n_docs, docs_removed, docs_share_bp) ordered
+    by size; ``docs_removed = (size-1)·n_clusters`` (keep-one), share in
+    integer basis points of the corpus.
+    """
+    spark = docs.sparkSession
+    comps = connected_components(
+        candidate_pairs(docs) if pairs is None else pairs)
+    hist = (
+        comps.groupBy("component").agg(F.count("*").cast("long").alias("size"))
+        .groupBy("size").agg(F.count("*").cast("long").alias("n_clusters"))
+    )
+    total = docs.count()
+    clustered = (hist.agg(F.sum(F.col("size") * F.col("n_clusters")))
+                 .first()[0] or 0)
+    if total > clustered:
+        singles = spark.createDataFrame(
+            [(1, total - clustered)], "size long, n_clusters long")
+        hist = hist.unionByName(singles)
+    return (
+        hist.select(
+            "size", "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("size") - 1) * F.col("n_clusters")).alias("docs_removed"),
+            F.expr(f"CAST(size * n_clusters * 10000 DIV {total} AS BIGINT)")
+            .alias("docs_share_bp"))
+        .orderBy("size")
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Duplicate-group clustering: connected components over candidate pairs
     (columns ``a``, ``b``) by min-label propagation with POINTER DOUBLING.

@@ -87,3 +87,30 @@ def test_chain_graph_converges_by_doubling(spark):
     comp = {r.node: r.component
             for r in connected_components(chain, max_iter=10).collect()}
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_cluster_stats_histogram_and_singletons(spark):
+    """Planted clusters: {0,1,2} (size 3), {3,4} and {5,6} (size 2), docs
+    7..9 singletons → histogram rows for sizes 1, 2, 3 with keep-one
+    removal counts and integer-bp corpus shares over 10 docs."""
+    from ocr_redaction_engine_spark.analytics.dedup import dedup_cluster_stats
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 2) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6)], "a long, b long")
+    got = {r.size: r for r in dedup_cluster_stats(docs, pairs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_clusters, got[1].n_docs, got[1].docs_removed) == (3, 3, 0)
+    assert (got[2].n_clusters, got[2].n_docs, got[2].docs_removed) == (2, 4, 2)
+    assert (got[3].n_clusters, got[3].n_docs, got[3].docs_removed) == (1, 3, 2)
+    assert got[1].docs_share_bp == 3000
+    assert got[2].docs_share_bp == 4000
+    assert got[3].docs_share_bp == 3000
+    # ordered by size, and no singleton row when every doc is clustered
+    order = [r.size for r in dedup_cluster_stats(docs, pairs).collect()]
+    assert order == [1, 2, 3]
+    docs7 = docs.filter("doc_id < 7")
+    got7 = {r.size: r.n_clusters
+            for r in dedup_cluster_stats(docs7, pairs).collect()}
+    assert got7 == {2: 2, 3: 1}
