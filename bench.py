@@ -99,9 +99,9 @@ HEADLINE = [
     # cross-snapshot incremental dedup (delta vs corpus, old side never
     # self-joins)
     "text_ccnet_buckets", "dedup_incremental",
-    # round-3d: per-language tokenizer fertility audit (vocab-sized Arrow
-    # segmentation; piece stream never materialized)
-    "text_tokenizer_fertility",
+    # text_tokenizer_fertility excluded like bpe_encode_pieces: it embeds
+    # the 20-sequential-merge BPE train (measured 8.5 s, all trainer — the
+    # audit itself is two vocab-sized aggs)
 ]
 
 
@@ -126,15 +126,16 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def ensure_corpus(spark, n_docs: int) -> tuple[str, str]:
+def ensure_corpus(spark, n_docs: int, base: str | None = None) -> tuple[str, str]:
     """Materialize the bench corpus once; reuse across runs (deterministic)."""
     from ocr_redaction_engine_spark.corpus import write_corpus
-    marker = os.path.join(CORPUS_DIR, f".ok_{n_docs}")
-    docs = f"{CORPUS_DIR}/documents"
-    pages = f"{CORPUS_DIR}/media_pages"
+    base = base or CORPUS_DIR
+    marker = os.path.join(base, f".ok_{n_docs}")
+    docs = f"{base}/documents"
+    pages = f"{base}/media_pages"
     if not os.path.exists(marker):
-        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
-        write_corpus(spark, CORPUS_DIR, n_docs, seed=42, partitions=64)
+        shutil.rmtree(base, ignore_errors=True)
+        write_corpus(spark, base, n_docs, seed=42, partitions=64)
         open(marker, "w").close()
     return docs, pages
 
@@ -215,11 +216,12 @@ def host_probe(seconds: float = 1.0) -> float:
     return round(i / (time.time() - t0) / 1e6, 1)
 
 
-def run_pipeline_once(cpus: int, n_docs: int, single: bool = False) -> dict:
+def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
+                      corpus_base: str | None = None) -> dict:
     from ocr_redaction_engine_spark.pipeline import PipelineConfig, run_pipeline
 
     spark = _session(cpus)
-    docs_path, pages_path = ensure_corpus(spark, n_docs)
+    docs_path, pages_path = ensure_corpus(spark, n_docs, corpus_base)
     documents = spark.read.parquet(docs_path)
     media_pages = spark.read.parquet(pages_path)
 
@@ -294,7 +296,37 @@ def main():
     ap.add_argument("--single-pass", action="store_true",
                     help="with --pipeline-only: warm once, time once (the "
                          "interleaved-rounds scaling mode)")
+    ap.add_argument("--data-scaling", action="store_true",
+                    help="weak-scaling by DATA: run the pipeline at --ndocs "
+                         "and 4x --ndocs on the SAME core count; near-4x "
+                         "wall growth = no superlinear term (the 100 TB "
+                         "complement of the N-vs-4N core legs)")
     args = ap.parse_args()
+
+    if args.data_scaling:
+        # Interleave the two sizes (small, big, small, big) so host-steal
+        # windows hit both; min-of-rounds per size is the engine signal.
+        small, big = [], []
+        big_dir = CORPUS_DIR + "_4x"
+        for _ in range(2):
+            small.append(run_pipeline_once(args.cpus, args.ndocs, single=True))
+            big.append(run_pipeline_once(args.cpus, 4 * args.ndocs,
+                                         single=True, corpus_base=big_dir))
+        ws = min(r["wall_sec"] for r in small)
+        wb = min(r["wall_sec"] for r in big)
+        print(json.dumps({
+            "metric": "pipeline_data_weak_scaling",
+            "cpus": args.cpus,
+            "ndocs": {"1x": args.ndocs, "4x": 4 * args.ndocs},
+            "wall_sec": {"1x": ws, "4x": wb},
+            "docs_per_sec": {"1x": round(args.ndocs / ws, 2),
+                             "4x": round(4 * args.ndocs / wb, 2)},
+            # throughput retained at 4x the data on the same cores
+            "data_scaling_efficiency": round((4 * args.ndocs / wb)
+                                             / (args.ndocs / ws), 3),
+            "runs": {"1x": small, "4x": big},
+        }))
+        return
 
     if args.pipeline_only:
         print(json.dumps(run_pipeline_once(args.cpus, args.ndocs,
