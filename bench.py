@@ -140,11 +140,11 @@ def ensure_corpus(spark, n_docs: int, base: str | None = None) -> tuple[str, str
     return docs, pages
 
 
-def ensure_web_corpus(spark, n_docs: int) -> tuple[str, str]:
+def ensure_web_corpus(spark, n_docs: int, base: str | None = None) -> tuple[str, str]:
     """Web-corpus flavor (html/pdf/text/media spans) for the extraction
     pipeline's legs."""
     from ocr_redaction_engine_spark.corpus import write_web_corpus
-    base = CORPUS_DIR + "_web"
+    base = base or (CORPUS_DIR + "_web")
     marker = os.path.join(base, f".ok_{n_docs}")
     if not os.path.exists(marker):
         shutil.rmtree(base, ignore_errors=True)
@@ -258,14 +258,15 @@ def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
             "docs_per_sec": round(n_docs / wall, 2)}
 
 
-def run_extraction_once(cpus: int, n_docs: int, single: bool = False) -> dict:
+def run_extraction_once(cpus: int, n_docs: int, single: bool = False,
+                        corpus_base: str | None = None) -> dict:
     """One fresh-JVM throughput pass of the main-content extraction pipeline
     (extraction_pipeline.extract_spans forced via a noop sink — engine cost,
     not parquet-write cost)."""
     from ocr_redaction_engine_spark.extraction_pipeline import extract_spans
 
     spark = _session(cpus)
-    docs_path, pages_path = ensure_web_corpus(spark, n_docs)
+    docs_path, pages_path = ensure_web_corpus(spark, n_docs, corpus_base)
     documents = spark.read.parquet(docs_path)
     media_pages = spark.read.parquet(pages_path)
 
@@ -306,16 +307,23 @@ def main():
     if args.data_scaling:
         # Interleave the two sizes (small, big, small, big) so host-steal
         # windows hit both; min-of-rounds per size is the engine signal.
+        if args.extraction_only:
+            runner, metric, big_dir = (run_extraction_once,
+                                       "extraction_data_weak_scaling",
+                                       CORPUS_DIR + "_web_4x")
+        else:
+            runner, metric, big_dir = (run_pipeline_once,
+                                       "pipeline_data_weak_scaling",
+                                       CORPUS_DIR + "_4x")
         small, big = [], []
-        big_dir = CORPUS_DIR + "_4x"
         for _ in range(2):
-            small.append(run_pipeline_once(args.cpus, args.ndocs, single=True))
-            big.append(run_pipeline_once(args.cpus, 4 * args.ndocs,
-                                         single=True, corpus_base=big_dir))
+            small.append(runner(args.cpus, args.ndocs, single=True))
+            big.append(runner(args.cpus, 4 * args.ndocs,
+                              single=True, corpus_base=big_dir))
         ws = min(r["wall_sec"] for r in small)
         wb = min(r["wall_sec"] for r in big)
         print(json.dumps({
-            "metric": "pipeline_data_weak_scaling",
+            "metric": metric,
             "cpus": args.cpus,
             "ndocs": {"1x": args.ndocs, "4x": 4 * args.ndocs},
             "wall_sec": {"1x": ws, "4x": wb},
