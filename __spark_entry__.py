@@ -1744,6 +1744,21 @@ def text_nb_classifier(spark, sf_dir):
     return nb_classify(docs.withColumn("label", F.col("lang") == "en"), "label")
 
 
+def text_nb_pr_curve(spark, sf_dir):
+    """Filter-threshold eval sweep: precision/recall/F1 of the NB quality
+    classifier on its HELD-OUT fold, one row per occupied score bin — no
+    global score sort (fixed-point e6 binning + hash-agg histogram +
+    window over the ≤32-row histogram), integer-bp metrics."""
+    from ocr_redaction_engine_spark.analytics.lm import nb_classify, pr_curve
+    docs = _t(spark, sf_dir, "documents")
+    scored = nb_classify(docs.withColumn("label", F.col("lang") == "en"),
+                         "label")
+    ev = (scored.filter(~F.col("is_train"))
+          .join(docs.select("doc_id",
+                            (F.col("lang") == "en").alias("label")), "doc_id"))
+    return pr_curve(ev, n_bins=32)
+
+
 def text_lm_xent(spark, sf_dir):
     """CCNet-style LM filter: bigram cross-entropy of every document under a
     Laplace-smoothed LM trained on the English slice (reference corpus).
@@ -1955,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_pieces": bpe_encode_pieces,
         "text_tokenizer_fertility": text_tokenizer_fertility,
         "text_nb_classifier": text_nb_classifier,
+        "text_nb_pr_curve": text_nb_pr_curve,
         "text_lm_xent": text_lm_xent,
         "text_ccnet_buckets": text_ccnet_buckets,
         "extract_metadata": extract_metadata,
@@ -4437,6 +4453,70 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(sc.s_tokens, 0) + prior.bias, 6) AS score,
                    (COALESCE(sc.s_tokens, 0) + prior.bias > 0) AS predicted
             FROM folded f LEFT JOIN sc ON sc.doc_id = f.doc_id, prior
+        """,
+        # Same NB scoring CTEs, restricted to the held-out fold, then the
+        # fixed-point e6 equi-width binning + cumulative sweep (32 bins).
+        "text_nb_pr_curve": f"""
+            WITH folded AS (
+              SELECT doc_id, text, (lang = 'en') AS pos,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                          AS BIGINT) < 192 AS is_train
+              FROM documents),
+            traintok AS (
+              SELECT pos, unnest({_TOK}) AS token FROM folded WHERE is_train),
+            pt AS (SELECT token,
+                          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                          CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+                   FROM traintok WHERE token <> '' GROUP BY token),
+            s AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+                         CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM pt),
+            w AS (SELECT token,
+                         round(ln((c_pos + 1.0) / (n_pos + v)) -
+                               ln((c_neg + 1.0) / (n_neg + v)), 6) AS w
+                  FROM pt, s),
+            prior AS (SELECT round(ln(
+                        (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0) /
+                        (SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)), 6) AS bias
+                      FROM folded WHERE is_train),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest({_TOK}) AS token FROM folded)
+                   WHERE token <> '' GROUP BY doc_id, token),
+            sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_scored_tokens,
+                          round(SUM(round(tf * w, 6)), 6) AS s_tokens
+                   FROM tf JOIN w USING (token) GROUP BY doc_id),
+            scored AS (
+              SELECT f.pos AS y,
+                     CAST(round(round(COALESCE(sc.s_tokens, 0) + prior.bias, 6)
+                                * 1000000) AS BIGINT) AS s
+              FROM folded f LEFT JOIN sc ON sc.doc_id = f.doc_id, prior
+              WHERE NOT f.is_train),
+            mm AS (SELECT MIN(s) AS mn, MAX(s) AS mx,
+                          MAX(s) - MIN(s) + 1 AS span FROM scored),
+            hist AS (
+              SELECT CAST((s - mm.mn) * 32 // mm.span AS BIGINT) AS bin,
+                     CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                     CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+              FROM scored, mm GROUP BY 1),
+            cum AS (
+              SELECT bin, pos, neg,
+                     SUM(pos) OVER (ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                     SUM(neg) OVER (ORDER BY bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+                     SUM(pos) OVER () AS all_pos,
+                     SUM(neg) OVER () AS all_neg
+              FROM hist)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST((SELECT mn FROM mm)
+                        + bin * (SELECT span FROM mm) // 32 AS BIGINT) AS threshold_e6,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(all_pos - tp AS BIGINT) AS fn,
+                   CAST(all_neg - fp AS BIGINT) AS tn,
+                   CAST(tp * 10000 // (tp + fp) AS BIGINT) AS precision_bp,
+                   CAST(tp * 10000 // GREATEST(all_pos, 1) AS BIGINT) AS recall_bp,
+                   CAST(2 * tp * 10000 // (tp + fp + all_pos) AS BIGINT) AS f1_bp
+            FROM cum ORDER BY bin
         """,
         "text_lm_xent": r"""
             WITH tok AS (

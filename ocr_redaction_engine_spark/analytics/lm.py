@@ -322,3 +322,70 @@ def ccnet_buckets(docs: DataFrame, reference: DataFrame,
         )
         .withColumn("band", band)
     )
+
+
+def pr_curve(scored: DataFrame, n_bins: int = 32,
+             label_col: str = "label", score_col: str = "score") -> DataFrame:
+    """Precision/recall/F1 sweep for a scored+labeled table — the eval
+    harness behind every filter-threshold decision (which NB/fastText/LM
+    cutoff keeps X% of the good docs): one row per occupied score bin,
+    metrics for the rule "predict positive at score ≥ bin edge".
+
+    Scale shape: NO global sort of the score column (the textbook
+    rank-based sweep is a total order over 10^12 rows). Scores are
+    fixed-pointed to e6 integers, binned by pure BIGINT arithmetic into
+    ``n_bins`` equi-width bins between the observed min/max (two
+    metadata-scale scalars), histogrammed by one hash-agg with map-side
+    combine, and the cumulative sweep is a window over the ≤n_bins-row
+    histogram. All ratios integer basis points — engine-exact, no float
+    thresholds to drift at bin edges.
+
+    Returns (bin, threshold_e6, tp, fp, fn, tn, precision_bp, recall_bp,
+    f1_bp) ordered by bin (ascending threshold).
+    """
+    from pyspark.sql import Window
+
+    d = scored.select(
+        F.expr(f"CAST(round({score_col} * 1000000) AS BIGINT)").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"))
+    mn, mx = d.agg(F.min("s"), F.max("s")).first()
+    if mn is None:
+        return d.sparkSession.createDataFrame(
+            [], "bin long, threshold_e6 long, tp long, fp long, fn long, "
+                "tn long, precision_bp long, recall_bp long, f1_bp long")
+    span = mx - mn + 1
+    hist = (
+        d.select(
+            F.expr(f"CAST((s - {mn}) * {n_bins} DIV {span} AS BIGINT)")
+            .alias("bin"), "y")
+        .groupBy("bin")
+        .agg(F.sum(F.col("y").cast("long")).alias("pos"),
+             F.sum((~F.col("y")).cast("long")).alias("neg"))
+    )
+    # totals ride the same tiny histogram; unbounded windows over ≤n_bins
+    # rows (single partition by construction — the histogram IS that small)
+    w_cum = (Window.orderBy(F.col("bin").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.orderBy(F.col("bin").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (
+        hist
+        .withColumn("tp", F.sum("pos").over(w_cum))
+        .withColumn("fp", F.sum("neg").over(w_cum))
+        .withColumn("all_pos", F.sum("pos").over(w_all))
+        .withColumn("all_neg", F.sum("neg").over(w_all))
+        .select(
+            "bin",
+            F.expr(f"CAST({mn} + bin * {span} DIV {n_bins} AS BIGINT)")
+            .alias("threshold_e6"),
+            "tp", "fp",
+            (F.col("all_pos") - F.col("tp")).alias("fn"),
+            (F.col("all_neg") - F.col("fp")).alias("tn"),
+            F.expr("CAST(tp * 10000 DIV (tp + fp) AS BIGINT)")
+            .alias("precision_bp"),
+            F.expr("CAST(tp * 10000 DIV GREATEST(all_pos, 1) AS BIGINT)")
+            .alias("recall_bp"),
+            F.expr("CAST(2 * tp * 10000 DIV (tp + fp + all_pos) AS BIGINT)")
+            .alias("f1_bp"))
+        .orderBy("bin")
+    )

@@ -249,3 +249,31 @@ def test_ccnet_buckets_monotone_and_exact(spark):
         per = sorted((r.xent_micro, r.bucket) for r in out if r.source == src)
         bks = [b for _, b in per]
         assert bks == sorted(bks)
+
+
+def test_pr_curve_hand_computed(spark):
+    """5 scored docs, 4 bins: every cell hand-derived (fixed-point bins,
+    cumulative-from-top tp/fp, integer-bp metrics)."""
+    from ocr_redaction_engine_spark.analytics.lm import pr_curve
+    rows = [(0.9, True), (0.8, True), (0.4, True), (0.7, False), (0.1, False)]
+    scored = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r.bin: r for r in pr_curve(scored, n_bins=4).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # e6 range [100000, 900000], span 800001 -> bins: .1->0 .4->1 .7->2 .9/.8->3
+    assert [got[b].threshold_e6 for b in (0, 1, 2, 3)] == [
+        100000, 300000, 500000, 700000]
+    assert (got[3].tp, got[3].fp, got[3].fn, got[3].tn) == (2, 0, 1, 2)
+    assert (got[2].tp, got[2].fp) == (2, 1)
+    assert (got[1].tp, got[1].fp) == (3, 1)
+    assert (got[0].tp, got[0].fp, got[0].fn, got[0].tn) == (3, 2, 0, 0)
+    assert [got[b].precision_bp for b in (0, 1, 2, 3)] == [6000, 7500, 6666, 10000]
+    assert [got[b].recall_bp for b in (0, 1, 2, 3)] == [10000, 10000, 6666, 6666]
+    assert [got[b].f1_bp for b in (0, 1, 2, 3)] == [7500, 8571, 6666, 8000]
+    # degenerate: all scores identical land in bin 0, one row out
+    one = pr_curve(spark.createDataFrame(
+        [(0.5, True), (0.5, False)], "score double, label boolean"), n_bins=8)
+    rows1 = one.collect()
+    assert len(rows1) == 1 and rows1[0].tp == 1 and rows1[0].fp == 1
+    # empty input -> empty curve with the right schema
+    empty = pr_curve(spark.createDataFrame([], "score double, label boolean"))
+    assert empty.collect() == [] and "f1_bp" in empty.columns
