@@ -1616,6 +1616,16 @@ def text_chunks(spark, sf_dir):
                            chunk_tokens=64, overlap=16)
 
 
+def sample_unimax_plan(spark, sf_dir):
+    """UniMax mixture planning: epoch-capped water-filling of a 10k-token
+    budget across sources (closed form — one corpus hash-agg, then windows
+    over the |sources|-row table). Capped sources take n_tokens×2; the
+    rest split the remainder equally, leftover to the largest."""
+    from ocr_redaction_engine_spark.analytics.sampling import unimax_mixture
+    return unimax_mixture(_t(spark, sf_dir, "documents"),
+                          budget_tokens=10_000, max_epochs=2)
+
+
 def sample_dsir(spark, sf_dir):
     """DSIR domain selection: unigram log-likelihood ratio of each raw doc
     vs the src18 target domain, Laplace-smoothed; top-100 selected."""
@@ -1967,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_minhash": decontam_minhash,
         "text_chunks": text_chunks,
         "sample_dsir": sample_dsir,
+        "sample_unimax_plan": sample_unimax_plan,
         "bpe_encode_pieces": bpe_encode_pieces,
         "text_tokenizer_fertility": text_tokenizer_fertility,
         "text_nb_classifier": text_nb_classifier,
@@ -4005,6 +4016,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(rs) = 0 AS keep,
                    COALESCE(array_to_string(rs, ','), '') AS reasons
             FROM r
+        """,
+        # UniMax closed-form water-filling: the capped test and the equal
+        # share mirror the Spark windows exactly (B=10000, max_epochs=2).
+        "sample_unimax_plan": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(SUM(len(list_filter({_TOK}, t -> t <> '')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            c AS (SELECT source, n_tokens,
+                         n_tokens * 2 AS cap_tokens FROM per),
+            wnd AS (
+              SELECT source, n_tokens, cap_tokens,
+                     ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS j,
+                     COUNT(*) OVER () AS S,
+                     SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS P
+              FROM c),
+            flg AS (SELECT *,
+                           cap_tokens * (S - j + 1) + (P - cap_tokens) <= 10000
+                           AS capped
+                    FROM wnd),
+            agg AS (SELECT *,
+                           SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+                           SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                             OVER () AS P_k
+                    FROM flg),
+            alloc AS (
+              SELECT source, n_tokens, cap_tokens, capped,
+                     CAST(CASE WHEN capped THEN cap_tokens
+                               WHEN j = S THEN (10000 - P_k) // (S - k)
+                                               + (10000 - P_k) % (S - k)
+                               ELSE (10000 - P_k) // (S - k) END
+                          AS BIGINT) AS alloc_tokens
+              FROM agg)
+            SELECT source, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+                   capped, alloc_tokens,
+                   CAST(CAST(alloc_tokens AS HUGEINT) * 1000000
+                        // GREATEST(n_tokens, 1) AS BIGINT) AS epochs_e6
+            FROM alloc ORDER BY cap_tokens, source
         """,
         "mix_char_budget": """
             WITH tw AS (

@@ -649,3 +649,71 @@ def kmv_containment(docs: DataFrame, group: str = "source", k: int = 64) -> Data
             .alias("cont_b_in_a_e6"),
         )
     )
+
+
+def unimax_mixture(docs: DataFrame, budget_tokens: int,
+                   max_epochs: int = 2) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    split a token budget across sources so that no source repeats more
+    than ``max_epochs`` times and every uncapped source gets an equal
+    share — the source/language-balancing planner that replaces
+    temperature guesswork with an explicit epoch bound.
+
+    Closed form instead of the paper's sequential loop: sort sources by
+    cap (``n_tokens·max_epochs``) ascending; source j is CAPPED iff
+    giving it and every later source a share of its cap still fits —
+    ``cap_j·(S−j+1) + P_{j−1} ≤ B`` with P the cap prefix sum (the
+    condition is monotone in j, the standard water-filling argument), so
+    one window pass decides every source. Capped sources take their full
+    cap; the rest split the remainder equally (integer division, with the
+    leftover ``(B−P_k) mod (S−k)`` given to the LAST uncapped source so
+    ``Σ alloc = min(B, Σ cap)`` exactly).
+
+    Scale shape: ONE corpus hash-agg (per-source token totals, map-side
+    combined); all planning arithmetic rides the |sources|-row table
+    (windows over ≤|sources| rows — sources are few by construction).
+    Feed the resulting per-source budgets into
+    [[char_budget_mix]]/temperature sampling to apply them.
+
+    Returns (source, n_tokens, cap_tokens, capped, alloc_tokens,
+    epochs_e6) ordered by (cap_tokens, source); ``epochs_e6`` =
+    alloc·1e6 DIV n_tokens, the realized repeat factor.
+    """
+    per_src = (
+        with_tokens(docs)
+        .select("source",
+                F.size(F.filter("tokens", lambda t: t != ""))
+                .cast("long").alias("n"))
+        .groupBy("source").agg(F.sum("n").alias("n_tokens"))
+        .withColumn("cap_tokens", F.col("n_tokens") * max_epochs)
+    )
+    w_ord = Window.orderBy("cap_tokens", "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    B = int(budget_tokens)
+    planned = (
+        per_src
+        .withColumn("j", F.row_number().over(w_ord))
+        .withColumn("S", F.count("*").over(w_all))
+        .withColumn("P", F.sum("cap_tokens").over(w_cum))
+        .withColumn("capped", F.expr(
+            f"cap_tokens * (S - j + 1) + (P - cap_tokens) <= {B}"))
+        .withColumn("k", F.sum(F.col("capped").cast("long")).over(w_all))
+        .withColumn("P_k", F.sum(
+            F.when(F.col("capped"), F.col("cap_tokens")).otherwise(F.lit(0))
+        ).over(w_all))
+    )
+    share = F.expr(f"({B} - P_k) DIV (S - k)")
+    rem = F.expr(f"({B} - P_k) % (S - k)")
+    return (
+        planned
+        .withColumn("alloc_tokens", F.when(F.col("capped"), F.col("cap_tokens"))
+                    .when(F.col("j") == F.col("S"), share + rem)
+                    .otherwise(share))
+        .select("source", "n_tokens", "cap_tokens", "capped", "alloc_tokens",
+                F.expr("CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000"
+                       " DIV GREATEST(n_tokens, 1) AS BIGINT)")
+                .alias("epochs_e6"))
+        .orderBy("cap_tokens", "source")
+    )

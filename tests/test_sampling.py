@@ -362,3 +362,30 @@ def test_kmv_containment_subset_detection(spark):
     assert r.est_a == 40.0 and r.est_b == 4.0 and r.inter_est == 4.0
     assert r.cont_b_in_a_e6 == 1000000        # small fully contained
     assert r.cont_a_in_b_e6 == 100000         # 4/40
+
+
+def test_unimax_water_filling(spark):
+    """3 sources (2/5/100 tokens, caps 4/10/200 at max_epochs=2), budget
+    20: the smallest source is capped (4·3+0 ≤ 20), the other two split
+    (20−4)/2 = 8 each — every cell hand-derived, plus the remainder-to-
+    largest and all-capped regimes."""
+    from ocr_redaction_engine_spark.analytics.sampling import unimax_mixture
+    docs = spark.createDataFrame(
+        [(0, "a b", "A"), (1, "a b c d e", "B"),
+         (2, " ".join(["t"] * 100), "C")],
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in unimax_mixture(docs, 20, max_epochs=2).collect()}
+    assert (got["A"].cap_tokens, got["A"].capped, got["A"].alloc_tokens) == (4, True, 4)
+    assert (got["B"].capped, got["B"].alloc_tokens) == (False, 8)
+    assert (got["C"].capped, got["C"].alloc_tokens) == (False, 8)
+    assert got["A"].epochs_e6 == 2_000_000
+    assert got["B"].epochs_e6 == 1_600_000
+    assert got["C"].epochs_e6 == 80_000
+    # remainder goes to the LAST (largest-cap) uncapped source: sum == B
+    got21 = {r.source: r.alloc_tokens
+             for r in unimax_mixture(docs, 21, max_epochs=2).collect()}
+    assert got21 == {"A": 4, "B": 8, "C": 9}
+    # budget above total caps: everyone takes the full cap
+    gotbig = {r.source: r for r in unimax_mixture(docs, 1000, max_epochs=2).collect()}
+    assert all(r.capped for r in gotbig.values())
+    assert {s: r.alloc_tokens for s, r in gotbig.items()} == {"A": 4, "B": 10, "C": 200}
