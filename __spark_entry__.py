@@ -1129,6 +1129,19 @@ def text_quality_filter(spark, sf_dir):
                           min_stopword_ratio=0.1)
 
 
+def text_quality_funnel(spark, sf_dir):
+    """C4/Gopher-style rejection funnel: per rule (applied in order),
+    docs killed at that stage (first-fail attribution — no double count),
+    survivors after it, share in bp. One ≤6-group hash-agg over the
+    shared signal join; arithmetic on the 5-row rule table."""
+    from ocr_redaction_engine_spark.analytics.text import quality_funnel
+    return quality_funnel(_t(spark, sf_dir, "documents"),
+                          stopwords=_QUERY_STOPWORDS,
+                          min_tokens=25, max_top_token_frac=0.12,
+                          min_alpha_ratio=0.8, max_token_len=20,
+                          min_stopword_ratio=0.1)
+
+
 _MIX_BOOSTED = ("src0", "src1", "src2", "src3")
 
 
@@ -1922,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": dedup_representatives,
         "dedup_apply": dedup_apply,
         "text_quality_filter": text_quality_filter,
+        "text_quality_funnel": text_quality_funnel,
         "mix_char_budget": mix_char_budget,
         "dedup_bloom_probe": dedup_bloom_probe,
         "pack_sequences": pack_sequences,
@@ -4016,6 +4030,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(rs) = 0 AS keep,
                    COALESCE(array_to_string(rs, ','), '') AS reasons
             FROM r
+        """,
+        # Same quality signals, reduced to the first-fail funnel (rule
+        # order too_short -> repetitive -> non_alpha -> long_token ->
+        # no_stopwords; zero-kill rules still emit a row).
+        "text_quality_funnel": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            lex AS (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(t,
+                           tok -> list_contains(['the','a','an','and','of','to','in','is',
+                                                 'row','table','value','join','hash','scan'], tok))) AS DOUBLE)
+                           / len(t), 6) AS stopword_ratio,
+                     round(CAST(len(list_filter(t, tok -> regexp_matches(tok, '^[a-z]+$'))) AS DOUBLE)
+                           / len(t), 6) AS alpha_ratio,
+                     list_max(list_transform(t, tok -> length(tok))) AS max_token_len,
+                     len(t) AS n_tokens
+              FROM toks),
+            uni AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok),
+            uni_s AS (
+              SELECT doc_id,
+                     round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac
+              FROM uni GROUP BY doc_id),
+            ff AS (
+              SELECT l.doc_id,
+                     CASE WHEN l.n_tokens < 25 THEN 1
+                          WHEN u.top_token_frac > 0.12 THEN 2
+                          WHEN l.alpha_ratio < 0.8 THEN 3
+                          WHEN l.max_token_len > 20 THEN 4
+                          WHEN l.stopword_ratio < 0.1 THEN 5
+                          ELSE 0 END AS stage
+              FROM lex l JOIN uni_s u USING (doc_id)),
+            per AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM ff GROUP BY stage),
+            names(stage, rule) AS (VALUES
+              (1, 'too_short'), (2, 'repetitive'), (3, 'non_alpha'),
+              (4, 'long_token'), (5, 'no_stopwords')),
+            tot AS (SELECT COUNT(*) AS n FROM documents),
+            fun AS (
+              SELECT names.stage, names.rule,
+                     COALESCE(per.n, 0) AS n_rejected
+              FROM names LEFT JOIN per ON per.stage = names.stage)
+            SELECT CAST(stage AS BIGINT) AS stage, rule,
+                   CAST(n_rejected AS BIGINT) AS n_rejected,
+                   CAST((SELECT n FROM tot)
+                        - SUM(n_rejected) OVER (ORDER BY stage
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_surviving,
+                   CAST(n_rejected * 10000
+                        // GREATEST((SELECT n FROM tot), 1) AS BIGINT)
+                   AS rejected_share_bp
+            FROM fun ORDER BY stage
         """,
         # UniMax closed-form water-filling: the capped test and the equal
         # share mirror the Spark windows exactly (B=10000, max_epochs=2).

@@ -268,6 +268,24 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def _quality_checks(docs, stopwords, min_tokens, max_top_token_frac,
+                    min_alpha_ratio, max_token_len, min_stopword_ratio):
+    """Shared signal join + ordered rule list for the keep/drop verdict and
+    the rejection funnel (the ORDER is part of the funnel's semantics)."""
+    lex = stopword_stats(docs, stopwords)
+    rep = repetition(docs)
+    ntok = with_tokens(docs).select("doc_id", F.size("tokens").alias("n_tokens"))
+    j = ntok.join(lex, "doc_id").join(rep, "doc_id")
+    checks = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("repetitive", F.col("top_token_frac") > max_top_token_frac),
+        ("non_alpha", F.col("alpha_ratio") < min_alpha_ratio),
+        ("long_token", F.col("max_token_len") > max_token_len),
+        ("no_stopwords", F.col("stopword_ratio") < min_stopword_ratio),
+    ]
+    return j, checks
+
+
 def quality_filter(docs: DataFrame,
                    stopwords: list[str] = DEFAULT_STOPWORDS,
                    min_tokens: int = 10,
@@ -283,17 +301,9 @@ def quality_filter(docs: DataFrame,
     branch is a two-level hash-agg, the lexical branch is per-row codegen,
     joined back on doc_id (co-partitioned). ``reasons`` is a sorted
     comma-joined string (scalar, oracle-hashable)."""
-    lex = stopword_stats(docs, stopwords)
-    rep = repetition(docs)
-    ntok = with_tokens(docs).select("doc_id", F.size("tokens").alias("n_tokens"))
-    j = ntok.join(lex, "doc_id").join(rep, "doc_id")
-    checks = [
-        ("too_short", F.col("n_tokens") < min_tokens),
-        ("repetitive", F.col("top_token_frac") > max_top_token_frac),
-        ("non_alpha", F.col("alpha_ratio") < min_alpha_ratio),
-        ("long_token", F.col("max_token_len") > max_token_len),
-        ("no_stopwords", F.col("stopword_ratio") < min_stopword_ratio),
-    ]
+    j, checks = _quality_checks(docs, stopwords, min_tokens,
+                                max_top_token_frac, min_alpha_ratio,
+                                max_token_len, min_stopword_ratio)
     reasons = F.array_compact(F.array(*[
         F.when(cond, F.lit(name)) for name, cond in checks
     ]))
@@ -301,6 +311,59 @@ def quality_filter(docs: DataFrame,
         "doc_id",
         (F.size(reasons) == 0).alias("keep"),
         F.concat_ws(",", F.array_sort(reasons)).alias("reasons"),
+    )
+
+
+def quality_funnel(docs: DataFrame,
+                   stopwords: list[str] = DEFAULT_STOPWORDS,
+                   min_tokens: int = 10,
+                   max_top_token_frac: float = 0.2,
+                   min_alpha_ratio: float = 0.8,
+                   max_token_len: int = 20,
+                   min_stopword_ratio: float = 0.0) -> DataFrame:
+    """Rejection funnel over the composite quality filter — the
+    "documents removed per rule, applied in order" table every published
+    pipeline reports (C4 §2.2, Gopher A.1.1, RefinedWeb tbl. 2). Each
+    document is attributed to its FIRST failing rule (the stage that
+    would have killed it in a sequential pipeline), so the stage counts
+    sum to total − survivors with no double counting.
+
+    Scale shape: the same one-pass signal join as [[quality_filter]],
+    reduced by a single ≤6-group hash-agg (first-fail index); everything
+    after is arithmetic on the 5-row rule table (cumulative window over 5
+    rows, corpus total as one metadata scalar). Zero-rejection rules
+    still emit their row.
+
+    Returns (stage, rule, n_rejected, n_surviving, rejected_share_bp)
+    ordered by stage; ``n_surviving`` after the last stage is the kept
+    count.
+    """
+    from pyspark.sql import Window
+
+    j, checks = _quality_checks(docs, stopwords, min_tokens,
+                                max_top_token_frac, min_alpha_ratio,
+                                max_token_len, min_stopword_ratio)
+    first_fail = F.coalesce(
+        *[F.when(cond, F.lit(i + 1)) for i, (_, cond) in enumerate(checks)],
+        F.lit(0))
+    per = (j.select(first_fail.alias("stage"))
+           .groupBy("stage").agg(F.count("*").cast("long").alias("n")))
+    spark = docs.sparkSession
+    names = spark.createDataFrame(
+        [(i + 1, name) for i, (name, _) in enumerate(checks)],
+        "stage int, rule string")
+    total = docs.count()
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        names.join(per, "stage", "left")
+        .withColumn("n_rejected", F.coalesce("n", F.lit(0)))
+        .withColumn("cum", F.sum("n_rejected").over(w))
+        .select(
+            F.col("stage").cast("long").alias("stage"), "rule", "n_rejected",
+            (F.lit(total) - F.col("cum")).alias("n_surviving"),
+            F.expr(f"CAST(n_rejected * 10000 DIV {max(total, 1)} AS BIGINT)")
+            .alias("rejected_share_bp"))
+        .orderBy("stage")
     )
 
 

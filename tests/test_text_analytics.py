@@ -461,3 +461,35 @@ def test_tokenizer_fertility_by_lang(spark):
     # output ordered by group
     order = [r.lang for r in tokenizer_fertility(docs, merges).collect()]
     assert order == ["en", "fr"]
+
+
+def test_quality_funnel_first_fail_attribution(spark):
+    """Docs failing multiple rules count ONLY at their first failing stage;
+    stage sums reconcile with survivors; zero-kill rules still emit."""
+    from ocr_redaction_engine_spark.analytics.text import quality_funnel
+    rows = [
+        (0, "the a of to in is and an the a of to", "en", "s", 1),  # clean, 12 toks
+        (1, "x", "en", "s", 1),                                     # too_short (1 tok)
+        (2, "b b b b b b b b b b the a of",         "en", "s", 1),  # repetitive
+        (3, "the a of C4 99 !! ## $$ %% ^^ && **",  "en", "s", 1),  # non_alpha
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.rule: r for r in quality_funnel(
+        docs, min_tokens=10, max_top_token_frac=0.5,
+        min_alpha_ratio=0.8, max_token_len=20,
+        min_stopword_ratio=0.05).collect()}
+    assert [got[k].stage for k in
+            ("too_short", "repetitive", "non_alpha", "long_token",
+             "no_stopwords")] == [1, 2, 3, 4, 5]
+    # doc 1 dies at too_short (even though it would also fail no_stopwords)
+    assert got["too_short"].n_rejected == 1
+    assert got["repetitive"].n_rejected == 1
+    assert got["non_alpha"].n_rejected == 1
+    assert got["long_token"].n_rejected == 0
+    assert got["no_stopwords"].n_rejected == 0
+    # survivors march down: 4 docs - 1 - 1 - 1 = 1 kept
+    assert [got[k].n_surviving for k in
+            ("too_short", "repetitive", "non_alpha", "long_token",
+             "no_stopwords")] == [3, 2, 1, 1, 1]
+    assert got["too_short"].rejected_share_bp == 2500
