@@ -835,6 +835,25 @@ def privacy_pseudonymize(spark, sf_dir):
                         min_digits=6)
 
 
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit: per-QI-group EMD vs the global sensitive
+    distribution, integer cross-multiplied in DECIMAL(38,0) (released
+    ×1e-6). Two scan hash-aggs; every join/window after them rides
+    |QI|×buckets rows, so the audit is O(output) past the scan."""
+    from ocr_redaction_engine_spark.analytics.privacy import t_closeness_audit
+    return t_closeness_audit(_t(spark, sf_dir, "customer"),
+                             sens_bucket=2000, t_e6=250000)
+
+
+def privacy_dp_counts(spark, sf_dir):
+    """Binomial-mechanism DP count release per (lang, source): noisy_n =
+    max(0, n + bit_count(md5_60bit(seed:key)) - 30). Integer coins — the
+    draw is seed-deterministic and engine-exact. One hash-agg."""
+    from ocr_redaction_engine_spark.analytics.privacy import dp_release_counts
+    return dp_release_counts(_t(spark, sf_dir, "documents"),
+                             keys=("lang", "source"), seed="dp1")
+
+
 def q34_skew_join(spark, sf_dir):
     """Skew-safe split-union join: events × per-user profile; users with
     ≥80 events ride the broadcast path, the cold tail shuffles. Result is
@@ -1889,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_jaccard": dedup_prefix_jaccard,
         "privacy_k_anonymity": privacy_k_anonymity,
         "privacy_pseudonymize": privacy_pseudonymize,
+        "privacy_t_closeness": privacy_t_closeness,
+        "privacy_dp_counts": privacy_dp_counts,
         "q34_skew_join": q34_skew_join,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
@@ -2933,6 +2954,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.a
             JOIN sizes sb ON sb.doc_id = i.b
             WHERE i.inter * 10 >= 7 * (sa.n + sb.n - i.inter)
+        """,
+        "privacy_t_closeness": """
+            WITH base AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(trunc(c_acctbal / 2000) AS BIGINT) AS b
+              FROM customer),
+            cell AS (
+              SELECT c_nationkey, c_mktsegment, b, COUNT(*) AS c
+              FROM base GROUP BY 1, 2, 3),
+            grp AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n
+              FROM base GROUP BY 1, 2),
+            gdist0 AS (SELECT b, COUNT(*) AS g FROM base GROUP BY 1),
+            gdist AS (
+              SELECT b,
+                     SUM(g) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_glob,
+                     COUNT(*) OVER () AS m,
+                     SUM(g) OVER () AS n_total
+              FROM gdist0),
+            spine AS (SELECT * FROM grp CROSS JOIN gdist),
+            j AS (
+              SELECT s.c_nationkey, s.c_mktsegment, s.group_n, s.b,
+                     s.cum_glob, s.m, s.n_total, COALESCE(cell.c, 0) AS c
+              FROM spine s
+              LEFT JOIN cell
+                ON cell.c_nationkey = s.c_nationkey
+               AND cell.c_mktsegment = s.c_mktsegment AND cell.b = s.b),
+            t AS (
+              SELECT *,
+                     SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_grp
+              FROM j)
+            SELECT c_nationkey, c_mktsegment, group_n,
+                   CAST(SUM(ABS(CAST(cum_grp AS HUGEINT) * n_total
+                                - CAST(cum_glob AS HUGEINT) * group_n))
+                        * 1000000
+                        // (CAST(group_n AS HUGEINT) * n_total
+                            * GREATEST(m - 1, 1)) AS BIGINT) AS emd_e6,
+                   CAST(SUM(ABS(CAST(cum_grp AS HUGEINT) * n_total
+                                - CAST(cum_glob AS HUGEINT) * group_n))
+                        * 1000000
+                        // (CAST(group_n AS HUGEINT) * n_total
+                            * GREATEST(m - 1, 1)) AS BIGINT) > 250000 AS t_risk
+            FROM t
+            GROUP BY c_nationkey, c_mktsegment, group_n, m, n_total
+        """,
+        "privacy_dp_counts": """
+            SELECT lang, source,
+                   GREATEST(0, COUNT(*)
+                     + bit_count(CAST(('0x' || substr(md5('dp1:' || lang || ':' || source), 1, 15)) AS BIGINT))
+                     - 30) AS noisy_n
+            FROM documents GROUP BY 1, 2
         """,
         "privacy_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

@@ -8,6 +8,8 @@ from __future__ import annotations
 import hashlib
 
 from ocr_redaction_engine_spark.analytics.privacy import (
+    dp_release_counts,
+    t_closeness_audit,
     k_anonymity_audit,
     pseudonymize,
     synth_identifiers,
@@ -81,3 +83,74 @@ def test_synth_identifiers_planted_and_shared(spark):
     ps = {r.doc_id: r.clean_text for r in pseudonymize(synth_identifiers(docs)).collect()}
     shared = runs["d1"][1]
     assert _sur(shared) in ps["d1"] and _sur(shared) in ps["d2"]
+
+
+def test_t_closeness_emd(spark):
+    # global buckets over acctbal/1000: values 0,1000,2000,3000 -> b in
+    # {0,1,2,3}, one row each per group layout below (m=4, N=8)
+    rows = (
+        # group A mirrors the global distribution exactly -> EMD 0
+        [(i, "a%d" % i, 1, 1000.0 * i, "SEG_A") for i in range(4)]
+        # group B is all-mass-on-b=3 (skewed) -> large EMD
+        + [(10 + i, "b%d" % i, 2, 3000.0, "SEG_B") for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    got = {(r.c_nationkey, r.c_mktsegment): (r.group_n, r.emd_e6, r.t_risk)
+           for r in t_closeness_audit(df, sens_bucket=1000, t_e6=250000).collect()}
+    # global cum (of 8): 1,2,3,4 then +4 at b=3 -> cum_glob = 1,2,3,8... wait
+    # per-bucket global counts: b0:1 b1:1 b2:1 b3:5 -> cum 1,2,3,8
+    # group A (n=4) cum: 1,2,3,4; terms |cum_g*8 - cum_glob*4| for b0..b3:
+    # |8-4|+|16-8|+|24-12|+|32-32| = 4+8+12+0 = 24 -> emd_e6 =
+    # 24*1e6/(4*8*3) = 250000 (not > t)
+    assert got[(1, "SEG_A")] == (4, 250000, False)
+    # group B cum: 0,0,0,4; terms |0-4|+|0-8|+|0-12|+|32-32|=24? no:
+    # |0*8-1*4|+|0-2*4|+|0-3*4|+|4*8-8*4| = 4+8+12+0 = 24 -> also 250000
+    assert got[(2, "SEG_B")] == (4, 250000, False)
+
+
+def test_t_closeness_skew_flags(spark):
+    # 9 rows at b=0 and 1 at b=9 globally; group X holds only the outlier
+    rows = [(i, "c%d" % i, 1, 0.0, "S") for i in range(9)] + \
+           [(99, "x", 2, 9000.0, "S")]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    got = {r.c_nationkey: (r.group_n, r.emd_e6, r.t_risk)
+           for r in t_closeness_audit(df, sens_bucket=1000, t_e6=250000).collect()}
+    # buckets present: {0, 9} -> m=2, N=10, cum_glob = 9, 10
+    # group X (n=1) cum: 0,1 -> |0*10-9*1| + |10-10| = 9
+    # emd_e6 = 9*1e6/(1*10*1) = 900000 -> flagged
+    assert got[2] == (1, 900000, True)
+    # group S (n=9) cum: 9,9 -> |90-81| + |90-90| = 9 -> 9e6/(9*10) = 100000
+    assert got[1] == (9, 100000, False)
+
+
+def test_dp_release_counts_deterministic_and_clamped(spark):
+    import hashlib
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "web", 1) for i in range(100)]
+        + [(100, "t", "xx", "rare", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r.lang, r.source): r.noisy_n
+           for r in dp_release_counts(docs, seed="dp1").collect()}
+
+    def noise(lang, src):
+        h = hashlib.md5(f"dp1:{lang}:{src}".encode()).hexdigest()[:15]
+        return bin(int(h, 16)).count("1") - 30
+    assert got[("en", "web")] == max(0, 100 + noise("en", "web"))
+    # the 1-row group is clamped at zero if the draw goes negative enough
+    assert got[("xx", "rare")] == max(0, 1 + noise("xx", "rare"))
+    # rerun with the same seed is bit-identical (no fresh budget spend)
+    again = {(r.lang, r.source): r.noisy_n
+             for r in dp_release_counts(docs, seed="dp1").collect()}
+    assert again == got
+    # a different seed is its own (still deterministic) draw
+    def noise2(lang, src):
+        h = hashlib.md5(f"dp2:{lang}:{src}".encode()).hexdigest()[:15]
+        return bin(int(h, 16)).count("1") - 30
+    other = {(r.lang, r.source): r.noisy_n
+             for r in dp_release_counts(docs, seed="dp2").collect()}
+    assert other == {(l, s): max(0, (100 if l == "en" else 1) + noise2(l, s))
+                     for (l, s) in got}
