@@ -1580,6 +1580,17 @@ def url_canonical(spark, sf_dir):
     return normalize_urls(synth_urls(_t(spark, sf_dir, "documents")))
 
 
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (LBFS/rsync): boundary where the
+    trailing 8-char window's 60-bit md5 ≡ 0 mod 64, so insertions shift
+    nothing downstream. Boundary detection is a map-side HOF chain (no
+    per-char explode); the one shuffle is the chunk_hash hash-agg, and the
+    output is duplication mass only (cross-doc duplicated chunks)."""
+    from ocr_redaction_engine_spark.analytics.dedup import cdc_chunk_dupes
+    return cdc_chunk_dupes(_t(spark, sf_dir, "documents"),
+                           w=8, mask_bits=6, min_docs=2)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2001,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_reciprocal": web_reciprocal,
         "web_communities": web_communities,
         "url_canonical": url_canonical,
+        "dedup_cdc_chunks": dedup_cdc_chunks,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5611,6 +5623,34 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "dedup_cdc_chunks": """
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE length(text) >= 8),
+            b AS (
+              SELECT doc_id, text,
+                     list_sort(list_distinct(
+                       list_filter(range(8, n + 1),
+                         p -> CAST(('0x' || substr(md5(substr(text, p - 7, 8)), 1, 15)) AS BIGINT) % 64 = 0)
+                       || [n])) AS bounds
+              FROM base),
+            e0 AS (
+              SELECT doc_id, text,
+                     list_transform(bounds, (p, i) -> struct_pack(
+                        st := CASE WHEN i = 1 THEN 1 ELSE bounds[i - 1] + 1 END,
+                        en := p)) AS cs
+              FROM b),
+            e1 AS (SELECT doc_id, text, UNNEST(cs) AS c FROM e0),
+            e AS (
+              SELECT doc_id,
+                     md5(substr(text, c.st, c.en - c.st + 1)) AS chunk_hash,
+                     CAST(c.en - c.st + 1 AS BIGINT) AS chunk_len
+              FROM e1 WHERE c.en - c.st + 1 > 0)
+            SELECT chunk_hash, chunk_len,
+                   COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+            FROM e GROUP BY 1, 2
+            HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "dedup_sentences": r"""
             WITH s0 AS (

@@ -1001,3 +1001,58 @@ def incremental_dedup(old_docs: DataFrame, new_docs: DataFrame,
              F.col("first_new_dup").isNull()).alias("keep"),
         )
     )
+
+
+def cdc_chunk_dupes(docs: DataFrame, w: int = 8, mask_bits: int = 6,
+                    min_docs: int = 2) -> DataFrame:
+    """Content-defined chunking dedup (LBFS, Muthitacharoen et al. SOSP'01;
+    the byte-level dedup used by rsync/restic, and at corpus scale the
+    chunk-granular complement of document MinHash): a chunk boundary falls
+    wherever the fingerprint of the trailing ``w``-char window ≡ 0 mod
+    2^``mask_bits`` (expected chunk length 2^mask_bits chars). Because
+    boundaries depend only on LOCAL content, an insertion early in a
+    document shifts every fixed-size block but leaves all downstream CDC
+    chunks byte-identical — exactly the property that lets near-identical
+    crawls (boilerplate re-wraps, header edits) dedup at the chunk level
+    when whole-doc hashing sees two distinct documents.
+
+    Plan shape: boundary detection is a per-row HOF chain (sequence →
+    filter(md5 window) → slice transform) — pure map-side JVM codegen,
+    NO explode of per-character rows. The only shuffle is the final
+    hash-agg on chunk_hash. Output: one row per cross-document duplicated
+    chunk (chunk_hash, chunk_len, n_docs, n_occ) — duplication mass, not
+    the corpus, so the result stays small at any scale.
+
+    The reference engine (Devopcasting/OCR-Redaction-Engine) has no
+    corpus-level dedup at all (its unit is one queued document,
+    process_queue_documents.py); this is part of the warehouse-scale
+    analytics layer the Spark re-design adds.
+    """
+    n = F.length("text")
+    win_ok = lambda p: md5_long(F.substring("text", p - (w - 1), w)) % (1 << mask_bits) == 0
+    bounds = F.array_sort(F.array_distinct(F.concat(
+        F.filter(F.sequence(F.lit(w), n), win_ok),
+        F.array(n))))
+    chunks = F.transform(
+        bounds,
+        lambda p, i: F.struct(
+            F.when(i == 0, F.lit(1))
+             .otherwise(F.element_at(bounds, i) + 1).alias("start"),
+            p.alias("end")))
+    exploded = (
+        docs.where(n >= w)
+        .select("doc_id", F.explode(chunks).alias("c"), F.col("text"))
+        .select(
+            "doc_id",
+            F.md5(F.substring("text", F.col("c.start"),
+                              F.col("c.end") - F.col("c.start") + 1))
+             .alias("chunk_hash"),
+            (F.col("c.end") - F.col("c.start") + 1).cast("long")
+             .alias("chunk_len"))
+        .where(F.col("chunk_len") > 0))
+    return (
+        exploded.groupBy("chunk_hash", "chunk_len")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occ"))
+        .where(F.col("n_docs") >= min_docs)
+    )

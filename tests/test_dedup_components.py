@@ -114,3 +114,49 @@ def test_cluster_stats_histogram_and_singletons(spark):
     got7 = {r.size: r.n_clusters
             for r in dedup_cluster_stats(docs7, pairs).collect()}
     assert got7 == {2: 2, 3: 1}
+
+
+def _cdc_chunks_py(text: str, w: int = 8, mask_bits: int = 6) -> list:
+    """Pure-Python mirror of dedup.cdc_chunk_dupes boundary logic."""
+    import hashlib
+    n = len(text)
+    if n < w:
+        return []
+    bounds = [p for p in range(w, n + 1)
+              if int(hashlib.md5(text[p - w:p].encode()).hexdigest()[:15], 16)
+              % (1 << mask_bits) == 0]
+    if not bounds or bounds[-1] != n:
+        bounds.append(n)
+    out, prev = [], 0
+    for p in bounds:
+        out.append(text[prev:p])
+        prev = p
+    return [c for c in out if c]
+
+
+def test_cdc_chunk_dupes_matches_python_mirror_and_shift_invariance(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import cdc_chunk_dupes
+    import random
+    rng = random.Random(7)
+    body = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "XYZPREFIX-" + body), (3, "short")],
+        "doc_id long, text string")
+    got = {(r.chunk_hash, r.chunk_len): (r.n_docs, r.n_occ)
+           for r in cdc_chunk_dupes(docs, w=8, mask_bits=4).collect()}
+
+    import hashlib
+    from collections import Counter
+    occ = Counter()
+    docs_per = {}
+    for did, text in [(1, body), (2, "XYZPREFIX-" + body)]:
+        for c in _cdc_chunks_py(text, 8, 4):
+            h = hashlib.md5(c.encode()).hexdigest()
+            occ[(h, len(c))] += 1
+            docs_per.setdefault((h, len(c)), set()).add(did)
+    want = {k: (len(docs_per[k]), occ[k])
+            for k in occ if len(docs_per[k]) >= 2}
+    assert got == want
+    # the CDC property itself: despite the prefix insertion, the two docs
+    # share duplicated chunks (fixed-block hashing would share none)
+    assert len(got) > 0
