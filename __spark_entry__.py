@@ -854,6 +854,19 @@ def privacy_dp_counts(spark, sf_dir):
                              keys=("lang", "source"), seed="dp1")
 
 
+def er_blocked_match(spark, sf_dir):
+    """FastSS deletion-neighborhood blocked entity resolution: an
+    OCR-noise dirty twin of the customer file (delete/substitute/clean by
+    key mod 3) links back via depth-1 deletion-variant equi-join + exact
+    levenshtein ≤1 verify + (dist, key) top-1 window. Candidate volume is
+    proportional to true matches — near-unique variant keys, no
+    length-bucket block degeneracy on the shared 'Customer#' prefix."""
+    from ocr_redaction_engine_spark.analytics.er import (
+        blocked_match, synth_dirty_names)
+    cust = _t(spark, sf_dir, "customer")
+    return blocked_match(synth_dirty_names(cust), cust)
+
+
 def q34_skew_join(spark, sf_dir):
     """Skew-safe split-union join: events × per-user profile; users with
     ≥80 events ride the broadcast path, the cold tail shuffles. Result is
@@ -1920,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": privacy_k_anonymity,
         "privacy_pseudonymize": privacy_pseudonymize,
         "privacy_t_closeness": privacy_t_closeness,
+        "er_blocked_match": er_blocked_match,
         "privacy_dp_counts": privacy_dp_counts,
         "q34_skew_join": q34_skew_join,
         "embed_norms": embed_norms,
@@ -2966,6 +2980,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.a
             JOIN sizes sb ON sb.doc_id = i.b
             WHERE i.inter * 10 >= 7 * (sa.n + sb.n - i.inter)
+        """,
+        "er_blocked_match": """
+            WITH seeded AS (
+              SELECT *, CAST(CAST(('0x' || substr(md5(c_custkey || ':pert'), 1, 15)) AS BIGINT)
+                             % length(c_name) + 1 AS INT) AS d
+              FROM customer),
+            dirty AS (
+              SELECT c_custkey AS dirty_id,
+                     CASE WHEN c_custkey % 3 = 0
+                            THEN substr(c_name, 1, d - 1) || substr(c_name, d + 1, 1073741824)
+                          WHEN c_custkey % 3 = 1
+                            THEN substr(c_name, 1, d - 1) || 'x' || substr(c_name, d + 1, 1073741824)
+                          ELSE c_name END AS dirty_name,
+                     c_nationkey AS nationkey
+              FROM seeded),
+            dv AS (
+              SELECT dirty_id, dirty_name, nationkey, UNNEST(
+                list_transform(range(0, length(dirty_name) + 1),
+                  i -> CASE WHEN i = 0 THEN dirty_name
+                       ELSE substr(dirty_name, 1, i - 1) || substr(dirty_name, i + 1, 1073741824) END)) AS v
+              FROM dirty),
+            cv AS (
+              SELECT c_custkey, c_name, c_nationkey, UNNEST(
+                list_transform(range(0, length(c_name) + 1),
+                  i -> CASE WHEN i = 0 THEN c_name
+                       ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1, 1073741824) END)) AS v
+              FROM customer),
+            cands AS (
+              SELECT DISTINCT dirty_id, dirty_name, c_custkey, c_name
+              FROM dv JOIN cv ON dv.v = cv.v AND dv.nationkey = cv.c_nationkey),
+            verified AS (
+              SELECT dirty_id, c_custkey,
+                     levenshtein(dirty_name, c_name) AS dist
+              FROM cands WHERE levenshtein(dirty_name, c_name) <= 1),
+            ranked AS (
+              SELECT dirty_id, c_custkey, dist,
+                     row_number() OVER (PARTITION BY dirty_id
+                                        ORDER BY dist ASC, c_custkey ASC) AS rn
+              FROM verified)
+            SELECT dirty_id, c_custkey AS matched_custkey, dist
+            FROM ranked WHERE rn = 1
         """,
         "privacy_t_closeness": """
             WITH base AS (
