@@ -25,20 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .search import deletion_variants
 from .text import md5_long
 
 _BIG = 1 << 30
-
-
-def deletion_neighborhood(col) -> F.Column:
-    """{s} ∪ {s with char i removed}: element 0 is the string itself,
-    element i≥1 deletes 1-based position i. Pure per-row HOF."""
-    col = F.col(col) if isinstance(col, str) else col
-    return F.transform(
-        F.sequence(F.lit(0), F.length(col)),
-        lambda i: F.when(i == 0, col).otherwise(
-            F.concat(F.substring(col, 1, i - 1),
-                     F.substring(col, i + 1, _BIG))))
 
 
 def synth_dirty_names(customers: DataFrame) -> DataFrame:
@@ -76,10 +66,10 @@ def blocked_match(dirty: DataFrame, clean: DataFrame) -> DataFrame:
     """
     dv = dirty.select(
         "dirty_id", "dirty_name", "nationkey",
-        F.explode(deletion_neighborhood("dirty_name")).alias("v"))
+        F.explode(deletion_variants(F.col("dirty_name"))).alias("v"))
     cv = clean.select(
         F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey"),
-        F.explode(deletion_neighborhood("c_name")).alias("v"))
+        F.explode(deletion_variants(F.col("c_name"))).alias("v"))
     cands = (
         dv.join(cv, (dv.v == cv.v) & (dv.nationkey == cv.c_nationkey))
         .select("dirty_id", "dirty_name", "c_custkey", "c_name")

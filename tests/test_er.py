@@ -8,9 +8,9 @@ import hashlib
 
 from ocr_redaction_engine_spark.analytics.er import (
     blocked_match,
-    deletion_neighborhood,
     synth_dirty_names,
 )
+from ocr_redaction_engine_spark.analytics.search import deletion_variants
 from pyspark.sql import functions as F
 
 
@@ -30,7 +30,7 @@ def _dirty(custkey: int, name: str) -> str:
 
 def test_deletion_neighborhood_contents(spark):
     df = spark.createDataFrame([("abc",)], "s string")
-    got = df.select(deletion_neighborhood("s").alias("v")).collect()[0].v
+    got = df.select(deletion_variants(F.col("s")).alias("v")).collect()[0].v
     assert got == ["abc", "bc", "ac", "ab"]
 
 
