@@ -749,6 +749,40 @@ def q35_snowflake_rollup(spark, sf_dir):
         "n_suppliers", "supp_balance")
 
 
+def q36_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share: ASIA suppliers' revenue by nation ×
+    order-year, share in basis points of the year total. Dims ride
+    broadcasts (supplier→nation→region chain collapses map-side), the one
+    big shuffle is lineitem⋈orders on orderkey; the share window runs over
+    the |years×nations| aggregate. Revenue in integer cents; the ×10000
+    fold goes through DECIMAL(38,0) so it cannot wrap at warehouse scale."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sn = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(_t(spark, sf_dir, "region")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .where(F.col("r_name") == "ASIA")
+          .select("s_suppkey", "n_name"))
+    rev = (li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+           .join(orders.select("o_orderkey",
+                               F.year("o_orderdate").alias("o_year")),
+                 li.l_orderkey == F.col("o_orderkey")))
+    per = rev.groupBy("o_year", "n_name").agg(
+        F.sum(F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        )).alias("rev_cents"))
+    return (per
+            .withColumn("year_total",
+                        F.sum("rev_cents").over(Window.partitionBy("o_year")))
+            .select(
+                "o_year", "n_name", "rev_cents",
+                F.expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 10000 DIV "
+                       "year_total AS BIGINT)").alias("share_bp")))
+
+
 def events_json_keys(spark, sf_dir):
     """Semi-structured schema discovery over the (corruption-planted) props
     feed: per JSON key — rows carrying it, distinct values, min/max string
@@ -1604,6 +1638,15 @@ def dedup_cdc_chunks(spark, sf_dir):
                            w=8, mask_bits=6, min_docs=2)
 
 
+def text_zipf_fit(spark, sf_dir):
+    """Per-source Zipf power-law fit: OLS slope of ln(freq)~ln(rank) over
+    the top-200 tokens — corpus-health probe (natural text ≈ −1). All lns
+    and products round to 6dp before summation (lm.py discipline); one
+    vocab hash-agg + per-source top-k window + tiny final agg."""
+    from ocr_redaction_engine_spark.analytics.text import zipf_fit
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=200, min_count=2)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -1922,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_pairs": events_interval_pairs,
         "events_value_trend": events_value_trend,
         "q35_snowflake_rollup": q35_snowflake_rollup,
+        "q36_market_share": q36_market_share,
         "events_json_keys": events_json_keys,
         "audit_referential": audit_referential,
         "basket_part_lift": basket_part_lift,
@@ -2027,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_communities": web_communities,
         "url_canonical": url_canonical,
         "dedup_cdc_chunks": dedup_cdc_chunks,
+        "text_zipf_fit": text_zipf_fit,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -2645,6 +2690,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * 1e9) AS BIGINT) AS slope_e9,
                    CAST(round(((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd) * 1e9) AS BIGINT) AS intercept_e9
             FROM s
+        """,
+        "q36_market_share": """
+            WITH sn AS (
+              SELECT s_suppkey, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            per AS (
+              SELECT year(o_orderdate) AS o_year, n_name,
+                     SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+              FROM lineitem
+              JOIN sn ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2)
+            SELECT o_year, n_name, rev_cents,
+                   CAST(CAST(rev_cents AS HUGEINT) * 10000
+                        // SUM(rev_cents) OVER (PARTITION BY o_year) AS BIGINT) AS share_bp
+            FROM per
         """,
         "q35_snowflake_rollup": """
             WITH nr AS (
@@ -5678,6 +5742,38 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "text_zipf_fit": r"""
+            WITH toks AS (
+              SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+            counts AS (
+              SELECT source, tok, COUNT(*) AS c
+              FROM toks WHERE length(tok) > 0
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            ranked AS (
+              SELECT source, c,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY c DESC, tok ASC) AS r
+              FROM counts QUALIFY r <= 200),
+            terms AS (
+              SELECT source,
+                     round(ln(r), 6) AS x, round(ln(c), 6) AS y,
+                     round(round(ln(r), 6) * round(ln(c), 6), 6) AS xy,
+                     round(round(ln(r), 6) * round(ln(r), 6), 6) AS xx
+              FROM ranked),
+            agg AS (
+              SELECT source, COUNT(*) AS n_terms,
+                     round(SUM(x), 6) AS sx, round(SUM(y), 6) AS sy,
+                     round(SUM(xy), 6) AS sxy, round(SUM(xx), 6) AS sxx
+              FROM terms GROUP BY 1)
+            SELECT source, n_terms,
+                   round((n_terms * sxy - sx * sy)
+                         / (n_terms * sxx - sx * sx), 6) AS slope,
+                   round((sy - round((n_terms * sxy - sx * sy)
+                                     / (n_terms * sxx - sx * sx), 6) * sx)
+                         / n_terms, 6) AS intercept
+            FROM agg WHERE n_terms >= 3
         """,
         "dedup_cdc_chunks": """
             WITH base AS (

@@ -1101,3 +1101,53 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
         .select("lang", "lang_guess", "n",
                 F.expr("CAST(n * 10000 DIV row_total AS BIGINT)").alias("share_bp"))
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 200,
+             min_count: int = 2) -> DataFrame:
+    """Zipf power-law fit per source: OLS slope of ln(freq) on ln(rank)
+    over each source's ``top_n`` tokens — the standard corpus-health probe
+    (natural language sits near slope −1; machine-generated or
+    template-heavy sources drift shallow/steep, so the slope is a cheap
+    source-level quality gate alongside [[text_source_kl]]).
+
+    Determinism discipline (same as lm.py): every ln and every product is
+    F.round()-ed to 6 decimals BEFORE summation and each sum re-rounded,
+    so engine-order float drift cannot reach the released digits. Rank
+    ties break lexicographically.
+
+    Scale shape: one (source, token) hash-agg over the scan, a per-source
+    top-``top_n`` window on the (vocab-sized, Zipf-small) count table, and
+    a final per-source agg over ≤ top_n rows. Output: one row per source.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        with_tokens(docs)
+        .select("source", F.explode("tokens").alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("source", "tok").agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(),
+                                             F.col("tok").asc())
+    ranked = (counts.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= top_n))
+    x = F.round(F.log(F.col("r").cast("double")), 6)
+    y = F.round(F.log(F.col("c").cast("double")), 6)
+    terms = ranked.select(
+        "source", x.alias("x"), y.alias("y"),
+        F.round(x * y, 6).alias("xy"), F.round(x * x, 6).alias("xx"))
+    agg = terms.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum("xy"), 6).alias("sxy"),
+        F.round(F.sum("xx"), 6).alias("sxx"))
+    slope = F.round(
+        (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+    return (agg.where(F.col("n_terms") >= 3)
+            .withColumn("slope", slope)
+            .select("source", "n_terms", "slope",
+                    F.round((F.col("sy") - F.col("slope") * F.col("sx"))
+                            / F.col("n_terms"), 6).alias("intercept")))

@@ -493,3 +493,34 @@ def test_quality_funnel_first_fail_attribution(spark):
             ("too_short", "repetitive", "non_alpha", "long_token",
              "no_stopwords")] == [3, 2, 1, 1, 1]
     assert got["too_short"].rejected_share_bp == 2500
+
+
+def test_zipf_fit_matches_ols_mirror(spark):
+    from ocr_redaction_engine_spark.analytics.text import zipf_fit
+    import math
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["once"]), "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = zipf_fit(docs, top_n=200, min_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # ranks: a(8)=1, b(4)=2, c(2)=3; 'once' dropped by min_count
+    pts = [(1, 8), (2, 4), (3, 2)]
+    xs = [round(math.log(rk), 6) for rk, _ in pts]
+    ys = [round(math.log(c), 6) for _, c in pts]
+    sx = round(sum(xs), 6); sy = round(sum(ys), 6)
+    sxy = round(sum(round(x * y, 6) for x, y in zip(xs, ys)), 6)
+    sxx = round(sum(round(x * x, 6) for x in xs), 6)
+    n = 3
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    intercept = round((sy - slope * sx) / n, 6)
+    assert (r.n_terms, r.slope, r.intercept) == (3, slope, intercept)
+    assert -1.4 < r.slope < -0.8  # zipf-ish decay
+
+
+def test_zipf_fit_needs_three_points(spark):
+    from ocr_redaction_engine_spark.analytics.text import zipf_fit
+    docs = spark.createDataFrame(
+        [(1, "x x y y", "en", "tiny", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    assert zipf_fit(docs).count() == 0  # 2 qualifying tokens < 3 points
