@@ -1647,6 +1647,23 @@ def text_zipf_fit(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"), top_n=200, min_count=2)
 
 
+def text_source_overlap(spark, sf_dir):
+    """Cross-source 5-gram containment matrix (dedup planning): corpus
+    collapses to DISTINCT (source, gram-fp64) first, self-join fans out
+    ≤|sources|² per gram, output ≤ C(|sources|,2) rows; DECIMAL(38,0)
+    containment fold."""
+    from ocr_redaction_engine_spark.analytics.text import source_overlap
+    return source_overlap(_t(spark, sf_dir, "documents"), n=5)
+
+
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease + difficulty band per doc — vowel-group
+    syllable heuristic, terminal-punctuation sentences; map-only regexps,
+    no shuffle."""
+    from ocr_redaction_engine_spark.analytics.text import readability
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2072,6 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": url_canonical,
         "dedup_cdc_chunks": dedup_cdc_chunks,
         "text_zipf_fit": text_zipf_fit,
+        "text_source_overlap": text_source_overlap,
+        "text_readability": text_readability,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5742,6 +5761,46 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "text_source_overlap": f"""
+            WITH toks AS (SELECT source, {_TOK} AS t FROM documents),
+            g AS (
+              SELECT DISTINCT source,
+                     unnest(list_transform(range(1, greatest(len(t) - 5 + 1, 0) + 1),
+                            i -> CAST(('0x' || substr(md5(array_to_string(
+                                   list_slice(t, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')), 1, 15)) AS BIGINT))) AS gr
+              FROM toks),
+            tot AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+              FROM g a JOIN g b ON a.gr = b.gr AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, inter, ta.n AS n_a, tb.n AS n_b,
+                   CAST(CAST(inter AS HUGEINT) * 10000 // ta.n AS BIGINT) AS cont_a_bp,
+                   CAST(CAST(inter AS HUGEINT) * 10000 // tb.n AS BIGINT) AS cont_b_bp
+            FROM pairs
+            JOIN tot ta ON ta.source = src_a
+            JOIN tot tb ON tb.source = src_b
+        """,
+        "text_readability": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n_words,
+                     greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+                     greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syll
+              FROM documents),
+            f AS (
+              SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                     CAST(n_sents AS BIGINT) AS n_sents,
+                     CAST(n_syll AS BIGINT) AS n_syll,
+                     round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                           - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+              FROM m WHERE n_words > 0)
+            SELECT doc_id, n_words, n_sents, n_syll, flesch,
+                   CASE WHEN flesch >= 60 THEN 'easy'
+                        WHEN flesch >= 30 THEN 'medium'
+                        ELSE 'hard' END AS band
+            FROM f
         """,
         "text_zipf_fit": r"""
             WITH toks AS (

@@ -1151,3 +1151,76 @@ def zipf_fit(docs: DataFrame, top_n: int = 200,
             .select("source", "n_terms", "slope",
                     F.round((F.col("sy") - F.col("slope") * F.col("sx"))
                             / F.col("n_terms"), 6).alias("intercept")))
+
+
+def source_overlap(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-source n-gram containment matrix — the dedup-PLANNING view
+    (which crawls/dumps overlap, and how asymmetrically) you consult
+    before spending a corpus-wide pairwise dedup: for every source pair,
+    |grams(A) ∩ grams(B)| and containment in basis points of each side
+    (asymmetric on purpose: a small source swallowed by a big one shows
+    cont_a_bp ≈ 10000 while cont_b_bp stays low).
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram) first —
+    vocabulary-sized, Zipf-small — then the self-equi-join on the 8-byte
+    gram fingerprint fans out at most |sources|² per gram, and the output
+    is ≤ C(|sources|, 2) rows at any corpus size. Containment folds
+    through DECIMAL(38,0) so the ×10⁴ cannot wrap.
+    """
+    g = (with_tokens(docs)
+         .select("source", F.explode(gram_fp64_expr(n)).alias("gr"))
+         .distinct())
+    tot = g.groupBy("source").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        g.alias("a").join(
+            g.alias("b"),
+            (F.col("a.gr") == F.col("b.gr"))
+            & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("inter")))
+    dec = "DECIMAL(38,0)"
+    return (
+        pairs
+        .join(F.broadcast(tot.withColumnRenamed("source", "src_a")
+                          .withColumnRenamed("n_grams", "n_a")), "src_a")
+        .join(F.broadcast(tot.withColumnRenamed("source", "src_b")
+                          .withColumnRenamed("n_grams", "n_b")), "src_b")
+        .select(
+            "src_a", "src_b", "inter", "n_a", "n_b",
+            F.expr(f"CAST(CAST(inter AS {dec}) * 10000 DIV n_a AS BIGINT)")
+             .alias("cont_a_bp"),
+            F.expr(f"CAST(CAST(inter AS {dec}) * 10000 DIV n_b AS BIGINT)")
+             .alias("cont_b_bp")))
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease per document — the classic prose-difficulty
+    feature quality classifiers stack next to [[text_gopher_rules]]:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables approximated as maximal vowel-group runs (the standard
+    dictionary-free heuristic) and sentence count as terminal-punctuation
+    runs, floored at 1. Pure per-row regexp expressions — map-only, no
+    shuffle; banding is a broadcast-free CASE.
+    """
+    words = F.size(F.split(F.trim("text"), TOKEN_SPLIT))
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")))
+    syll = F.greatest(
+        F.lit(1),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double")), 6)
+    return (docs.where(words > 0)
+            .select(
+                "doc_id",
+                words.cast("long").alias("n_words"),
+                sents.cast("long").alias("n_sents"),
+                syll.cast("long").alias("n_syll"),
+                flesch.alias("flesch"),
+                F.when(flesch >= 60, "easy")
+                 .when(flesch >= 30, "medium")
+                 .otherwise("hard").alias("band")))

@@ -524,3 +524,37 @@ def test_zipf_fit_needs_three_points(spark):
         [(1, "x x y y", "en", "tiny", 1)],
         "doc_id long, text string, lang string, source string, n_chars long")
     assert zipf_fit(docs).count() == 0  # 2 qualifying tokens < 3 points
+
+
+def test_source_overlap_asymmetric_containment(spark):
+    from ocr_redaction_engine_spark.analytics.text import source_overlap
+    small = "one two three four five six"            # 2 distinct 5-grams
+    big = small + " seven eight nine ten eleven"     # contains both + more
+    docs = spark.createDataFrame(
+        [(1, small, "en", "sA", 1), (2, big, "en", "sB", 1),
+         (3, "totally different words here entirely now", "en", "sC", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r.src_a, r.src_b): r for r in source_overlap(docs, n=5).collect()}
+    ab = got[("sA", "sB")]
+    assert (ab.inter, ab.n_a, ab.n_b) == (2, 2, 7)
+    assert ab.cont_a_bp == 10000          # sA fully contained in sB
+    assert ab.cont_b_bp == 2 * 10000 // 7
+    assert ("sA", "sC") not in got and ("sB", "sC") not in got
+
+
+def test_readability_flesch_mirror(spark):
+    from ocr_redaction_engine_spark.analytics.text import readability
+    import re
+    text = "The cat sat on the mat. It was very happy!"
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    r = readability(docs).collect()[0]
+    words = len(text.split())
+    sents = len(re.findall(r"[.!?]+", text))
+    syll = len(re.findall(r"[aeiouy]+", text.lower()))
+    flesch = round(206.835 - 1.015 * words / sents - 84.6 * syll / words, 6)
+    assert (r.n_words, r.n_sents, r.n_syll, r.flesch) == (
+        words, sents, syll, flesch)
+    assert r.band == ("easy" if flesch >= 60 else
+                      "medium" if flesch >= 30 else "hard")
