@@ -1664,6 +1664,16 @@ def text_readability(spark, sf_dir):
     return readability(_t(spark, sf_dir, "documents"))
 
 
+def ann_centroid_outliers(spark, sf_dir):
+    """Embedding-space outlier screen: top-5 farthest (exact int64
+    fixed-point squared L2) vectors from their label-group mean — the
+    mislabel/contamination probe. Centroid = tiny (label,dim) hash-agg
+    re-attached as a per-label array; distance is a map-side zip_with
+    fold; one per-label top-k window."""
+    from ocr_redaction_engine_spark.analytics.similarity import centroid_outliers
+    return centroid_outliers(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2091,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_fit": text_zipf_fit,
         "text_source_overlap": text_source_overlap,
         "text_readability": text_readability,
+        "ann_centroid_outliers": ann_centroid_outliers,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5761,6 +5772,36 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "ann_centroid_outliers": """
+            WITH fxt AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fx
+              FROM embeddings),
+            d AS (
+              SELECT vec_id, label,
+                     UNNEST(list_transform(fx, (x, i) -> struct_pack(dim := i - 1, q := x))) AS e
+              FROM fxt),
+            cent AS (
+              SELECT label, e.dim AS dim, SUM(e.q) AS s, COUNT(*) AS n
+              FROM d GROUP BY 1, 2),
+            centm AS (
+              SELECT label, dim,
+                     CAST((abs(s) // n) * (CASE WHEN s >= 0 THEN 1 ELSE -1 END) AS BIGINT) AS m
+              FROM cent),
+            dist AS (
+              SELECT d.label, d.vec_id,
+                     SUM((e.q - cm.m) * (e.q - cm.m)) AS dist_sq
+              FROM d JOIN centm cm ON d.label = cm.label AND d.e.dim = cm.dim
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT label, vec_id, dist_sq,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY dist_sq DESC, vec_id ASC) AS rn
+              FROM dist)
+            SELECT label, vec_id, dist_sq, CAST(rn AS BIGINT) AS rank
+            FROM ranked WHERE rn <= 5
         """,
         "text_source_overlap": f"""
             WITH toks AS (SELECT source, {_TOK} AS t FROM documents),

@@ -138,9 +138,12 @@ def t_closeness_audit(customers: DataFrame,
     ``emd_e6`` (×10⁻⁶).
 
     Scale shape: two hash-aggs over the scan (per-(QI,bucket) and
-    per-bucket), then all remaining joins/windows ride |QI|×m rows —
-    hundreds, at ANY corpus size. The bucket spine is a broadcast cross
-    join so groups missing a bucket still contribute |0 − cum_glob·n_g|.
+    per-bucket). The global bucket distribution is bounded by the VALUE
+    DOMAIN of the sensitive attribute (m buckets, dozens at any corpus
+    size), so — like the IVF centroid matrix in similarity.kmeans_centroids
+    — it is collected once and re-attached as a literal array: the spine
+    becomes a map-side explode (|QI|×m rows), with NO cross join in the
+    plan (a nested-loop join is a scale hazard the plan audit bans).
     """
     from pyspark.sql import Window
 
@@ -149,35 +152,41 @@ def t_closeness_audit(customers: DataFrame,
 
     cell = base.groupBy(*qi, "b").agg(F.count("*").alias("c"))
     grp = base.groupBy(*qi).agg(F.count("*").alias("group_n"))
-    glob = base.groupBy("b").agg(F.count("*").alias("g"))
-    glob = glob.select(
-        "b",
-        F.sum("g").over(
-            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("cum_glob"),
-        F.count("*").over(Window.partitionBy()).alias("m"),
-        F.sum("g").over(Window.partitionBy()).alias("n_total"),
-    )
+    gd = sorted(
+        base.groupBy("b").agg(F.count("*").alias("g")).collect(),
+        key=lambda r: r.b)
+    m = len(gd)
+    n_total = sum(r.g for r in gd)
+    cum, cums = 0, []
+    for r in gd:
+        cum += r.g
+        cums.append((r.b, cum))
+    garr = F.array(*[
+        F.struct(F.lit(bb).cast("long").alias("b"),
+                 F.lit(cg).cast("long").alias("cum_glob"))
+        for bb, cg in cums])
 
-    spine = grp.crossJoin(F.broadcast(glob.select("b", "cum_glob", "m", "n_total")))
-    joined = spine.join(F.broadcast(cell), [*qi, "b"], "left").fillna({"c": 0})
+    spine = grp.select(*qi, "group_n", F.explode(garr).alias("gb")).select(
+        *qi, "group_n", F.col("gb.b").alias("b"),
+        F.col("gb.cum_glob").alias("cum_glob"))
+    joined = spine.join(cell, [*qi, "b"], "left").fillna({"c": 0})
     w = (Window.partitionBy(*qi).orderBy("b")
          .rowsBetween(Window.unboundedPreceding, 0))
     terms = joined.select(
-        *qi, "group_n", "m", "n_total",
+        *qi, "group_n",
         F.sum("c").over(w).alias("cum_grp"), "cum_glob")
     dec = "DECIMAL(38,0)"
     return (
-        terms.groupBy(*qi, "group_n", "m", "n_total")
+        terms.groupBy(*qi, "group_n")
         .agg(F.sum(F.expr(
-            f"abs(CAST(cum_grp AS {dec}) * n_total"
+            f"abs(CAST(cum_grp AS {dec}) * {n_total}"
             f" - CAST(cum_glob AS {dec}) * group_n)")).alias("s"))
         .select(
             *qi, "group_n",
             F.expr(
                 f"CAST(CAST(s AS {dec}) * 1000000"
-                f" DIV (CAST(group_n AS {dec}) * n_total"
-                f" * greatest(m - 1, 1)) AS BIGINT)").alias("emd_e6"))
+                f" DIV (CAST(group_n AS {dec}) * {n_total}"
+                f" * greatest({m} - 1, 1)) AS BIGINT)").alias("emd_e6"))
         .withColumn("t_risk", F.col("emd_e6") > t_e6)
     )
 

@@ -719,3 +719,53 @@ def negative_pairs(embeddings: DataFrame, k: int = 3) -> DataFrame:
         F.col("vec_id").alias("neg_id"),
         F.round(_norm("embedding") * 1e6).cast("long").alias("neg_l2_e6"))
     return cand.join(feats, "neg_id").select("vec_id", "slot", "neg_id", "neg_l2_e6")
+
+
+def centroid_outliers(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Embedding-space outlier screen: the ``k`` vectors farthest (squared
+    L2) from their group's mean vector, per ``label`` group — the standard
+    contamination/mislabel probe run before a corpus ships (a point far
+    from its own cluster centroid is a mislabeled or noisy example).
+
+    Exact int64 fixed-point end-to-end (the [[ann_ivf_topk]] discipline):
+    dims go through ×1e6 floor quantization, the centroid is a per
+    (label, dim) exact SUM/COUNT hash-agg with truncating sign-adjusted
+    division, and distances are integer sums — bit-identical in any
+    engine, no float drift. Scale shape: one posexplode hash-agg for
+    centroids (|labels|×dim rows — tiny), centroid joins back as a
+    per-label array (broadcast), distance is a map-side zip_with fold,
+    and the only O(corpus) shuffle is the per-label top-k window over
+    (dist_sq, vec_id).
+    """
+    from pyspark.sql import Window
+
+    fx = embeddings.select("vec_id", "label", _fixed_point_col().alias("fx"))
+    cent = (
+        fx.select("label", F.posexplode("fx").alias("dim", "q"))
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select(
+            "label", "dim",
+            # integer DIV, not floor(double-division): past 2^53 the double
+            # quotient rounds and the floor can land one off — the truncating
+            # BIGINT divide matches DuckDB's // exactly at any magnitude
+            (F.expr("abs(s) DIV n")
+             * F.when(F.col("s") >= 0, 1).otherwise(-1))
+            .cast("long").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("cs"))
+        .select("label", F.transform("cs", lambda c: c["m"]).alias("cent")))
+    dist = (
+        fx.join(F.broadcast(cent), "label")
+        .select(
+            "label", "vec_id",
+            F.aggregate(
+                F.zip_with("fx", "cent", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .alias("dist_sq")))
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist_sq").desc(), F.col("vec_id").asc())
+    return (dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("label", "vec_id", "dist_sq",
+                    F.col("rn").cast("long").alias("rank")))

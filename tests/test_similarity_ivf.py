@@ -253,3 +253,21 @@ def test_negative_pairs_sparse_ids_raise(spark, embeddings):
     sparse = embeddings.filter("vec_id != 3")
     with pytest.raises(ValueError, match="dense 0..N-1"):
         negative_pairs(sparse, k=3)
+
+
+def test_centroid_outliers_planted_outlier(spark):
+    from ocr_redaction_engine_spark.analytics.similarity import centroid_outliers
+    # label 0: 4 tight vectors at ~(1,0) + one far point at (-1, 0)
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)] + [(99, [-1.0, 0.0], 0)]
+    # label 1: two symmetric points, tie on distance -> vec_id breaks it
+    rows += [(10, [0.5, 0.5], 1), (11, [-0.5, -0.5], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label, r.rank): (r.vec_id, r.dist_sq)
+           for r in centroid_outliers(df, k=2).collect()}
+    # label 0 centroid (fx e6): dims sum = 4*1e6 - 1e6 = 3e6 over 5 -> 600000
+    # dist(99) = (-1e6-600000)^2 = 2.56e12 ; dist(others) = (4e5)^2 = 1.6e11
+    assert got[(0, 1)] == (99, (1_600_000) ** 2)
+    assert got[(0, 2)][1] == 400_000 ** 2
+    # label 1 centroid = (0,0); both dists equal -> lower vec_id first
+    assert got[(1, 1)][0] == 10 and got[(1, 2)][0] == 11
+    assert got[(1, 1)][1] == got[(1, 2)][1] == 2 * 500_000 ** 2
