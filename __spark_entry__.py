@@ -1674,6 +1674,24 @@ def ann_centroid_outliers(spark, sf_dir):
     return centroid_outliers(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def events_schema_drift(spark, sf_dir):
+    """JSON feed-contract drift monitor: per (day, key) presence rate with
+    new/dropped/absent/shifted/stable statuses. The raw feed's key set is
+    static, so the query derives the real-world shape deterministically:
+    docs before 2024-01-16 carry a 'legacy' key, later ones 'vnew' — the
+    producer-migration event the monitor exists to catch."""
+    from ocr_redaction_engine_spark.analytics.ingest import json_schema_drift
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400")
+    aug = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.when(day < 19738,
+               F.expr("replace(props, '}', ', \"legacy\": 1}')"))
+         .otherwise(F.expr("replace(props, '}', ', \"vnew\": 1}')"))
+         .alias("props"))
+    return json_schema_drift(aug, shift_bp=2000)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2102,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_overlap": text_source_overlap,
         "text_readability": text_readability,
         "ann_centroid_outliers": ann_centroid_outliers,
+        "events_schema_drift": events_schema_drift,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5772,6 +5791,45 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "events_schema_drift": """
+            WITH aug AS (
+              SELECT event_id, ts,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 < 19738
+                          THEN replace(props, '}', ', "legacy": 1}')
+                          ELSE replace(props, '}', ', "vnew": 1}') END AS props
+              FROM events),
+            kv AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     UNNEST(json_keys(props)) AS key
+              FROM aug WHERE json_valid(props)),
+            per AS (SELECT day, key, COUNT(*) AS n FROM kv GROUP BY 1, 2),
+            totals AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     COUNT(*) AS day_rows
+              FROM aug GROUP BY 1),
+            spank AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM per GROUP BY 1),
+            spine AS (
+              SELECT key, UNNEST(range(d0, (SELECT MAX(d1) FROM spank) + 1)) AS day
+              FROM spank),
+            rates AS (
+              SELECT s.day, s.key, COALESCE(p.n, 0) AS n_rows,
+                     CAST(CAST(COALESCE(p.n, 0) AS HUGEINT) * 10000
+                          // t.day_rows AS BIGINT) AS rate_bp
+              FROM spine s
+              JOIN totals t ON t.day = s.day
+              LEFT JOIN per p ON p.day = s.day AND p.key = s.key),
+            fin AS (
+              SELECT day, key, n_rows, rate_bp,
+                     lag(rate_bp) OVER (PARTITION BY key ORDER BY day) AS prev_rate_bp
+              FROM rates)
+            SELECT day, key, n_rows, rate_bp, prev_rate_bp,
+                   CASE WHEN prev_rate_bp IS NULL THEN 'new'
+                        WHEN rate_bp = 0 AND prev_rate_bp > 0 THEN 'dropped'
+                        WHEN rate_bp = 0 AND prev_rate_bp = 0 THEN 'absent'
+                        WHEN abs(rate_bp - prev_rate_bp) >= 2000 THEN 'shifted'
+                        ELSE 'stable' END AS status
+            FROM fin
         """,
         "ann_centroid_outliers": """
             WITH fxt AS (

@@ -84,3 +84,55 @@ def json_key_profile(events: DataFrame) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def json_schema_drift(events: DataFrame, shift_bp: int = 2000) -> DataFrame:
+    """Schema-drift audit over a JSON payload feed: per (day, key), how
+    many rows carry the key and its presence rate in basis points of that
+    day's rows, with day-over-day status —
+
+        new      first day the key ever appears
+        dropped  carried rows yesterday, zero today
+        absent   still zero after a drop
+        shifted  presence rate moved ≥ ``shift_bp`` vs the previous day
+        stable   everything else
+
+    — the feed-contract monitor that catches producers renaming or
+    retiring fields before downstream jobs break ([[events_json_keys]]
+    answers "what's in props?"; this answers "what CHANGED?").
+
+    Scale shape: one map-only parse + (day, key) hash-agg over the scan,
+    a per-day total agg, then everything else (day spine via per-key
+    ``sequence`` explode — no cross join — lag window, status CASE) rides
+    |keys|×|days| rows. Days with no rows at all drop out (rate undefined).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400")
+    kv = events.select(
+        day.alias("day"),
+        F.explode(F.map_keys(F.from_json("props", "map<string,string>")))
+         .alias("key"))
+    per = kv.groupBy("day", "key").agg(F.count("*").alias("n"))
+    totals = events.groupBy(day.alias("day")).agg(
+        F.count("*").alias("day_rows"))
+    keyspan = (per.groupBy("key").agg(F.min("day").alias("d0"),
+                                      F.max("day").alias("d1"))
+               .withColumn("dmax", F.max("d1").over(Window.partitionBy()))
+               .select("key", F.explode(F.sequence("d0", "dmax")).alias("day")))
+    rates = (
+        keyspan.join(per, ["day", "key"], "left").fillna({"n": 0})
+        .join(F.broadcast(totals), "day")
+        .select("day", "key", F.col("n").cast("long").alias("n_rows"),
+                F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 10000"
+                       " DIV day_rows AS BIGINT)").alias("rate_bp")))
+    w = Window.partitionBy("key").orderBy("day")
+    prev = F.lag("rate_bp").over(w)
+    status = (
+        F.when(prev.isNull(), "new")
+        .when((F.col("rate_bp") == 0) & (prev > 0), "dropped")
+        .when((F.col("rate_bp") == 0) & (prev == 0), "absent")
+        .when(F.abs(F.col("rate_bp") - prev) >= shift_bp, "shifted")
+        .otherwise("stable"))
+    return rates.select("day", "key", "n_rows", "rate_bp",
+                        prev.alias("prev_rate_bp"), status.alias("status"))

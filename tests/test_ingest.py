@@ -62,3 +62,53 @@ def test_json_key_profile_null_safe_and_counts(spark):
     got = {r.key: (r.n_rows, r.n_distinct, r.min_value, r.max_value)
            for r in json_key_profile(events).collect()}
     assert got == {"k": (2, 2, "1", "2"), "tag": (2, 1, "a", "a")}
+
+
+def test_json_schema_drift_statuses(spark):
+    from ocr_redaction_engine_spark.analytics.ingest import json_schema_drift
+    import datetime as dt
+    def ts(day): return dt.datetime(2024, 1, day, 12, 0, 0)
+    rows = []
+    eid = 0
+    # day 1-2: key 'a' on all rows; day 3: 'a' vanishes. key 'k' always.
+    for day, n_a in [(1, 2), (2, 2), (3, 0)]:
+        for i in range(2):
+            props = '{"k": 1, "a": 2}' if i < n_a else '{"k": 1}'
+            rows.append((eid, ts(day), 1, "t", 0.0, props)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.day, r.key): (r.n_rows, r.rate_bp, r.prev_rate_bp, r.status)
+           for r in json_schema_drift(ev, shift_bp=2000).collect()}
+    d1 = min(d for d, _ in got)
+    # 'a': new on day1 (100%), stable day2, dropped day3
+    assert got[(d1, "a")] == (2, 10000, None, "new")
+    assert got[(d1 + 1, "a")] == (2, 10000, 10000, "stable")
+    assert got[(d1 + 2, "a")] == (0, 0, 10000, "dropped")
+    # 'k': always 100%
+    assert got[(d1, "k")][3] == "new"
+    assert got[(d1 + 1, "k")][3] == got[(d1 + 2, "k")][3] == "stable"
+
+
+def test_json_schema_drift_shift_and_absent(spark):
+    from ocr_redaction_engine_spark.analytics.ingest import json_schema_drift
+    import datetime as dt
+    def ts(day): return dt.datetime(2024, 2, day, 3, 0, 0)
+    rows = []
+    eid = 0
+    # 'b' at 100% day1, 50% day2 (shift >= 2000bp), gone day3+4 (dropped, absent)
+    plan = {1: (4, 4), 2: (2, 4), 3: (0, 4), 4: (0, 4)}
+    for day, (n_b, n_tot) in plan.items():
+        for i in range(n_tot):
+            props = '{"k": 1, "b": 1}' if i < n_b else '{"k": 1}'
+            rows.append((eid, ts(day), 1, "t", 0.0, props)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.day, r.key): r.status for r in
+           json_schema_drift(ev, shift_bp=2000).collect()}
+    d1 = min(d for d, _ in got)
+    assert got[(d1, "b")] == "new"
+    assert got[(d1 + 1, "b")] == "shifted"
+    assert got[(d1 + 2, "b")] == "dropped"
+    assert got[(d1 + 3, "b")] == "absent"
