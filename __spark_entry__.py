@@ -1692,6 +1692,17 @@ def events_schema_drift(spark, sf_dir):
     return json_schema_drift(aug, shift_bp=2000)
 
 
+def sketch_bloom_fpr(spark, sf_dir):
+    """Empirical Bloom FPR calibration across an (m,k) sizing grid:
+    corpus bitmap via map-side bit_or agg, guaranteed-non-member probe
+    range, broadcast word-join membership check — one row per config."""
+    from ocr_redaction_engine_spark.analytics.dedup import bloom_fpr_calibration
+    return bloom_fpr_calibration(_t(spark, sf_dir, "documents"),
+                                 n_probes=2000,
+                                 grid=((4096, 4), (32768, 4),
+                                       (32768, 6), (262144, 6)))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2121,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": text_readability,
         "ann_centroid_outliers": ann_centroid_outliers,
         "events_schema_drift": events_schema_drift,
+        "sketch_bloom_fpr": sketch_bloom_fpr,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5791,6 +5803,75 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "sketch_bloom_fpr": f"""
+            SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k,
+                   CAST(2000 AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS fp_hits,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // 2000 AS BIGINT) AS fpr_bp
+            FROM (
+              SELECT x.id, bool_and(b.pos IS NOT NULL) AS hit
+              FROM (
+                SELECT p.range AS id,
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || md5('fpr-probe:' || CAST(p.range AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS pos
+                FROM range(2000) p CROSS JOIN range(4) t) x
+              LEFT JOIN (
+                SELECT DISTINCT
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) % 4096 AS pos
+                FROM (SELECT md5(array_to_string({_TOK}, ' ')) AS fp FROM documents) fps
+                CROSS JOIN range(4) t) b ON b.pos = x.pos
+              GROUP BY x.id) probes
+            UNION ALL
+            SELECT CAST(32768 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k,
+                   CAST(2000 AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS fp_hits,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // 2000 AS BIGINT) AS fpr_bp
+            FROM (
+              SELECT x.id, bool_and(b.pos IS NOT NULL) AS hit
+              FROM (
+                SELECT p.range AS id,
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || md5('fpr-probe:' || CAST(p.range AS VARCHAR))), 1, 15)) AS BIGINT) % 32768 AS pos
+                FROM range(2000) p CROSS JOIN range(4) t) x
+              LEFT JOIN (
+                SELECT DISTINCT
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) % 32768 AS pos
+                FROM (SELECT md5(array_to_string({_TOK}, ' ')) AS fp FROM documents) fps
+                CROSS JOIN range(4) t) b ON b.pos = x.pos
+              GROUP BY x.id) probes
+            UNION ALL
+            SELECT CAST(32768 AS BIGINT) AS m_bits, CAST(6 AS BIGINT) AS k,
+                   CAST(2000 AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS fp_hits,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // 2000 AS BIGINT) AS fpr_bp
+            FROM (
+              SELECT x.id, bool_and(b.pos IS NOT NULL) AS hit
+              FROM (
+                SELECT p.range AS id,
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || md5('fpr-probe:' || CAST(p.range AS VARCHAR))), 1, 15)) AS BIGINT) % 32768 AS pos
+                FROM range(2000) p CROSS JOIN range(6) t) x
+              LEFT JOIN (
+                SELECT DISTINCT
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) % 32768 AS pos
+                FROM (SELECT md5(array_to_string({_TOK}, ' ')) AS fp FROM documents) fps
+                CROSS JOIN range(6) t) b ON b.pos = x.pos
+              GROUP BY x.id) probes
+            UNION ALL
+            SELECT CAST(262144 AS BIGINT) AS m_bits, CAST(6 AS BIGINT) AS k,
+                   CAST(2000 AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS fp_hits,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // 2000 AS BIGINT) AS fpr_bp
+            FROM (
+              SELECT x.id, bool_and(b.pos IS NOT NULL) AS hit
+              FROM (
+                SELECT p.range AS id,
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || md5('fpr-probe:' || CAST(p.range AS VARCHAR))), 1, 15)) AS BIGINT) % 262144 AS pos
+                FROM range(2000) p CROSS JOIN range(6) t) x
+              LEFT JOIN (
+                SELECT DISTINCT
+                       CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' || fp), 1, 15)) AS BIGINT) % 262144 AS pos
+                FROM (SELECT md5(array_to_string({_TOK}, ' ')) AS fp FROM documents) fps
+                CROSS JOIN range(6) t) b ON b.pos = x.pos
+              GROUP BY x.id) probes
         """,
         "events_schema_drift": """
             WITH aug AS (

@@ -1056,3 +1056,56 @@ def cdc_chunk_dupes(docs: DataFrame, w: int = 8, mask_bits: int = 6,
              F.count("*").alias("n_occ"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def bloom_fpr_calibration(docs: DataFrame, n_probes: int = 2000,
+                          grid: tuple = ((4096, 4), (32768, 4),
+                                         (32768, 6), (262144, 6))) -> DataFrame:
+    """Measured (not formula) Bloom false-positive calibration: for each
+    (m_bits, k) sizing, build the corpus bitmap and probe it with
+    ``n_probes`` synthetic GUARANTEED non-member fingerprints
+    (md5('fpr-probe:i') — disjoint from document fingerprints by
+    construction); a probe whose k positions are all set is a false
+    positive. The empirical fpr_bp is what you size the incremental-crawl
+    filter ([[dedup_bloom_probe]]) against — the companion of
+    [[sketch_hll_error]], which calibrates the HLL the same way.
+
+    Scale shape: per config, the corpus collapses through the same
+    map-side-combined bit_or aggregation as bloom_bitmap (≤ m/64 rows),
+    probes are a generated range (no corpus scan), and the check is a
+    broadcast equi-join on word — one row out per config. Calibrate on a
+    corpus sample when |grid| passes over the full scan matter.
+    """
+    spark = docs.sparkSession
+    outs = []
+    for m_bits, k in grid:
+        bitmap = bloom_bitmap(docs, n_hashes=k, m_bits=m_bits)
+        probes = spark.range(n_probes).select(
+            "id", F.md5(F.concat(F.lit("fpr-probe:"),
+                                 F.col("id").cast("string"))).alias("fp"))
+        pos = probes.select(
+            "id",
+            F.explode(F.array(*[_bloom_pos(F.col("fp"), i, m_bits)
+                                for i in range(k)])).alias("pos"))
+        probed = (
+            pos.withColumn("word", (F.col("pos") / 64).cast("long"))
+            .withColumn("bit", (F.col("pos") % 64).cast("int"))
+            .join(F.broadcast(bitmap), "word", "left")
+            .withColumn(
+                "hit",
+                F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+                .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")) != 0))
+        outs.append(
+            probed.groupBy("id").agg(F.bool_and("hit").alias("fp_hit"))
+            .agg(F.sum(F.col("fp_hit").cast("long")).alias("fp_hits"))
+            .select(
+                F.lit(m_bits).cast("long").alias("m_bits"),
+                F.lit(k).cast("long").alias("k"),
+                F.lit(n_probes).cast("long").alias("n_probes"),
+                F.col("fp_hits").cast("long").alias("fp_hits"),
+                F.expr(f"CAST(fp_hits * 10000 DIV {n_probes} AS BIGINT)")
+                 .alias("fpr_bp")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -296,3 +296,32 @@ def test_countmin_overestimates_only_and_sketch_bounded(spark):
     assert any(est > exact for exact, est in tight.values())
     toks = spark.createDataFrame([("x",), ("y",)], "token string")
     assert countmin_sketch(toks, d=4, w=256).count() <= 4 * 256
+
+
+def test_bloom_fpr_calibration_mirror_and_monotonicity(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import bloom_fpr_calibration
+    import hashlib
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}", "en", "s", 1) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    grid = ((1024, 3), (16384, 3))
+    got = {(r.m_bits, r.k): (r.fp_hits, r.fpr_bp)
+           for r in bloom_fpr_calibration(docs, n_probes=500, grid=grid).collect()}
+
+    def pos(fp, i, m):
+        return int(hashlib.md5(f"{i}:{fp}".encode()).hexdigest()[:15], 16) % m
+    for m, k in grid:
+        bits = set()
+        for i in range(200):
+            fp = hashlib.md5(f"tok{i} tok{i+1} tok{i+2}".encode()).hexdigest()
+            for j in range(k):
+                bits.add(pos(fp, j, m))
+        hits = 0
+        for p in range(500):
+            fp = hashlib.md5(f"fpr-probe:{p}".encode()).hexdigest()
+            if all(pos(fp, j, m) in bits for j in range(k)):
+                hits += 1
+        assert got[(m, k)] == (hits, hits * 10000 // 500), (m, k)
+    # a 16x bigger filter cannot be worse at equal k
+    assert got[(16384, 3)][0] <= got[(1024, 3)][0]
+    assert got[(1024, 3)][0] > 0  # tiny filter is saturated enough to matter
