@@ -1703,6 +1703,16 @@ def sketch_bloom_fpr(spark, sf_dir):
                                        (32768, 6), (262144, 6)))
 
 
+def storage_partition_skew(spark, sf_dir):
+    """Partition-layout advisor: per (source,lang) rows/bytes, table share
+    bp, skew vs mean (x10), writer file count at the target size, hot flag
+    (>=3x mean -> salt or AQE skew-join). One hash-agg; windows ride
+    |partitions| rows."""
+    from ocr_redaction_engine_spark.storage import partition_stats
+    return partition_stats(_t(spark, sf_dir, "documents"),
+                           keys=("source", "lang"), target_bytes=60_000)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2133,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_centroid_outliers": ann_centroid_outliers,
         "events_schema_drift": events_schema_drift,
         "sketch_bloom_fpr": sketch_bloom_fpr,
+        "storage_partition_skew": storage_partition_skew,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5803,6 +5814,20 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "storage_partition_skew": """
+            WITH per AS (
+              SELECT source, lang, COUNT(*) AS n_rows, SUM(n_chars) AS bytes
+              FROM documents GROUP BY 1, 2),
+            x AS (
+              SELECT *, SUM(bytes) OVER () AS total, COUNT(*) OVER () AS n_parts
+              FROM per)
+            SELECT source, lang, n_rows, bytes,
+                   CAST(CAST(bytes AS HUGEINT) * 10000 // total AS BIGINT) AS share_bp,
+                   CAST(CAST(bytes AS HUGEINT) * 10 * n_parts // total AS BIGINT) AS skew_x10,
+                   CAST((bytes + 60000 - 1) // 60000 AS BIGINT) AS files_needed,
+                   CAST(CAST(bytes AS HUGEINT) * 10 * n_parts // total AS BIGINT) >= 30 AS hot
+            FROM x
         """,
         "sketch_bloom_fpr": f"""
             SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k,

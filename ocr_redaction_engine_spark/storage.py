@@ -23,6 +23,7 @@ BY``); these helpers are the plain-Spark equivalents that run anywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 64,
@@ -171,3 +172,39 @@ def merge_upsert(target: DataFrame, updates: "DataFrame") -> "DataFrame":
         action.alias("action"),
         F.coalesce("u_text", "t_text").alias("text"),
     )
+
+
+def partition_stats(docs: DataFrame, keys: tuple = ("source", "lang"),
+                    target_bytes: int = 60_000) -> DataFrame:
+    """Partition-layout advisor for a keyed table: per partition-key
+    combination, row count and byte mass (``n_chars`` as the on-disk
+    proxy, same convention as :func:`synth_file_inventory`), its share of
+    the table (bp), skew versus the mean partition (×10 fixed point), the
+    file count a ``target_bytes`` writer should emit, and a ``hot`` flag
+    (≥3× mean) marking partitions that need salting or AQE skew handling.
+
+    This is the planning read you take BEFORE choosing partitionBy keys at
+    100 TB: a key whose hot partition carries 30% of the table serializes
+    every downstream shuffle on one task. One hash-agg over the scan; the
+    mean/share windows ride |partitions| rows.
+    """
+    from pyspark.sql import Window
+
+    per = docs.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("bytes"))
+    w = Window.partitionBy()
+    dec = "DECIMAL(38,0)"
+    return (
+        per
+        .withColumn("total", F.sum("bytes").over(w))
+        .withColumn("n_parts", F.count("*").over(w))
+        .select(
+            *keys, "n_rows", "bytes",
+            F.expr(f"CAST(CAST(bytes AS {dec}) * 10000 DIV total AS BIGINT)")
+             .alias("share_bp"),
+            F.expr(f"CAST(CAST(bytes AS {dec}) * 10 * n_parts DIV total"
+                   " AS BIGINT)").alias("skew_x10"),
+            F.expr(f"CAST((bytes + {target_bytes} - 1) DIV {target_bytes}"
+                   " AS BIGINT)").alias("files_needed"))
+        .withColumn("hot", F.col("skew_x10") >= 30))

@@ -141,3 +141,30 @@ def test_merge_upsert_actions(spark):
         "c": ("keep", "old-c"),
         "d": ("insert", "new-d"),
     }
+
+
+def test_partition_stats_skew_flags(spark):
+    from ocr_redaction_engine_spark.storage import partition_stats
+    rows = ([(i, "x", "en", "hot", 300) for i in range(10)]      # 3000 bytes
+            + [(100, "x", "en", "cold1", 500)]
+            + [(101, "x", "de", "cold2", 500)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r.source, r.lang): r for r in
+           partition_stats(docs, keys=("source", "lang"),
+                           target_bytes=1000).collect()}
+    hot = got[("hot", "en")]
+    # total 4000 over 3 partitions; mean 1333.33; hot = 3000
+    assert (hot.n_rows, hot.bytes, hot.share_bp) == (10, 3000, 7500)
+    assert hot.skew_x10 == 3000 * 10 * 3 // 4000 == 22  # 2.2x mean
+    assert hot.files_needed == 3 and not hot.hot
+    c1 = got[("cold1", "en")]
+    assert (c1.share_bp, c1.files_needed, bool(c1.hot)) == (1250, 1, False)
+    # single dominating partition trips the hot flag
+    docs2 = spark.createDataFrame(
+        [(0, "x", "en", "mega", 10_000)] + [(i, "x", "en", f"s{i}", 100)
+                                            for i in range(1, 11)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got2 = {r.source: r for r in
+            partition_stats(docs2, keys=("source",)).collect()}
+    assert got2["mega"].hot  # 10000*10*11/11000 = 100 >= 30
