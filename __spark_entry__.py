@@ -1713,6 +1713,15 @@ def storage_partition_skew(spark, sf_dir):
                            keys=("source", "lang"), target_bytes=60_000)
 
 
+def text_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocab-growth fit V(n)=K·n^beta in doc_id ingestion
+    order: 64 doc-range buckets (bounds = two collected scalars), per
+    bucket token mass + NEW vocab via min-bucket agg over the vocabulary,
+    cumsums + ln-ln OLS over 64 rows — no full-corpus window."""
+    from ocr_redaction_engine_spark.analytics.text import heaps_fit
+    return heaps_fit(_t(spark, sf_dir, "documents"), n_buckets=64)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2144,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_schema_drift": events_schema_drift,
         "sketch_bloom_fpr": sketch_bloom_fpr,
         "storage_partition_skew": storage_partition_skew,
+        "text_heaps_fit": text_heaps_fit,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5814,6 +5824,50 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "text_heaps_fit": f"""
+            WITH bounds AS (
+              SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+            params AS (
+              SELECT lo, greatest(1, (hi - lo + 1 + 63) // 64) AS width
+              FROM bounds),
+            toks AS (
+              SELECT doc_id,
+                     (doc_id - (SELECT lo FROM params))
+                          // (SELECT width FROM params) AS bk,
+                     {_TOK} AS t
+              FROM documents),
+            mass AS (
+              SELECT bk, SUM(len(t)) AS toks FROM toks GROUP BY 1),
+            firsts AS (
+              SELECT tok, MIN(bk) AS bk
+              FROM (SELECT bk, UNNEST(t) AS tok FROM toks)
+              WHERE length(tok) > 0 GROUP BY 1),
+            newv AS (SELECT bk, COUNT(*) AS new_vocab FROM firsts GROUP BY 1),
+            pts AS (
+              SELECT m.bk,
+                     SUM(m.toks) OVER (ORDER BY m.bk ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS cum_toks,
+                     SUM(COALESCE(n.new_vocab, 0)) OVER (ORDER BY m.bk ROWS
+                         BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+              FROM mass m LEFT JOIN newv n ON n.bk = m.bk),
+            terms AS (
+              SELECT round(ln(cum_toks), 6) AS x, round(ln(cum_vocab), 6) AS y,
+                     round(round(ln(cum_toks), 6) * round(ln(cum_vocab), 6), 6) AS xy,
+                     round(round(ln(cum_toks), 6) * round(ln(cum_toks), 6), 6) AS xx
+              FROM pts WHERE cum_toks > 0 AND cum_vocab > 0),
+            agg AS (
+              SELECT COUNT(*) AS n_points,
+                     round(SUM(x), 6) AS sx, round(SUM(y), 6) AS sy,
+                     round(SUM(xy), 6) AS sxy, round(SUM(xx), 6) AS sxx
+              FROM terms)
+            SELECT n_points,
+                   round((n_points * sxy - sx * sy)
+                         / (n_points * sxx - sx * sx), 6) AS beta,
+                   round((sy - round((n_points * sxy - sx * sy)
+                                     / (n_points * sxx - sx * sx), 6) * sx)
+                         / n_points, 6) AS ln_k
+            FROM agg WHERE n_points >= 3
         """,
         "storage_partition_skew": """
             WITH per AS (

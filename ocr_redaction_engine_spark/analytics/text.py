@@ -1224,3 +1224,62 @@ def readability(docs: DataFrame) -> DataFrame:
                 F.when(flesch >= 60, "easy")
                  .when(flesch >= 30, "medium")
                  .otherwise("hard").alias("band")))
+
+
+def heaps_fit(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β — vocabulary growth against corpus
+    size in ingestion (doc_id) order, the planning curve for "how much new
+    vocabulary will the next 10 TB bring" (β ≈ 0.5 for natural language;
+    β → 1 smells generated/unique-id-heavy text, β → 0 template text).
+    Companion of [[text_zipf_fit]], same 6dp float discipline.
+
+    Scale shape: docs bucket into ``n_buckets`` doc_id ranges (bounds are
+    two collected scalars, kmeans-precedent); per bucket one hash-agg
+    yields token mass and NEW vocabulary (tokens whose global first doc
+    lands in the bucket — a min-agg over the vocab, not a corpus window);
+    cumulative sums and the ln-ln OLS then ride ``n_buckets`` rows. No
+    full-corpus single-partition window anywhere.
+    """
+    from pyspark.sql import Window
+
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, (int(hi) - int(lo) + 1 + n_buckets - 1) // n_buckets)
+    # integer DIV (not double divide + cast): exact at any doc_id magnitude
+    bucket = F.expr(f"CAST((doc_id - {int(lo)}) DIV {width} AS BIGINT)")
+
+    toks = with_tokens(docs).select(
+        "doc_id", bucket.alias("bk"),
+        F.size("tokens").cast("long").alias("n_toks"),
+        "tokens")
+    mass = toks.groupBy("bk").agg(F.sum("n_toks").alias("toks"))
+    first_seen = (
+        toks.select("bk", F.explode("tokens").alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy("tok").agg(F.min("bk").alias("bk"))
+        .groupBy("bk").agg(F.count("*").alias("new_vocab")))
+    w = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        mass.join(first_seen, "bk", "left").fillna({"new_vocab": 0})
+        .select("bk",
+                F.sum("toks").over(w).alias("cum_toks"),
+                F.sum("new_vocab").over(w).alias("cum_vocab"))
+        .where((F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0)))
+    x = F.round(F.log(F.col("cum_toks").cast("double")), 6)
+    y = F.round(F.log(F.col("cum_vocab").cast("double")), 6)
+    terms = pts.select(
+        x.alias("x"), y.alias("y"),
+        F.round(x * y, 6).alias("xy"), F.round(x * x, 6).alias("xx"))
+    agg = terms.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum("xy"), 6).alias("sxy"),
+        F.round(F.sum("xx"), 6).alias("sxx"))
+    beta = F.round(
+        (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+    return (agg.where(F.col("n_points") >= 3)
+            .withColumn("beta", beta)
+            .select("n_points", "beta",
+                    F.round((F.col("sy") - F.col("beta") * F.col("sx"))
+                            / F.col("n_points"), 6).alias("ln_k")))

@@ -558,3 +558,46 @@ def test_readability_flesch_mirror(spark):
         words, sents, syll, flesch)
     assert r.band == ("easy" if flesch >= 60 else
                       "medium" if flesch >= 30 else "hard")
+
+
+def test_heaps_fit_matches_mirror(spark):
+    from ocr_redaction_engine_spark.analytics.text import heaps_fit
+    import math, random
+    rng = random.Random(3)
+    # zipf-ish corpus: doc i draws 20 tokens from a rank-weighted vocab
+    vocab = [f"w{j}" for j in range(200)]
+    rows = []
+    for i in range(32):
+        toks = [vocab[min(int(rng.paretovariate(1.2)) - 1, 199)]
+                for _ in range(20)]
+        rows.append((i, " ".join(toks), "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = heaps_fit(docs, n_buckets=8).collect()[0]
+
+    # pure-python mirror: bucket width = ceil(32/8) = 4
+    width = 4
+    mass, first = {}, {}
+    for i, text, *_ in rows:
+        bk = i // width
+        ts = text.split()
+        mass[bk] = mass.get(bk, 0) + len(ts)
+        for t in ts:
+            if t not in first or first[t] > bk:
+                first[t] = bk
+    newv = {}
+    for t, bk in first.items():
+        newv[bk] = newv.get(bk, 0) + 1
+    pts, ct, cv = [], 0, 0
+    for bk in sorted(mass):
+        ct += mass[bk]; cv += newv.get(bk, 0)
+        if ct > 0 and cv > 0:
+            pts.append((round(math.log(ct), 6), round(math.log(cv), 6)))
+    n = len(pts)
+    sx = round(sum(p[0] for p in pts), 6); sy = round(sum(p[1] for p in pts), 6)
+    sxy = round(sum(round(p[0] * p[1], 6) for p in pts), 6)
+    sxx = round(sum(round(p[0] * p[0], 6) for p in pts), 6)
+    beta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    ln_k = round((sy - beta * sx) / n, 6)
+    assert (got.n_points, got.beta, got.ln_k) == (n, beta, ln_k)
+    assert 0.0 < got.beta < 1.0  # sublinear vocab growth
