@@ -1722,6 +1722,16 @@ def text_heaps_fit(spark, sf_dir):
     return heaps_fit(_t(spark, sf_dir, "documents"), n_buckets=64)
 
 
+def web_url_params(spark, sf_dir):
+    """Query-param census of the synthetic crawl frontier: per key count /
+    distinct values / cardinality bp / constant|low_cardinality|id_like
+    class — the measurement behind canonicalization strip rules. Map-only
+    parse + one hash-agg; |keys| output rows."""
+    from ocr_redaction_engine_spark.analytics.webgraph import (
+        synth_urls, url_param_profile)
+    return url_param_profile(synth_urls(_t(spark, sf_dir, "documents")))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2154,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_fpr": sketch_bloom_fpr,
         "storage_partition_skew": storage_partition_skew,
         "text_heaps_fit": text_heaps_fit,
+        "web_url_params": web_url_params,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5824,6 +5835,33 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "web_url_params": r"""
+            WITH u AS (
+              SELECT 'HTTP://' ||
+                     CASE WHEN CAST('0x' || substring(md5(doc_id || ':url'), 1, 2) AS BIGINT) % 2 = 0
+                          THEN 'WWW.Example-Site.COM' ELSE 'www.example-site.com' END ||
+                     ':80/articles/' || substring(md5(doc_id || ':url'), 3, 6) ||
+                     '?utm_source=feed&id=' || substring(md5(doc_id || ':url'), 9, 4) ||
+                     '&utm_campaign=x&ref=home#section-' || substring(md5(doc_id || ':url'), 13, 2) AS url
+              FROM documents),
+            kv AS (
+              SELECT regexp_extract(pair, '^([^=]*)', 1) AS key,
+                     regexp_extract(pair, '=(.*)$', 1) AS value
+              FROM (
+                SELECT UNNEST(list_filter(
+                         string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1), '&'),
+                         p -> p != '')) AS pair
+                FROM u)),
+            agg AS (
+              SELECT key, COUNT(*) AS n_urls, COUNT(DISTINCT value) AS n_values
+              FROM kv GROUP BY 1)
+            SELECT key, n_urls, n_values,
+                   CAST(CAST(n_values AS HUGEINT) * 10000 // n_urls AS BIGINT) AS cardinality_bp,
+                   CASE WHEN n_values = 1 THEN 'constant'
+                        WHEN CAST(CAST(n_values AS HUGEINT) * 10000 // n_urls AS BIGINT) >= 9000 THEN 'id_like'
+                        ELSE 'low_cardinality' END AS class
+            FROM agg
         """,
         "text_heaps_fit": f"""
             WITH bounds AS (

@@ -859,3 +859,34 @@ def label_propagation(docs: DataFrame, rounds: int = 3) -> DataFrame:
         .select("doc_id", F.col("label").cast("long").alias("community"),
                 "community_size")
     )
+
+
+def url_param_profile(urls: DataFrame) -> DataFrame:
+    """Query-parameter census over a crawl frontier — the profiling read
+    behind canonicalization rules ([[url_canonical]] strips a hand-listed
+    utm_*/ref set; this measures what actually rides the URLs): per param
+    key, URL count, distinct values, value-cardinality in bp of its URLs,
+    and a class — ``constant`` (one value corpus-wide: pure decoration),
+    ``low_cardinality`` (session/campaign-like), ``id_like`` (≥90%
+    unique: selects content, must NOT be stripped).
+
+    Map-only parse (regexp query extract → split → explode) + one (key)
+    hash-agg; output is |param keys| rows at any crawl size.
+    """
+    query = F.regexp_extract(F.regexp_replace("url", r"#.*$", ""),
+                             r"\?([^#]*)", 1)
+    kv = (urls
+          .select(F.explode(F.filter(F.split(query, "&"),
+                                     lambda p: p != "")).alias("pair"))
+          .select(F.regexp_extract("pair", r"^([^=]*)", 1).alias("key"),
+                  F.regexp_extract("pair", r"=(.*)$", 1).alias("value")))
+    agg = kv.groupBy("key").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("value").alias("n_values"))
+    card = F.expr("CAST(CAST(n_values AS DECIMAL(38,0)) * 10000"
+                  " DIV n_urls AS BIGINT)")
+    return agg.select(
+        "key", "n_urls", "n_values", card.alias("cardinality_bp"),
+        F.when(F.col("n_values") == 1, "constant")
+         .when(card >= 9000, "id_like")
+         .otherwise("low_cardinality").alias("class"))

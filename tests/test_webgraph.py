@@ -514,3 +514,19 @@ def test_label_propagation_matches_sequential(spark, docs, rounds):
     assert got == expected
     # propagation must actually merge someone, or the test proves nothing
     assert len({v[0] for v in got.values()}) < n
+
+
+def test_url_param_profile_classes(spark):
+    from ocr_redaction_engine_spark.analytics.webgraph import url_param_profile
+    urls = spark.createDataFrame(
+        [(1, "http://h/p?utm_source=feed&id=a1&sess=x#frag"),
+         (2, "http://h/p?utm_source=feed&id=b2&sess=x"),
+         (3, "http://h/p?utm_source=feed&id=c3&sess=y"),
+         (4, "http://h/p")],
+        "doc_id long, url string")
+    got = {r.key: (r.n_urls, r.n_values, r.cardinality_bp, r["class"])
+           for r in url_param_profile(urls).collect()}
+    assert got["utm_source"] == (3, 1, 3333, "constant")
+    assert got["id"] == (3, 3, 10000, "id_like")
+    assert got["sess"] == (3, 2, 6666, "low_cardinality")
+    assert set(got) == {"utm_source", "id", "sess"}
