@@ -1732,6 +1732,15 @@ def web_url_params(spark, sf_dir):
     return url_param_profile(synth_urls(_t(spark, sf_dir, "documents")))
 
 
+def extract_table_structure(spark, sf_dir):
+    """Table-structure recovery from (synthesized, jittered) word boxes:
+    rows by y-gap clustering, columns by x-gap clustering — two per-page
+    lag windows + running sums, shuffle key doc_id, no global sort."""
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        recover_table, synth_table_boxes)
+    return recover_table(synth_table_boxes(_t(spark, sf_dir, "documents")))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2165,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_partition_skew": storage_partition_skew,
         "text_heaps_fit": text_heaps_fit,
         "web_url_params": web_url_params,
+        "extract_table_structure": extract_table_structure,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5835,6 +5845,35 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "extract_table_structure": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(list_transform(
+                       list_slice(string_split_regex(trim(text), '\s+'), 1, 24),
+                       (t, i) -> struct_pack(token := t, pos0 := i - 1))) AS e
+              FROM documents),
+            boxes AS (
+              SELECT doc_id, e.token AS token,
+                     (e.pos0 // 3) * 20 + 10
+                       + CAST(('0x' || substring(md5(doc_id || ':' || CAST(e.pos0 AS VARCHAR) || ':jy'), 1, 4)) AS BIGINT) % 7 - 3 AS y,
+                     (e.pos0 % 3) * 100 + 10
+                       + CAST(('0x' || substring(md5(doc_id || ':' || CAST(e.pos0 AS VARCHAR) || ':jx'), 1, 4)) AS BIGINT) % 11 - 5 AS x
+              FROM toks),
+            brk AS (
+              SELECT doc_id, token, y, x,
+                     CASE WHEN y - lag(y) OVER (PARTITION BY doc_id ORDER BY y, x, token) > 8
+                          THEN 1 ELSE 0 END AS row_brk,
+                     CASE WHEN x - lag(x) OVER (PARTITION BY doc_id ORDER BY x, y, token) > 20
+                          THEN 1 ELSE 0 END AS col_brk
+              FROM boxes)
+            SELECT doc_id,
+                   SUM(row_brk) OVER (PARTITION BY doc_id ORDER BY y, x, token
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS row_id,
+                   SUM(col_brk) OVER (PARTITION BY doc_id ORDER BY x, y, token
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS col_id,
+                   token, y, x
+            FROM brk
         """,
         "web_url_params": r"""
             WITH u AS (

@@ -371,3 +371,64 @@ def page_metadata(pages: DataFrame) -> DataFrame:
         ).alias("og_locale"),
         F.expr("size(regexp_extract_all(html, '<meta ', 0))").alias("n_meta_tags"),
     )
+
+
+def synth_table_boxes(docs: DataFrame, max_tokens: int = 24,
+                      n_cols: int = 3) -> DataFrame:
+    """Deterministic table-page word boxes (real PDF decode is
+    environment-gated, cf. :func:`reading_order`): token i of each document
+    is cell (row i÷C, col i%C) of an R×C table, with md5 jitter of ±3 px on
+    y and ±5 px on x — the noisy boxes a real PDF/OCR table emits. Pure
+    expressions; any engine rebuilds identical input."""
+    jy = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", "doc_id", F.col("pos0").cast("string"), F.lit("jy"))), 1, 4),
+        16, 10).cast("long") % 7) - 3
+    jx = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", "doc_id", F.col("pos0").cast("string"), F.lit("jx"))), 1, 4),
+        16, 10).cast("long") % 11) - 5
+    return (docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split(F.trim("text"), r"\s+"), 1, max_tokens))
+         .alias("pos0", "token"))
+        .select(
+            "doc_id", "token",
+            (F.expr(f"pos0 DIV {n_cols}") * 20 + 10 + jy).cast("long").alias("y"),
+            ((F.col("pos0") % n_cols) * 100 + 10 + jx).cast("long").alias("x")))
+
+
+def recover_table(boxes: DataFrame, row_gap: int = 8,
+                  col_gap: int = 20) -> DataFrame:
+    """Table-structure recovery from word boxes — the layout-parse step
+    between OCR and a structured row/column extraction: cluster boxes into
+    ROWS by y-gap (a new row starts where the y jump exceeds ``row_gap``)
+    and into COLUMNS by x-gap, both as per-page lag-window + running-sum
+    cluster ids. No grid parameters are assumed; the structure is read off
+    the gaps, so ragged jitter and variable column widths survive.
+
+    Scale shape: two per-page windows (each page's history only — the
+    shuffle key is doc_id, no global sort) and nothing else; output is one
+    row per box with (row_id, col_id) cell coordinates.
+    """
+    wy = Window.partitionBy("doc_id").orderBy("y", "x", "token")
+    wx = Window.partitionBy("doc_id").orderBy("x", "y", "token")
+    with_rows = (
+        boxes
+        .withColumn(
+            "row_brk",
+            (F.col("y") - F.lag("y").over(wy) > row_gap).cast("long"))
+        .withColumn(
+            "row_id",
+            F.coalesce(
+                F.sum("row_brk").over(
+                    wy.rowsBetween(Window.unboundedPreceding, 0)),
+                F.lit(0)))
+        .withColumn(
+            "col_brk",
+            (F.col("x") - F.lag("x").over(wx) > col_gap).cast("long"))
+        .withColumn(
+            "col_id",
+            F.coalesce(
+                F.sum("col_brk").over(
+                    wx.rowsBetween(Window.unboundedPreceding, 0)),
+                F.lit(0))))
+    return with_rows.select("doc_id", "row_id", "col_id", "token", "y", "x")

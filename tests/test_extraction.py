@@ -214,3 +214,30 @@ def test_extraction_confusion_detail_sums_to_eval(spark):
     for r in detail:
         if r["label_raw"] != r["label"]:
             assert r["label_raw"] in ("near", "short") and r["label"] == "good"
+
+
+def test_table_recovery_exact_grid(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import (
+        recover_table, synth_table_boxes)
+    toks = " ".join(f"c{i}" for i in range(12))  # 4 rows x 3 cols
+    docs = spark.createDataFrame(
+        [(7, toks, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.token: (r.row_id, r.col_id)
+           for r in recover_table(synth_table_boxes(docs)).collect()}
+    # token i was planted at cell (i//3, i%3); gap clustering must recover
+    # exactly that despite +-3/+-5 jitter
+    assert got == {f"c{i}": (i // 3, i % 3) for i in range(12)}
+
+
+def test_table_recovery_ragged_and_unjittered(spark):
+    from ocr_redaction_engine_spark.analytics.extraction import recover_table
+    rows = [
+        # hand-built boxes: 2 rows; second row misses the middle column
+        (1, "a", 10, 10), (1, "b", 12, 110), (1, "c", 8, 215),
+        (1, "d", 31, 12), (1, "e", 29, 212),
+    ]
+    boxes = spark.createDataFrame(rows, "doc_id long, token string, y long, x long")
+    got = {r.token: (r.row_id, r.col_id) for r in recover_table(boxes).collect()}
+    assert got == {"a": (0, 0), "b": (0, 1), "c": (0, 2),
+                   "d": (1, 0), "e": (1, 2)}
