@@ -1741,6 +1741,16 @@ def extract_table_structure(spark, sf_dir):
     return recover_table(synth_table_boxes(_t(spark, sf_dir, "documents")))
 
 
+def dedup_banding_eval(spark, sf_dir):
+    """Measured banding calibration: recall/precision of the 4-band
+    MinHash candidate generator vs exact Jaccard>=0.8 ground truth on a
+    1/8 hash sample of docs (the quadratic truth join stays sample-sized;
+    candidates are the real banding run restricted to the sample)."""
+    from ocr_redaction_engine_spark.analytics.dedup import banding_eval
+    return banding_eval(_t(spark, sf_dir, "documents"),
+                        threshold=0.8, n_bands=4, sample_mod=8)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2175,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heaps_fit": text_heaps_fit,
         "web_url_params": web_url_params,
         "extract_table_structure": extract_table_structure,
+        "dedup_banding_eval": dedup_banding_eval,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5845,6 +5856,48 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "dedup_banding_eval": f"""
+            WITH sample AS (
+              SELECT doc_id, text FROM documents
+              WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mheval'), 1, 15)) AS BIGINT) % 8 = 0),
+            toks AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM sample),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            t AS (SELECT a, b, 1 AS in_truth FROM truth),
+            c AS (SELECT a, b, 1 AS in_cand FROM cands),
+            agg AS (
+              SELECT CAST(SUM(COALESCE(in_truth, 0)) AS BIGINT) AS n_truth,
+                     CAST(SUM(COALESCE(in_cand, 0)) AS BIGINT) AS n_cands,
+                     CAST(SUM(COALESCE(in_truth, 0) * COALESCE(in_cand, 0)) AS BIGINT) AS n_hits
+              FROM t FULL JOIN c USING (a, b))
+            SELECT n_truth, n_cands, n_hits,
+                   CAST(n_hits * 10000 // greatest(n_truth, 1) AS BIGINT) AS recall_bp,
+                   CAST(n_hits * 10000 // greatest(n_cands, 1) AS BIGINT) AS precision_bp
+            FROM agg
         """,
         "extract_table_structure": r"""
             WITH toks AS (

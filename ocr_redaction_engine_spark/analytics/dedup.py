@@ -1109,3 +1109,57 @@ def bloom_fpr_calibration(docs: DataFrame, n_probes: int = 2000,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def banding_eval(docs: DataFrame, threshold: float = 0.8,
+                 n_bands: int = N_BANDS, sample_mod: int = 8) -> DataFrame:
+    """Measured recall/precision of the MinHash banding ([[dedup_minhash_bands]]
+    → [[dedup_jaccard_pairs]] pipeline) against EXACT Jaccard ground truth
+    on a deterministic doc sample — the calibration row you check before
+    trusting a banding configuration on a new corpus (the S-curve formula
+    assumes independent hashes; real token distributions drift from it).
+
+    Ground truth needs ALL sampled pairs' exact Jaccard — a token-postings
+    self-join with no df cap — which is exactly the computation banding
+    exists to avoid, so it runs on a hash sample (``md5(doc_id) %
+    sample_mod == 0``; at production scale pick sample_mod so the sample
+    is a few thousand docs and the quadratic stays trivial). Candidates
+    are the REAL banding run restricted to sampled endpoints.
+
+    One output row: (n_truth, n_cands, n_hits, recall_bp, precision_bp) —
+    recall = truth pairs that banding surfaced, precision = surfaced pairs
+    that are true. Zero-denominator guards via greatest(1, ·).
+    """
+    sample = docs.where(
+        md5_long(F.concat(F.col("doc_id").cast("string"),
+                          F.lit(":mheval"))) % sample_mod == 0)
+    toks = doc_tokens_distinct(sample)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("a"), "token")
+    tb = toks.select(F.col("doc_id").alias("b"), "token")
+    inter = (ta.join(tb, "token").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("i")))
+    truth = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .where(F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+               >= threshold)
+        .select("a", "b"))
+    cands = (candidate_pairs(sample, n_bands)
+             .select("a", "b").distinct())
+    t = truth.withColumn("in_truth", F.lit(1))
+    c = cands.withColumn("in_cand", F.lit(1))
+    both = t.join(c, ["a", "b"], "full").select(
+        F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+        F.coalesce("in_cand", F.lit(0)).alias("in_cand"))
+    return both.agg(
+        F.sum("in_truth").cast("long").alias("n_truth"),
+        F.sum("in_cand").cast("long").alias("n_cands"),
+        F.sum(F.col("in_truth") * F.col("in_cand")).cast("long").alias("n_hits"),
+    ).select(
+        "n_truth", "n_cands", "n_hits",
+        F.expr("CAST(n_hits * 10000 DIV greatest(n_truth, 1) AS BIGINT)")
+         .alias("recall_bp"),
+        F.expr("CAST(n_hits * 10000 DIV greatest(n_cands, 1) AS BIGINT)")
+         .alias("precision_bp"))

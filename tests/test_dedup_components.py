@@ -160,3 +160,31 @@ def test_cdc_chunk_dupes_matches_python_mirror_and_shift_invariance(spark):
     # the CDC property itself: despite the prefix insertion, the two docs
     # share duplicated chunks (fixed-block hashing would share none)
     assert len(got) > 0
+
+
+def test_banding_eval_counts_match_mirror(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import banding_eval
+    import hashlib
+    from itertools import combinations
+    corp = {1: "x y z", 2: "x y z", 3: "p q r", 4: "x y w", 8: "x z w"}
+    docs = spark.createDataFrame(
+        [(k, v, "en", "s", 1) for k, v in corp.items()],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = banding_eval(docs, threshold=0.8, n_bands=4, sample_mod=1).collect()[0]
+
+    def sig(toks, i):
+        return min(hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in toks)
+    truth, cands = set(), set()
+    for a, b in combinations(sorted(corp), 2):
+        sa, sb = set(corp[a].split()), set(corp[b].split())
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 6) >= 0.8:
+            truth.add((a, b))
+        if any(sig(sa, i) == sig(sb, i) for i in range(4)):
+            cands.add((a, b))
+    hits = truth & cands
+    assert (got.n_truth, got.n_cands, got.n_hits) == (
+        len(truth), len(cands), len(hits))
+    assert got.recall_bp == len(hits) * 10000 // max(len(truth), 1)
+    assert got.precision_bp == len(hits) * 10000 // max(len(cands), 1)
+    assert got.n_truth == 1 and got.n_hits == 1  # the identical pair
