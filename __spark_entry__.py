@@ -1751,6 +1751,15 @@ def dedup_banding_eval(spark, sf_dir):
                         threshold=0.8, n_bands=4, sample_mod=8)
 
 
+def pack_fill_stats(spark, sf_dir):
+    """Context-length planning table over (256,512,1024,2048): docs over
+    L, chunk counts, padding waste bp for pad-per-doc vs concat packing —
+    closed-form from per-doc token counts, |lengths| output rows."""
+    from ocr_redaction_engine_spark.analytics.packing import fill_stats
+    return fill_stats(_t(spark, sf_dir, "documents"),
+                      lengths=(256, 512, 1024, 2048))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2186,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_params": web_url_params,
         "extract_table_structure": extract_table_structure,
         "dedup_banding_eval": dedup_banding_eval,
+        "pack_fill_stats": pack_fill_stats,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5856,6 +5866,50 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "pack_fill_stats": f"""
+            WITH toks AS (
+              SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+              FROM documents)
+            SELECT CAST(256 AS BIGINT) AS seq_len,
+                   COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+                   CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+                   SUM((n + 256 - 1) // 256) AS n_pieces,
+                   CAST((CAST(SUM((n + 256 - 1) // 256) AS HUGEINT) * 256 - SUM(n)) * 10000
+                        // (CAST(SUM((n + 256 - 1) // 256) AS HUGEINT) * 256) AS BIGINT) AS pad_waste_bp,
+                   CAST((CAST((SUM(n) + 256 - 1) // 256 AS HUGEINT) * 256 - SUM(n)) * 10000
+                        // (CAST((SUM(n) + 256 - 1) // 256 AS HUGEINT) * 256) AS BIGINT) AS concat_waste_bp
+            FROM toks
+            UNION ALL
+            SELECT CAST(512 AS BIGINT) AS seq_len,
+                   COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+                   CAST(SUM(CASE WHEN n > 512 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+                   SUM((n + 512 - 1) // 512) AS n_pieces,
+                   CAST((CAST(SUM((n + 512 - 1) // 512) AS HUGEINT) * 512 - SUM(n)) * 10000
+                        // (CAST(SUM((n + 512 - 1) // 512) AS HUGEINT) * 512) AS BIGINT) AS pad_waste_bp,
+                   CAST((CAST((SUM(n) + 512 - 1) // 512 AS HUGEINT) * 512 - SUM(n)) * 10000
+                        // (CAST((SUM(n) + 512 - 1) // 512 AS HUGEINT) * 512) AS BIGINT) AS concat_waste_bp
+            FROM toks
+            UNION ALL
+            SELECT CAST(1024 AS BIGINT) AS seq_len,
+                   COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+                   CAST(SUM(CASE WHEN n > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+                   SUM((n + 1024 - 1) // 1024) AS n_pieces,
+                   CAST((CAST(SUM((n + 1024 - 1) // 1024) AS HUGEINT) * 1024 - SUM(n)) * 10000
+                        // (CAST(SUM((n + 1024 - 1) // 1024) AS HUGEINT) * 1024) AS BIGINT) AS pad_waste_bp,
+                   CAST((CAST((SUM(n) + 1024 - 1) // 1024 AS HUGEINT) * 1024 - SUM(n)) * 10000
+                        // (CAST((SUM(n) + 1024 - 1) // 1024 AS HUGEINT) * 1024) AS BIGINT) AS concat_waste_bp
+            FROM toks
+            UNION ALL
+            SELECT CAST(2048 AS BIGINT) AS seq_len,
+                   COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+                   CAST(SUM(CASE WHEN n > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+                   SUM((n + 2048 - 1) // 2048) AS n_pieces,
+                   CAST((CAST(SUM((n + 2048 - 1) // 2048) AS HUGEINT) * 2048 - SUM(n)) * 10000
+                        // (CAST(SUM((n + 2048 - 1) // 2048) AS HUGEINT) * 2048) AS BIGINT) AS pad_waste_bp,
+                   CAST((CAST((SUM(n) + 2048 - 1) // 2048 AS HUGEINT) * 2048 - SUM(n)) * 10000
+                        // (CAST((SUM(n) + 2048 - 1) // 2048 AS HUGEINT) * 2048) AS BIGINT) AS concat_waste_bp
+            FROM toks
         """,
         "dedup_banding_eval": f"""
             WITH sample AS (

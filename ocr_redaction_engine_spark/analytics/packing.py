@@ -78,3 +78,45 @@ def pack_offsets(docs: DataFrame, budget_tokens: int = 512,
         f"CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) DIV {b}"
         f" > start_offset DIV {b} ELSE false END AS straddle",
     )
+
+
+def fill_stats(docs: DataFrame,
+               lengths: tuple = (256, 512, 1024, 2048)) -> DataFrame:
+    """Context-length planning table: for each candidate sequence length L,
+    what a batch builder pays — docs over L (must chunk), the chunk count
+    under split-into-pieces batching, padding waste in bp of capacity for
+    the two standard strategies: one-doc-per-sequence padding (the upper
+    bound) and boundary-respecting concat packing ([[pack_sequences]]'s
+    greedy fill, whose waste is only each doc's tail piece) — the numbers
+    behind choosing 2k vs 8k context for a pretraining run.
+
+    Closed-form from per-doc token counts: one map-only token count + one
+    agg per L over the same scan (Spark shares it), |lengths| output rows.
+    """
+    toks = docs.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"))
+    outs = []
+    for L in lengths:
+        pieces = F.expr(f"CAST((n + {L} - 1) DIV {L} AS BIGINT)")
+        agg = toks.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum((F.col("n") > L).cast("long")).alias("docs_over"),
+            F.sum(pieces).alias("n_pieces"),
+        )
+        outs.append(agg.select(
+            F.lit(L).cast("long").alias("seq_len"),
+            "n_docs", "total_tokens", "docs_over", "n_pieces",
+            # one doc (piece) per sequence: capacity = pieces*L
+            F.expr(f"CAST((CAST(n_pieces AS DECIMAL(38,0)) * {L} - total_tokens)"
+                   f" * 10000 DIV (CAST(n_pieces AS DECIMAL(38,0)) * {L})"
+                   " AS BIGINT)").alias("pad_waste_bp"),
+            # concat packing: sequences = ceil(total/L), waste = tail only
+            F.expr(f"CAST((CAST((total_tokens + {L} - 1) DIV {L} AS DECIMAL(38,0))"
+                   f" * {L} - total_tokens) * 10000"
+                   f" DIV (CAST((total_tokens + {L} - 1) DIV {L} AS DECIMAL(38,0)) * {L})"
+                   " AS BIGINT)").alias("concat_waste_bp")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

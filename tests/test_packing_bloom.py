@@ -325,3 +325,24 @@ def test_bloom_fpr_calibration_mirror_and_monotonicity(spark):
     # a 16x bigger filter cannot be worse at equal k
     assert got[(16384, 3)][0] <= got[(1024, 3)][0]
     assert got[(1024, 3)][0] > 0  # tiny filter is saturated enough to matter
+
+
+def test_fill_stats_closed_form(spark):
+    from ocr_redaction_engine_spark.analytics.packing import fill_stats
+    docs = spark.createDataFrame(
+        [(1, " ".join(["t"] * 10), "en", "s", 1),
+         (2, " ".join(["t"] * 300), "en", "s", 1),
+         (3, " ".join(["t"] * 600), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.seq_len: r for r in
+           fill_stats(docs, lengths=(256, 1024)).collect()}
+    r = got[256]
+    # pieces: ceil(10/256)+ceil(300/256)+ceil(600/256) = 1+2+3 = 6
+    assert (r.n_docs, r.total_tokens, r.docs_over, r.n_pieces) == (3, 910, 2, 6)
+    cap = 6 * 256
+    assert r.pad_waste_bp == (cap - 910) * 10000 // cap
+    ccap = ((910 + 255) // 256) * 256
+    assert r.concat_waste_bp == (ccap - 910) * 10000 // ccap
+    r = got[1024]
+    assert (r.docs_over, r.n_pieces) == (0, 3)
+    assert r.concat_waste_bp == (1024 - 910) * 10000 // 1024
