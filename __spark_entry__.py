@@ -1760,6 +1760,24 @@ def pack_fill_stats(spark, sf_dir):
                       lengths=(256, 512, 1024, 2048))
 
 
+def text_code_detection(spark, sf_dir):
+    """Code-vs-prose router (symbol density / keyword hits / digit
+    density, 2-of-3 vote). The synthetic corpus is all prose, so docs with
+    doc_id % 13 == 0 get a deterministic code-snippet tail — the mixed
+    corpus the router exists for. Map-only; no shuffle."""
+    from ocr_redaction_engine_spark.analytics.text import code_detection
+    docs = _t(spark, sf_dir, "documents")
+    snippet = (" def f(x): return x[0]; if (y == 1) { z[2] = 3; }"
+               " import os var const i=42 for j in k: while (m) {}")
+    docs = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat("text", F.lit(snippet))).otherwise(F.col("text"))
+         .alias("text"),
+        "lang", "source", "n_chars")
+    return code_detection(docs)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2196,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table_structure": extract_table_structure,
         "dedup_banding_eval": dedup_banding_eval,
         "pack_fill_stats": pack_fill_stats,
+        "text_code_detection": text_code_detection,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5866,6 +5885,36 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "text_code_detection": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0
+                          THEN text || ' def f(x): return x[0]; if (y == 1) { z[2] = 3; } import os var const i=42 for j in k: while (m) {}'
+                          ELSE text END AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     greatest(1, length(text)) AS n_chars,
+                     length(text) - length(translate(text, '{}();=[]<>', '')) AS symbols,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> regexp_matches(t, '^(def|return|import|class|void|int|function|var|const|if|else|for|while)$'))) AS kw_hits,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+              FROM aug),
+            s AS (
+              SELECT doc_id,
+                     CAST(symbols * 10000 // n_chars AS BIGINT) AS sym_bp,
+                     CAST(kw_hits AS BIGINT) AS kw_hits,
+                     CAST(digits * 10000 // n_chars AS BIGINT) AS dig_bp
+              FROM m),
+            f AS (
+              SELECT *, CAST((CASE WHEN sym_bp >= 300 THEN 1 ELSE 0 END)
+                             + (CASE WHEN kw_hits >= 3 THEN 1 ELSE 0 END)
+                             + (CASE WHEN dig_bp >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS score
+              FROM s)
+            SELECT doc_id, sym_bp, kw_hits, dig_bp, score,
+                   CASE WHEN score >= 2 THEN 'code' ELSE 'prose' END AS class
+            FROM f
         """,
         "pack_fill_stats": f"""
             WITH toks AS (

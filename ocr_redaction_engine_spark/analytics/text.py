@@ -1283,3 +1283,46 @@ def heaps_fit(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
             .select("n_points", "beta",
                     F.round((F.col("sy") - F.col("beta") * F.col("sx"))
                             / F.col("n_points"), 6).alias("ln_k")))
+
+
+CODE_KEYWORDS = ("def", "return", "import", "class", "void", "int",
+                 "function", "var", "const", "if", "else", "for", "while")
+
+
+def code_detection(docs: DataFrame,
+                   keywords: tuple = CODE_KEYWORDS) -> DataFrame:
+    """Code-vs-prose heuristic — the filter that keeps (or routes) source
+    code in a web corpus, stacked next to [[text_langid]] in every
+    pretraining pipeline: per doc, symbol density (``{}();=[]<>`` chars
+    per 10k chars), keyword hits (whitespace-token match against a small
+    language-keyword list), digit density, and an integer score; class =
+    ``code`` when score ≥ 2 of the 3 signals fire.
+
+    All map-only regexp/HOF counting — no shuffle, no UDF, no broadcast
+    (the keyword list compiles into the expression). Thresholds are
+    deliberately coarse: this is a ROUTER (code corpora get their own
+    dedup/quality lane), not a classifier benchmark.
+    """
+    n_chars = F.greatest(F.lit(1), F.length("text")).cast("long")
+    symbols = (F.length("text")
+               - F.length(F.translate("text", "{}();=[]<>", ""))).cast("long")
+    kw = "|".join(keywords)
+    kw_hits = F.size(F.expr(
+        f"filter(split(trim(text), '\\\\s+'), t -> t RLIKE '^({kw})$')"
+    )).cast("long")
+    digits = (F.length("text")
+              - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("long")
+    scored = docs.select(
+        "doc_id", n_chars.alias("n_chars"), symbols.alias("symbols"),
+        kw_hits.alias("kw_hits"), digits.alias("digits"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(symbols * 10000 DIV n_chars AS BIGINT)").alias("sym_bp"),
+        "kw_hits",
+        F.expr("CAST(digits * 10000 DIV n_chars AS BIGINT)").alias("dig_bp"))
+    score = ((F.col("sym_bp") >= 300).cast("int")
+             + (F.col("kw_hits") >= 3).cast("int")
+             + (F.col("dig_bp") >= 500).cast("int")).cast("long")
+    return scored.select(
+        "doc_id", "sym_bp", "kw_hits", "dig_bp", score.alias("score"),
+        F.when(score >= 2, "code").otherwise("prose").alias("class"))

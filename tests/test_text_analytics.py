@@ -601,3 +601,25 @@ def test_heaps_fit_matches_mirror(spark):
     ln_k = round((sy - beta * sx) / n, 6)
     assert (got.n_points, got.beta, got.ln_k) == (n, beta, ln_k)
     assert 0.0 < got.beta < 1.0  # sublinear vocab growth
+
+
+def test_code_detection_routes_code_and_prose(spark):
+    from ocr_redaction_engine_spark.analytics.text import code_detection
+    code = ("def f(x): return x[1] + g(x); import os; "
+            "for i in y: if i == 2: while (a) { b[0] = 3; } class C1:")
+    prose = "the quiet afternoon settled over the village as readers gathered"
+    docs = spark.createDataFrame(
+        [(1, code, "en", "s", 1), (2, prose, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r for r in code_detection(docs).collect()}
+    assert got[1]["class"] == "code" and got[1].score >= 2
+    assert got[2]["class"] == "prose" and got[2].score == 0
+    # mirror the integer densities for the code doc
+    n = len(code)
+    sym = sum(code.count(c) for c in "{}();=[]<>")
+    assert got[1].sym_bp == sym * 10000 // n
+    kw = sum(1 for t in code.split()
+             if t in ("def", "return", "import", "class", "void", "int",
+                      "function", "var", "const", "if", "else", "for",
+                      "while"))
+    assert got[1].kw_hits == kw
