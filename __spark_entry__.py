@@ -1778,6 +1778,14 @@ def text_code_detection(spark, sf_dir):
     return code_detection(docs)
 
 
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: first-order-month cohorts × month offsets,
+    integer cents, cumulative windows over months² rows; one co-keyed
+    shuffle (orders ⋈ per-customer firsts on o_custkey)."""
+    from ocr_redaction_engine_spark.analytics.temporal import cohort_ltv
+    return cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2215,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_banding_eval": dedup_banding_eval,
         "pack_fill_stats": pack_fill_stats,
         "text_code_detection": text_code_detection,
+        "orders_cohort_ltv": orders_cohort_ltv,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5885,6 +5894,33 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "orders_cohort_ltv": """
+            WITH base AS (
+              SELECT o_custkey,
+                     year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            firsts AS (
+              SELECT o_custkey, MIN(m) AS cohort_m FROM base GROUP BY 1),
+            sizes AS (
+              SELECT cohort_m, COUNT(DISTINCT o_custkey) AS n_custs
+              FROM firsts GROUP BY 1),
+            per AS (
+              SELECT f.cohort_m, b.m - f.cohort_m AS offset_m,
+                     SUM(b.cents) AS rev_cents
+              FROM base b JOIN firsts f ON f.o_custkey = b.o_custkey
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT cohort_m, offset_m, rev_cents,
+                     SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY offset_m
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_rev_cents
+              FROM per)
+            SELECT c.cohort_m, c.offset_m, s.n_custs, c.rev_cents,
+                   c.cum_rev_cents,
+                   CAST(c.cum_rev_cents // s.n_custs AS BIGINT) AS cum_per_cust_cents
+            FROM cum c JOIN sizes s ON s.cohort_m = c.cohort_m
         """,
         "text_code_detection": r"""
             WITH aug AS (

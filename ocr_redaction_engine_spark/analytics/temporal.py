@@ -448,3 +448,41 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     return joined.select(
         "day", "dau", "wau",
         F.expr("CAST(dau * 10000 DIV wau AS BIGINT)").alias("stickiness_bp"))
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by month offset since that first order —
+    the "how much is a January customer worth after six months" table
+    ([[events_retention]] tracks activity; this tracks money).
+
+    Integer end-to-end: months as year·12+month, revenue in cents
+    (round(price·100), the orders_rfm convention), per-customer averages
+    by truncating DIV. Scale shape: a per-customer min-agg, one equi-join
+    back on o_custkey (both sides co-keyed — one shuffle), a (cohort,
+    offset) hash-agg, then cumulative windows over |cohorts|×|offsets|
+    rows. Output is months², not customers.
+    """
+    from pyspark.sql import Window
+
+    month = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+    base = orders.select(
+        "o_custkey", month.alias("m"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    firsts = base.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    joined = base.join(firsts, "o_custkey").select(
+        "o_custkey", "cohort_m", (F.col("m") - F.col("cohort_m")).alias("offset_m"),
+        "cents")
+    cohort_sizes = firsts.groupBy("cohort_m").agg(
+        F.countDistinct("o_custkey").alias("n_custs"))
+    per = joined.groupBy("cohort_m", "offset_m").agg(
+        F.sum("cents").alias("rev_cents"))
+    w = (Window.partitionBy("cohort_m").orderBy("offset_m")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (per
+            .withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+            .join(F.broadcast(cohort_sizes), "cohort_m")
+            .select("cohort_m", "offset_m", "n_custs", "rev_cents",
+                    "cum_rev_cents",
+                    F.expr("CAST(cum_rev_cents DIV n_custs AS BIGINT)")
+                     .alias("cum_per_cust_cents")))

@@ -337,3 +337,28 @@ def test_active_users_sliding_distinct(spark):
     for d in range(8, 13):
         assert got[d] == (0, 2, 0), f"gap day {d} must not vanish"
     assert set(got) == set(range(6, 14))
+
+
+def test_cohort_ltv_hand_computed(spark):
+    from ocr_redaction_engine_spark.analytics.temporal import cohort_ltv
+    import datetime as dt
+    rows = [
+        # cust 1: first 1994-01, buys again 1994-03
+        (1, 1, "O", 10.00, dt.date(1994, 1, 5), "p"),
+        (2, 1, "O", 5.00, dt.date(1994, 3, 9), "p"),
+        # cust 2: same cohort, single order
+        (3, 2, "O", 7.50, dt.date(1994, 1, 20), "p"),
+        # cust 3: later cohort
+        (4, 3, "O", 2.25, dt.date(1994, 2, 1), "p"),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate date, o_orderpriority string")
+    m94_1 = 1994 * 12 + 0
+    got = {(r.cohort_m, r.offset_m): (r.n_custs, r.rev_cents,
+                                      r.cum_rev_cents, r.cum_per_cust_cents)
+           for r in cohort_ltv(orders).collect()}
+    assert got[(m94_1, 0)] == (2, 1750, 1750, 875)
+    assert got[(m94_1, 2)] == (2, 500, 2250, 1125)
+    assert got[(m94_1 + 1, 0)] == (1, 225, 225, 225)
+    assert len(got) == 3
