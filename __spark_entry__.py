@@ -1786,6 +1786,15 @@ def orders_cohort_ltv(spark, sf_dir):
     return cohort_ltv(_t(spark, sf_dir, "orders"))
 
 
+def web_trustrank(spark, sf_dir):
+    """TrustRank: PageRank with teleport concentrated on an md5-gated
+    trusted seed set — link-spam clusters unreachable from seeds starve.
+    Same integer micro-rank loop and one-shuffle-per-iteration shape as
+    web_pagerank."""
+    from ocr_redaction_engine_spark.analytics.webgraph import trustrank
+    return trustrank(_t(spark, sf_dir, "documents"), iters=3, seed_mod=10)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2224,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_fill_stats": pack_fill_stats,
         "text_code_detection": text_code_detection,
         "orders_cohort_ltv": orders_cohort_ltv,
+        "web_trustrank": web_trustrank,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5894,6 +5904,60 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "web_trustrank": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src, outdeg,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            seeds AS (
+              SELECT node,
+                     CAST('0x' || substring(md5(doc_id || ':trust'), 1, 8) AS BIGINT) % 10 = 0 AS is_seed
+              FROM nodes),
+            ns AS (SELECT count(*) AS c FROM seeds WHERE is_seed),
+            r0 AS (SELECT s.node,
+                          CAST(CASE WHEN s.is_seed
+                               THEN 1000000000000 // (SELECT c FROM ns)
+                               ELSE 0 END AS BIGINT) AS rank
+                   FROM seeds s),
+            i1 AS (SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+                   FROM edges e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                          CAST((CASE WHEN s.is_seed THEN 1000000000000 * 15 // 100 // (SELECT c FROM ns) ELSE 0 END)
+                               + (coalesce(i.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+                   FROM nodes n
+                   JOIN seeds s ON s.node = n.node
+                   LEFT JOIN i1 i ON i.dst = n.node),
+            i2 AS (SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+                   FROM edges e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                          CAST((CASE WHEN s.is_seed THEN 1000000000000 * 15 // 100 // (SELECT c FROM ns) ELSE 0 END)
+                               + (coalesce(i.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+                   FROM nodes n
+                   JOIN seeds s ON s.node = n.node
+                   LEFT JOIN i2 i ON i.dst = n.node),
+            i3 AS (SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+                   FROM edges e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                          CAST((CASE WHEN s.is_seed THEN 1000000000000 * 15 // 100 // (SELECT c FROM ns) ELSE 0 END)
+                               + (coalesce(i.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+                   FROM nodes n
+                   JOIN seeds s ON s.node = n.node
+                   LEFT JOIN i3 i ON i.dst = n.node)
+            SELECT n.doc_id, r3.rank AS trust_micro, s.is_seed
+            FROM nodes n
+            JOIN r3 ON r3.node = n.node
+            JOIN seeds s ON s.node = n.node
         """,
         "orders_cohort_ltv": """
             WITH base AS (

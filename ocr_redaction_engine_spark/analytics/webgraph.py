@@ -890,3 +890,51 @@ def url_param_profile(urls: DataFrame) -> DataFrame:
         F.when(F.col("n_values") == 1, "constant")
          .when(card >= 9000, "id_like")
          .otherwise("low_cardinality").alias("class"))
+
+
+def trustrank(docs: DataFrame, iters: int = 3, damping_pct: int = 85,
+              seed_mod: int = 10) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): PageRank
+    with the teleport vector concentrated on a trusted seed set instead of
+    uniform — rank can only flow OUT of seeds along links, so link-spam
+    clusters with no inbound path from trusted pages starve toward zero.
+    The web-pipeline companion of [[web_pagerank]]: rank ÷ trust is the
+    classic spam-mass signal.
+
+    Seeds are the md5-gated doc sample ``md5(doc_id:trust) % seed_mod ==
+    0`` (deterministic; a real deployment injects its curated list).
+    Same integer micro-rank arithmetic and the same one-shuffle-per-
+    iteration join+agg loop as pagerank — sums are order-independent, so
+    the distributed fold is bit-identical to the sequential oracle.
+    """
+    n_nodes = docs.select("doc_id").distinct().count()
+    nodes = _doc_nodes(docs)
+    seed_flag = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":trust"))), 1, 8), 16, 10)
+        .cast("long") % seed_mod == 0)
+    nodes = nodes.withColumn("is_seed", seed_flag)
+    n_seeds = nodes.where("is_seed").count()  # metadata-scale scalar
+    edges = synth_edges(docs, n_nodes).persist()
+    base = SCALE * (100 - damping_pct) // 100 // max(n_seeds, 1)
+
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(SCALE // max(n_seeds, 1)))
+         .otherwise(F.lit(0)).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst").agg(F.sum("contrib").alias("inflow")))
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((CASE WHEN is_seed THEN {base} ELSE 0 END)"
+                    f" + (coalesce(inflow, 0) * {damping_pct}) div 100"
+                    " AS BIGINT)").alias("rank")))
+    out = (nodes.join(ranks, "node")
+           .select("doc_id", F.col("rank").alias("trust_micro"), "is_seed"))
+    edges.unpersist()
+    return out
