@@ -1795,6 +1795,14 @@ def web_trustrank(spark, sf_dir):
     return trustrank(_t(spark, sf_dir, "documents"), iters=3, seed_mod=10)
 
 
+def embed_dim_stats(spark, sf_dir):
+    """Embedding dimension health: exact fixed-point per-dim mean/var,
+    variance share bp, top-10 by variance — the whitening/dead-dim audit.
+    One posexplode hash-agg; ranking rides |dims| rows."""
+    from ocr_redaction_engine_spark.analytics.similarity import dim_stats
+    return dim_stats(_t(spark, sf_dir, "embeddings"), top_k=10)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2234,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_detection": text_code_detection,
         "orders_cohort_ltv": orders_cohort_ltv,
         "web_trustrank": web_trustrank,
+        "embed_dim_stats": embed_dim_stats,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5904,6 +5913,32 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "embed_dim_stats": """
+            WITH fxt AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fx
+              FROM embeddings),
+            d AS (
+              SELECT UNNEST(list_transform(fx, (x, i) -> struct_pack(dim := i - 1, q := x))) AS e
+              FROM fxt),
+            per AS (
+              SELECT e.dim AS dim, COUNT(*) AS n, SUM(e.q) AS s,
+                     SUM(CAST(e.q AS HUGEINT) * e.q) AS s2
+              FROM d GROUP BY 1),
+            stats AS (
+              SELECT dim, n,
+                     CAST((abs(s) // n) * (CASE WHEN s >= 0 THEN 1 ELSE -1 END) AS BIGINT) AS mean_e6,
+                     CAST(s2 // n - CAST((abs(s) // n) AS HUGEINT) * (abs(s) // n) AS BIGINT) AS var_e12
+              FROM per),
+            ranked AS (
+              SELECT *, SUM(var_e12) OVER () AS total_var,
+                     row_number() OVER (ORDER BY var_e12 DESC, dim ASC) AS var_rank
+              FROM stats)
+            SELECT dim, n, mean_e6, var_e12,
+                   CAST(CAST(var_e12 AS HUGEINT) * 10000 // greatest(total_var, 1) AS BIGINT) AS var_share_bp,
+                   CAST(var_rank AS BIGINT) AS var_rank
+            FROM ranked WHERE var_rank <= 10
         """,
         "web_trustrank": r"""
             WITH nodes AS (

@@ -769,3 +769,46 @@ def centroid_outliers(embeddings: DataFrame, k: int = 5) -> DataFrame:
             .where(F.col("rn") <= k)
             .select("label", "vec_id", "dist_sq",
                     F.col("rn").cast("long").alias("rank")))
+
+
+def dim_stats(embeddings: DataFrame, top_k: int = 10) -> DataFrame:
+    """Embedding dimension health — the diagonal-covariance audit run
+    before whitening / dimension-dropping decisions: per dimension, exact
+    fixed-point mean and variance, plus each dimension's share of total
+    variance (bp) and its variance rank. Dead dimensions (≈0 variance)
+    waste index space; dominant ones make cosine anisotropic — both are
+    invisible until measured.
+
+    Exact int64/decimal arithmetic on the ×1e6 quantized values
+    (E[x²]−E[x]² with truncating DIV, the [[ann_ivf_topk]] discipline):
+    one posexplode hash-agg per (dim) over the scan, then ranking rides
+    |dims| rows. Output: the ``top_k`` highest-variance dimensions.
+    """
+    from pyspark.sql import Window
+
+    fx = embeddings.select(_fixed_point_col().alias("fx"))
+    d = fx.select(F.posexplode("fx").alias("dim", "q"))
+    dec = "DECIMAL(38,0)"
+    per = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.expr(f"CAST(q AS {dec}) * q")).alias("s2"))
+    stats = per.select(
+        "dim", "n",
+        F.expr("CAST((abs(s) DIV n) * (CASE WHEN s >= 0 THEN 1 ELSE -1 END)"
+               " AS BIGINT)").alias("mean_e6"),
+        # var·1e12 = E[x²·1e12] − mean², all in DECIMAL(38,0)
+        F.expr(f"CAST(s2 DIV n - CAST((abs(s) DIV n) AS {dec})"
+               f" * (abs(s) DIV n) AS BIGINT)").alias("var_e12"))
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("var_e12").desc(), F.col("dim").asc()))
+    return (stats
+            .withColumn("total_var",
+                        F.sum("var_e12").over(Window.partitionBy()))
+            .withColumn("var_share_bp", F.expr(
+                f"CAST(CAST(var_e12 AS {dec}) * 10000"
+                " DIV greatest(total_var, 1) AS BIGINT)"))
+            .withColumn("var_rank", rnk)
+            .where(F.col("var_rank") <= top_k)
+            .select("dim", "n", "mean_e6", "var_e12", "var_share_bp",
+                    F.col("var_rank").cast("long").alias("var_rank")))

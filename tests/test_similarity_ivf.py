@@ -271,3 +271,17 @@ def test_centroid_outliers_planted_outlier(spark):
     # label 1 centroid = (0,0); both dists equal -> lower vec_id first
     assert got[(1, 1)][0] == 10 and got[(1, 2)][0] == 11
     assert got[(1, 1)][1] == got[(1, 2)][1] == 2 * 500_000 ** 2
+
+
+def test_dim_stats_planted_variance(spark):
+    from ocr_redaction_engine_spark.analytics.similarity import dim_stats
+    # dim0 constant (dead), dim1 high variance, dim2 mild
+    rows = [(i, [0.5, 1.0 if i % 2 == 0 else -1.0, 0.1 * (i % 3)], 0)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.dim: r for r in dim_stats(df, top_k=3).collect()}
+    assert got[1].var_rank == 1 and got[2].var_rank == 2 and got[0].var_rank == 3
+    assert got[0].var_e12 == 0 and got[0].mean_e6 == 500000
+    # dim1: values ±1e6, mean 0 -> var_e12 = 1e12
+    assert got[1].mean_e6 == 0 and got[1].var_e12 == 10 ** 12
+    assert got[1].var_share_bp + got[2].var_share_bp <= 10000
