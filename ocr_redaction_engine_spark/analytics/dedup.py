@@ -1023,6 +1023,11 @@ def cdc_chunk_dupes(docs: DataFrame, w: int = 8, mask_bits: int = 6,
     chunk (chunk_hash, chunk_len, n_docs, n_occ) — duplication mass, not
     the corpus, so the result stays small at any scale.
 
+    Memory envelope: the boundary HOF materializes one ``sequence(w, n)``
+    int array per row — ~8 bytes/char transiently. Fine for web documents
+    (KBs); for multi-MB blobs route through a chunked ``mapInPandas``
+    scanner (the [[multimodal_window_energy]] shape) before this operator.
+
     The reference engine (Devopcasting/OCR-Redaction-Engine) has no
     corpus-level dedup at all (its unit is one queued document,
     process_queue_documents.py); this is part of the warehouse-scale

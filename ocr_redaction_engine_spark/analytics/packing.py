@@ -95,28 +95,30 @@ def fill_stats(docs: DataFrame,
     """
     toks = docs.select(
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"))
-    outs = []
+    aggs = [F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens")]
     for L in lengths:
-        pieces = F.expr(f"CAST((n + {L} - 1) DIV {L} AS BIGINT)")
-        agg = toks.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n").alias("total_tokens"),
-            F.sum((F.col("n") > L).cast("long")).alias("docs_over"),
-            F.sum(pieces).alias("n_pieces"),
-        )
-        outs.append(agg.select(
+        aggs.append(F.sum((F.col("n") > L).cast("long")).alias(f"over_{L}"))
+        aggs.append(F.sum(F.expr(f"CAST((n + {L} - 1) DIV {L} AS BIGINT)"))
+                    .alias(f"pieces_{L}"))
+    one = toks.agg(*aggs)   # ONE scan for every L
+    rows = F.array(*[
+        F.struct(
             F.lit(L).cast("long").alias("seq_len"),
-            "n_docs", "total_tokens", "docs_over", "n_pieces",
-            # one doc (piece) per sequence: capacity = pieces*L
-            F.expr(f"CAST((CAST(n_pieces AS DECIMAL(38,0)) * {L} - total_tokens)"
-                   f" * 10000 DIV (CAST(n_pieces AS DECIMAL(38,0)) * {L})"
-                   " AS BIGINT)").alias("pad_waste_bp"),
-            # concat packing: sequences = ceil(total/L), waste = tail only
-            F.expr(f"CAST((CAST((total_tokens + {L} - 1) DIV {L} AS DECIMAL(38,0))"
-                   f" * {L} - total_tokens) * 10000"
-                   f" DIV (CAST((total_tokens + {L} - 1) DIV {L} AS DECIMAL(38,0)) * {L})"
-                   " AS BIGINT)").alias("concat_waste_bp")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+            F.col(f"over_{L}").alias("docs_over"),
+            F.col(f"pieces_{L}").alias("n_pieces"))
+        for L in lengths])
+    exploded = one.select(
+        "n_docs", "total_tokens", F.explode(rows).alias("r")).select(
+        F.col("r.seq_len").alias("seq_len"), "n_docs", "total_tokens",
+        F.col("r.docs_over").alias("docs_over"),
+        F.col("r.n_pieces").alias("n_pieces"))
+    dec = "DECIMAL(38,0)"
+    return exploded.select(
+        "seq_len", "n_docs", "total_tokens", "docs_over", "n_pieces",
+        F.expr(f"CAST((CAST(n_pieces AS {dec}) * seq_len - total_tokens)"
+               f" * 10000 DIV (CAST(n_pieces AS {dec}) * seq_len)"
+               " AS BIGINT)").alias("pad_waste_bp"),
+        F.expr(f"CAST((CAST((total_tokens + seq_len - 1) DIV seq_len AS {dec})"
+               f" * seq_len - total_tokens) * 10000"
+               f" DIV (CAST((total_tokens + seq_len - 1) DIV seq_len AS {dec})"
+               " * seq_len) AS BIGINT)").alias("concat_waste_bp"))
