@@ -102,6 +102,16 @@ HEADLINE = [
     # text_tokenizer_fertility excluded like bpe_encode_pieces: it embeds
     # the 20-sequential-merge BPE train (measured 8.5 s, all trainer — the
     # audit itself is two vocab-sized aggs)
+    # round-3d: CDC chunk dedup, blocked ER, cross-source containment,
+    # banding/Bloom calibration grids, law fits, drift monitor, TrustRank,
+    # embedding audits, layout advisor, table recovery, LTV, Q8 share
+    "dedup_cdc_chunks", "er_blocked_match", "text_source_overlap",
+    "dedup_banding_eval", "sketch_bloom_fpr", "text_zipf_fit",
+    "text_heaps_fit", "events_schema_drift", "web_trustrank",
+    "ann_centroid_outliers", "embed_dim_stats", "orders_cohort_ltv",
+    "privacy_t_closeness", "privacy_dp_counts", "text_code_detection",
+    "text_readability", "storage_partition_skew", "q36_market_share",
+    "extract_table_structure", "pack_fill_stats", "web_url_params",
 ]
 
 
