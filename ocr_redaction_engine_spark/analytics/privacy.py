@@ -157,6 +157,11 @@ def t_closeness_audit(customers: DataFrame,
         key=lambda r: r.b)
     m = len(gd)
     n_total = sum(r.g for r in gd)
+    if not gd:   # empty input: an empty literal array has no element type
+        return (grp.select(
+            *qi, "group_n",
+            F.lit(0).cast("long").alias("emd_e6"),
+            F.lit(False).alias("t_risk")))
     cum, cums = 0, []
     for r in gd:
         cum += r.g

@@ -154,3 +154,13 @@ def test_dp_release_counts_deterministic_and_clamped(spark):
              for r in dp_release_counts(docs, seed="dp2").collect()}
     assert other == {(l, s): max(0, (100 if l == "en" else 1) + noise2(l, s))
                      for (l, s) in got}
+
+
+def test_t_closeness_empty_input(spark):
+    df = spark.createDataFrame(
+        [], "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string")
+    out = t_closeness_audit(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "c_nationkey", "c_mktsegment", "group_n", "emd_e6", "t_risk"]
