@@ -1803,6 +1803,27 @@ def embed_dim_stats(spark, sf_dir):
     return dim_stats(_t(spark, sf_dir, "embeddings"), top_k=10)
 
 
+def dedup_onion_funnel(spark, sf_dir):
+    """Layered dedup rejection funnel (exact → CCNet-normalized →
+    MinHash near-dup at J≥0.8, greedy keep-lowest-id): removed-per-layer
+    table over a corpus with planted copies (doc_id%... md5 draw: exact /
+    uppercased / whitespace-mangled twins), each layer running only on
+    prior survivors."""
+    from ocr_redaction_engine_spark.analytics.dedup import onion_funnel
+    from ocr_redaction_engine_spark.analytics.text import md5_long
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn(
+        "draw", md5_long(F.concat(F.col("doc_id").cast("string"),
+                                  F.lit(":onion"))) % 4)
+    copies = d.where("draw < 3").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("draw") == 0, F.col("text"))
+         .when(F.col("draw") == 1, F.upper("text"))
+         .otherwise(F.regexp_replace("text", " ", "   ")).alias("text"),
+        "lang", "source", "n_chars")
+    return onion_funnel(docs.unionByName(copies), jaccard_t=0.8)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2243,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_ltv": orders_cohort_ltv,
         "web_trustrank": web_trustrank,
         "embed_dim_stats": embed_dim_stats,
+        "dedup_onion_funnel": dedup_onion_funnel,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5913,6 +5935,77 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "dedup_onion_funnel": f"""
+            WITH d AS (
+              SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':onion'), 1, 15)) AS BIGINT) % 4 AS draw
+              FROM documents),
+            u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     CASE WHEN draw = 0 THEN text
+                          WHEN draw = 1 THEN upper(text)
+                          ELSE replace(text, ' ', '   ') END
+              FROM d WHERE draw < 3),
+            fp1 AS (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS fp FROM u),
+            k1 AS (SELECT fp, MIN(doc_id) AS keep FROM fp1 GROUP BY 1),
+            r1 AS (SELECT f.doc_id FROM fp1 f JOIN k1 USING (fp) WHERE f.doc_id != keep),
+            s1 AS (SELECT * FROM u WHERE doc_id NOT IN (SELECT doc_id FROM r1)),
+            fp2 AS (SELECT doc_id, md5(trim(regexp_replace(
+                       regexp_replace(
+                         translate(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                                   'áàâäéèêëíìîïóòôöúùûüçñ',
+                                   'aaaaeeeeiiiioooouuuucn'),
+                         '[^\w\s]', ' ', 'g'),
+                       '\s+', ' ', 'g'))) AS fp FROM s1),
+            k2 AS (SELECT fp, MIN(doc_id) AS keep FROM fp2 GROUP BY 1),
+            r2 AS (SELECT f.doc_id FROM fp2 f JOIN k2 USING (fp) WHERE f.doc_id != keep),
+            s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM r2)),
+            toks AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM s2),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                     MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+              FROM toks GROUP BY doc_id),
+            cands AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_0 = y.sig_0 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_1 = y.sig_1 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_2 = y.sig_2 AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT x.doc_id a, y.doc_id b FROM sigs x JOIN sigs y ON x.sig_3 = y.sig_3 AND x.doc_id < y.doc_id)),
+            inter AS (
+              SELECT c.a, c.b, COUNT(*) AS i
+              FROM cands c
+              JOIN toks ta ON ta.doc_id = c.a
+              JOIN toks tb ON tb.doc_id = c.b AND tb.token = ta.token
+              GROUP BY 1, 2),
+            r3 AS (
+              SELECT DISTINCT i.b AS doc_id
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+              JOIN sizes sb ON sb.doc_id = i.b
+              WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.8),
+            counts AS (
+              SELECT 1 AS stage, (SELECT COUNT(*) FROM r1) AS n
+              UNION ALL SELECT 2, (SELECT COUNT(*) FROM r2)
+              UNION ALL SELECT 3, (SELECT COUNT(*) FROM r3)),
+            names AS (
+              SELECT 1 AS stage, 'exact' AS rule
+              UNION ALL SELECT 2, 'normalized'
+              UNION ALL SELECT 3, 'near_dup'),
+            tot AS (SELECT COUNT(*) AS total FROM u)
+            SELECT CAST(n.stage AS BIGINT) AS stage, n.rule,
+                   CAST(c.n AS BIGINT) AS n_rejected,
+                   CAST((SELECT total FROM tot)
+                        - SUM(c.n) OVER (ORDER BY n.stage ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS BIGINT) AS n_surviving,
+                   CAST(c.n * 10000 // greatest((SELECT total FROM tot), 1) AS BIGINT) AS rejected_share_bp
+            FROM names n JOIN counts c ON c.stage = n.stage
+            ORDER BY n.stage
         """,
         "embed_dim_stats": """
             WITH fxt AS (

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import gram_fp64_expr, md5_long, with_tokens
+from .text import gram_fp64_expr, md5_long, normalize_ccnet, with_tokens
 
 N_BANDS = 4
 
@@ -1168,3 +1168,59 @@ def banding_eval(docs: DataFrame, threshold: float = 0.8,
          .alias("recall_bp"),
         F.expr("CAST(n_hits * 10000 DIV greatest(n_cands, 1) AS BIGINT)")
          .alias("precision_bp"))
+
+
+def onion_funnel(docs: DataFrame, jaccard_t: float = 0.8,
+                 n_bands: int = N_BANDS) -> DataFrame:
+    """Layered ("onion") dedup rejection funnel — the removed-per-layer
+    table published pipelines report for their dedup stack (cheap layers
+    first so each stage sees only prior survivors): 1 exact
+    (token-stream md5), 2 CCNet-normalized exact, 3 MinHash-banded
+    near-dup at Jaccard ≥ ``jaccard_t`` with the greedy keep-lowest-id
+    rule (for every verified pair a<b, b goes — deterministic and
+    union-find-free; chains over-remove slightly vs full connected
+    components, which is the standard greedy trade).
+
+    Rejection sets are disjoint by construction, so one union + a 3-group
+    hash-agg produces the whole table ([[text_quality_funnel]]'s shape):
+    (stage, rule, n_rejected, n_surviving, rejected_share_bp). The heavy
+    stage (3) runs only on stage-2 survivors — exactly why real stacks
+    are layered.
+    """
+    from pyspark.sql import Window
+
+    fp1 = with_tokens(docs).select(
+        "doc_id", F.md5(F.concat_ws(" ", "tokens")).alias("fp"))
+    k1 = fp1.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    r1 = (fp1.join(k1, "fp").where(F.col("doc_id") != F.col("keep"))
+          .select("doc_id"))
+    s1 = docs.join(r1, "doc_id", "left_anti")
+
+    fp2 = s1.select("doc_id", F.md5(normalize_ccnet(F.col("text"))).alias("fp"))
+    k2 = fp2.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    r2 = (fp2.join(k2, "fp").where(F.col("doc_id") != F.col("keep"))
+          .select("doc_id"))
+    s2 = s1.join(r2, "doc_id", "left_anti")
+
+    pairs = jaccard_pairs(s2, threshold=jaccard_t, n_bands=n_bands)
+    r3 = pairs.select(F.col("b").alias("doc_id")).distinct()
+
+    rejected = (r1.withColumn("stage", F.lit(1))
+                .unionByName(r2.withColumn("stage", F.lit(2)))
+                .unionByName(r3.withColumn("stage", F.lit(3))))
+    per = rejected.groupBy("stage").agg(F.count("*").cast("long").alias("n"))
+    names = docs.sparkSession.createDataFrame(
+        [(1, "exact"), (2, "normalized"), (3, "near_dup")],
+        "stage int, rule string")
+    total = docs.count()
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        names.join(per, "stage", "left")
+        .withColumn("n_rejected", F.coalesce("n", F.lit(0)))
+        .withColumn("cum", F.sum("n_rejected").over(w))
+        .select(
+            F.col("stage").cast("long").alias("stage"), "rule", "n_rejected",
+            (F.lit(total) - F.col("cum")).alias("n_surviving"),
+            F.expr(f"CAST(n_rejected * 10000 DIV {max(total, 1)} AS BIGINT)")
+             .alias("rejected_share_bp"))
+        .orderBy("stage"))

@@ -188,3 +188,24 @@ def test_banding_eval_counts_match_mirror(spark):
     assert got.recall_bp == len(hits) * 10000 // max(len(truth), 1)
     assert got.precision_bp == len(hits) * 10000 // max(len(cands), 1)
     assert got.n_truth == 1 and got.n_hits == 1  # the identical pair
+
+
+def test_onion_funnel_layer_attribution(spark):
+    from ocr_redaction_engine_spark.analytics.dedup import onion_funnel
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),        # exact dup of 1
+            (3, "ALPHA beta GAMMA delta epsilon"),        # normalized dup of 1
+            (4, "alpha beta gamma delta zeta"),           # near-dup (J=4/6)... below 0.66
+            (5, "alpha beta gamma delta epsilon zeta"),   # J = 5/6 = 0.833 -> near dup
+            (6, "completely different words here now"),
+        ],
+        "doc_id long, text string")
+    docs = docs.select("doc_id", "text", F.lit("en").alias("lang"),
+                       F.lit("s").alias("source"), F.lit(1).alias("n_chars"))
+    got = {r.stage: (r.rule, r.n_rejected, r.n_surviving, r.rejected_share_bp)
+           for r in onion_funnel(docs, jaccard_t=0.8).collect()}
+    assert got[1] == ("exact", 1, 5, 1 * 10000 // 6)        # doc 2
+    assert got[2] == ("normalized", 1, 4, 1 * 10000 // 6)   # doc 3
+    assert got[3] == ("near_dup", 1, 3, 1 * 10000 // 6)     # doc 5
