@@ -1805,10 +1805,11 @@ def embed_dim_stats(spark, sf_dir):
 
 def dedup_onion_funnel(spark, sf_dir):
     """Layered dedup rejection funnel (exact → CCNet-normalized →
-    MinHash near-dup at J≥0.8, greedy keep-lowest-id): removed-per-layer
-    table over a corpus with planted copies (doc_id%... md5 draw: exact /
-    uppercased / whitespace-mangled twins), each layer running only on
-    prior survivors."""
+    MinHash near-dup on 3-gram shingles at shingle-J≥0.5, greedy
+    keep-lowest-id): removed-per-layer table over a corpus with planted
+    copies (md5 draw: exact / uppercased / whitespace-mangled twins),
+    each layer running only on prior survivors; stage 3 bands shingles
+    (unigram banding candidates ~94% of the cross product here)."""
     from ocr_redaction_engine_spark.analytics.dedup import onion_funnel
     from ocr_redaction_engine_spark.analytics.text import md5_long
     docs = _t(spark, sf_dir, "documents")
@@ -1821,7 +1822,7 @@ def dedup_onion_funnel(spark, sf_dir):
          .when(F.col("draw") == 1, F.upper("text"))
          .otherwise(F.regexp_replace("text", " ", "   ")).alias("text"),
         "lang", "source", "n_chars")
-    return onion_funnel(docs.unionByName(copies), jaccard_t=0.8)
+    return onion_funnel(docs.unionByName(copies), jaccard_t=0.5, shingle_n=3)
 
 
 def dedup_sentences(spark, sf_dir):
@@ -5962,7 +5963,14 @@ def oracle_sql() -> dict[str, str]:
             k2 AS (SELECT fp, MIN(doc_id) AS keep FROM fp2 GROUP BY 1),
             r2 AS (SELECT f.doc_id FROM fp2 f JOIN k2 USING (fp) WHERE f.doc_id != keep),
             s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM r2)),
-            toks AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS token FROM s2),
+            tl AS (SELECT doc_id, {_TOK} AS t FROM s2),
+            toks AS (
+              SELECT DISTINCT doc_id,
+                     CAST(unnest(list_transform(range(1, greatest(len(t) - 3 + 1, 0) + 1),
+                            i -> CAST(('0x' || substring(md5(array_to_string(
+                                   list_slice(t, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')),
+                                 1, 15)) AS BIGINT))) AS VARCHAR) AS token
+              FROM tl),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
             sigs AS (
               SELECT doc_id,
@@ -5988,7 +5996,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT i.b AS doc_id
               FROM inter i JOIN sizes sa ON sa.doc_id = i.a
               JOIN sizes sb ON sb.doc_id = i.b
-              WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.8),
+              WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.5),
             counts AS (
               SELECT 1 AS stage, (SELECT COUNT(*) FROM r1) AS n
               UNION ALL SELECT 2, (SELECT COUNT(*) FROM r2)

@@ -1038,14 +1038,18 @@ def cdc_chunk_dupes(docs: DataFrame, w: int = 8, mask_bits: int = 6,
     bounds = F.array_sort(F.array_distinct(F.concat(
         F.filter(F.sequence(F.lit(w), n), win_ok),
         F.array(n))))
-    chunks = F.transform(
-        bounds,
-        lambda p, i: F.struct(
-            F.when(i == 0, F.lit(1))
-             .otherwise(F.element_at(bounds, i) + 1).alias("start"),
-            p.alias("end")))
+    # materialize bounds as a COLUMN first: a lambda that re-references the
+    # bounds *expression* (e.g. element_at(bounds, i)) re-evaluates the whole
+    # O(n·md5) boundary scan per chunk — measured 19 s → ~4 s at sf0.1
+    with_bounds = (docs.where(n >= w)
+                   .select("doc_id", "text", bounds.alias("bounds")))
+    starts = F.concat(F.array(F.lit(0)),
+                      F.expr("slice(bounds, 1, size(bounds) - 1)"))
+    chunks = F.zip_with(
+        starts, F.col("bounds"),
+        lambda s, e: F.struct((s + 1).alias("start"), e.alias("end")))
     exploded = (
-        docs.where(n >= w)
+        with_bounds
         .select("doc_id", F.explode(chunks).alias("c"), F.col("text"))
         .select(
             "doc_id",
@@ -1171,7 +1175,8 @@ def banding_eval(docs: DataFrame, threshold: float = 0.8,
 
 
 def onion_funnel(docs: DataFrame, jaccard_t: float = 0.8,
-                 n_bands: int = N_BANDS) -> DataFrame:
+                 n_bands: int = N_BANDS,
+                 shingle_n: int | None = 3) -> DataFrame:
     """Layered ("onion") dedup rejection funnel — the removed-per-layer
     table published pipelines report for their dedup stack (cheap layers
     first so each stage sees only prior survivors): 1 exact
@@ -1185,7 +1190,10 @@ def onion_funnel(docs: DataFrame, jaccard_t: float = 0.8,
     hash-agg produces the whole table ([[text_quality_funnel]]'s shape):
     (stage, rule, n_rejected, n_surviving, rejected_share_bp). The heavy
     stage (3) runs only on stage-2 survivors — exactly why real stacks
-    are layered.
+    are layered — and bands over ``shingle_n``-gram shingles by default
+    (unigram banding candidates ~94% of the cross product on
+    template-correlated corpora — see [[doc_tokens_distinct]]; measured
+    91 s → ~2 s at sf0.1 for this funnel).
     """
     from pyspark.sql import Window
 
@@ -1200,9 +1208,14 @@ def onion_funnel(docs: DataFrame, jaccard_t: float = 0.8,
     k2 = fp2.groupBy("fp").agg(F.min("doc_id").alias("keep"))
     r2 = (fp2.join(k2, "fp").where(F.col("doc_id") != F.col("keep"))
           .select("doc_id"))
-    s2 = s1.join(r2, "doc_id", "left_anti")
+    # stage-3 scans its survivor input several times (tokens, sizes, band
+    # signatures, verify) — persist the doc_id+text projection so the
+    # exact+normalized layers are not recomputed per scan (callers cycling
+    # corpora: spark.catalog.clearCache(), the repo-wide persist contract)
+    s2 = s1.join(r2, "doc_id", "left_anti").persist()
 
-    pairs = jaccard_pairs(s2, threshold=jaccard_t, n_bands=n_bands)
+    pairs = jaccard_pairs(s2, threshold=jaccard_t, n_bands=n_bands,
+                          shingle_n=shingle_n)
     r3 = pairs.select(F.col("b").alias("doc_id")).distinct()
 
     rejected = (r1.withColumn("stage", F.lit(1))

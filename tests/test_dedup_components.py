@@ -205,7 +205,7 @@ def test_onion_funnel_layer_attribution(spark):
     docs = docs.select("doc_id", "text", F.lit("en").alias("lang"),
                        F.lit("s").alias("source"), F.lit(1).alias("n_chars"))
     got = {r.stage: (r.rule, r.n_rejected, r.n_surviving, r.rejected_share_bp)
-           for r in onion_funnel(docs, jaccard_t=0.8).collect()}
+           for r in onion_funnel(docs, jaccard_t=0.8, shingle_n=None).collect()}
     assert got[1] == ("exact", 1, 5, 1 * 10000 // 6)        # doc 2
     assert got[2] == ("normalized", 1, 4, 1 * 10000 // 6)   # doc 3
     assert got[3] == ("near_dup", 1, 3, 1 * 10000 // 6)     # doc 5
