@@ -1825,6 +1825,16 @@ def dedup_onion_funnel(spark, sf_dir):
     return onion_funnel(docs.unionByName(copies), jaccard_t=0.5, shingle_n=3)
 
 
+def multimodal_shot_bounds(spark, sf_dir):
+    """Shot-boundary detection over the synthetic byte streams: windowed
+    RMS (Arrow stage) → per-media lag window, relative jump ≥30% cuts,
+    running-sum shot ids. Integer bp; shuffle key media_id."""
+    from ocr_redaction_engine_spark.analytics.multimodal import (
+        shot_boundaries, synthesize_binary)
+    return shot_boundaries(synthesize_binary(spark, N_MEDIA),
+                           window=64, jump_bp=3000)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2266,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_trustrank": web_trustrank,
         "embed_dim_stats": embed_dim_stats,
         "dedup_onion_funnel": dedup_onion_funnel,
+        "multimodal_shot_bounds": multimodal_shot_bounds,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5936,6 +5947,28 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "multimodal_shot_bounds": _MEDIA_CTE + """
+            , e AS (
+              SELECT media_id, i // 64 AS window_idx,
+                     CAST(floor(sqrt(CAST(SUM(v*v) AS DOUBLE)/64)*1000000) AS BIGINT) AS rms_e6
+              FROM bytes GROUP BY media_id, i // 64),
+            d AS (
+              SELECT media_id, window_idx, rms_e6,
+                     lag(rms_e6) OVER (PARTITION BY media_id ORDER BY window_idx) AS prev_rms
+              FROM e),
+            f AS (
+              SELECT media_id, window_idx, rms_e6,
+                     CASE WHEN prev_rms IS NULL THEN 0
+                          ELSE CAST(abs(rms_e6 - prev_rms) * 10000 // greatest(prev_rms, 1) AS BIGINT)
+                     END AS delta_bp
+              FROM d)
+            SELECT media_id, window_idx, rms_e6, delta_bp,
+                   delta_bp >= 3000 AS boundary,
+                   SUM(CASE WHEN delta_bp >= 3000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY media_id ORDER BY window_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+            FROM f
         """,
         "dedup_onion_funnel": f"""
             WITH d AS (

@@ -432,3 +432,38 @@ def phash_near_dup_pairs(sigs: DataFrame, bands: int = 4, band_bits: int = 15,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def shot_boundaries(media: DataFrame, window: int = 64,
+                    jump_bp: int = 3000) -> DataFrame:
+    """Shot/segment boundary detection over a byte stream — the
+    frame-sampling companion a video pipeline runs before picking
+    representative frames: a boundary falls where windowed RMS energy
+    jumps ≥ ``jump_bp`` (relative, vs the previous window), and windows
+    between boundaries share a ``shot_id`` (running sum of boundary
+    flags). Swap the byte windows for per-frame luma histograms and the
+    operator is the classic hard-cut detector; the Spark shape is
+    identical.
+
+    Plan: the [[multimodal_window_energy]] Arrow stage, then one per-media
+    lag window + running sum — per-stream history only, shuffle key
+    media_id. Integer bp arithmetic end-to-end.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = window_energy(media, window)
+    w = Window.partitionBy("media_id").orderBy("window_idx")
+    prev = F.lag("rms_e6").over(w)
+    delta_bp = F.expr(
+        "CAST(abs(rms_e6 - prev_rms) * 10000 DIV greatest(prev_rms, 1)"
+        " AS BIGINT)")
+    flagged = (e.withColumn("prev_rms", prev)
+               .withColumn("delta_bp",
+                           F.when(prev.isNull(), F.lit(0)).otherwise(delta_bp))
+               .withColumn("boundary", F.col("delta_bp") >= jump_bp))
+    return (flagged
+            .withColumn("shot_id", F.sum(F.col("boundary").cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("media_id", "window_idx", "rms_e6", "delta_bp",
+                    "boundary", "shot_id"))

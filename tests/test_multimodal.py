@@ -190,3 +190,22 @@ def test_phash_band_join_finds_planted_twins(spark):
     for t in range(twins):
         assert (t, n + t) in pairs, f"planted twin {t} missed"
         assert pairs[(t, n + t)] <= 6
+
+
+def test_shot_boundaries_planted_jump(spark):
+    from ocr_redaction_engine_spark.analytics.multimodal import shot_boundaries
+    # two media streams built by hand: flat bytes then a hard jump
+    quiet = bytes([10] * 128)            # 2 windows of rms 10
+    loud = bytes([10] * 128 + [200] * 128)  # jump at window 2
+    media = spark.createDataFrame(
+        [(1, bytearray(quiet)), (2, bytearray(loud))],
+        "media_id long, content binary")
+    got = {(r.media_id, r.window_idx): (r.delta_bp, bool(r.boundary), r.shot_id)
+           for r in shot_boundaries(media, window=64, jump_bp=3000).collect()}
+    # media 1: constant energy -> one shot
+    assert got[(1, 0)] == (0, False, 0) and got[(1, 1)] == (0, False, 0)
+    # media 2: windows 0,1 rms 10e6; window 2 rms 200e6 -> delta 1900% -> cut
+    assert got[(2, 1)][1] is False
+    d, b, s = got[(2, 2)]
+    assert b and s == 1 and d == (200_000_000 - 10_000_000) * 10000 // 10_000_000
+    assert got[(2, 3)] == (0, False, 1)
