@@ -1835,6 +1835,16 @@ def multimodal_shot_bounds(spark, sf_dir):
                            window=64, jump_bp=3000)
 
 
+def web_redirects(spark, sf_dir):
+    """Redirect-chain canonicalization by pointer doubling: chains ≤2^4
+    hops collapse in 4 equi-join rounds (log-round shuffles, the
+    dedup_components discipline on functional graphs); cycles return
+    resolved=false."""
+    from ocr_redaction_engine_spark.analytics.webgraph import resolve_redirects
+    return resolve_redirects(_t(spark, sf_dir, "documents"),
+                             redirect_mod=5, iters=4)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2277,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dim_stats": embed_dim_stats,
         "dedup_onion_funnel": dedup_onion_funnel,
         "multimodal_shot_bounds": multimodal_shot_bounds,
+        "web_redirects": web_redirects,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5947,6 +5958,39 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "web_redirects": r"""
+            WITH RECURSIVE nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            r AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':redir'), 1, 8) AS BIGINT) % 5 = 0 AS is_redir,
+                     CASE WHEN CAST('0x' || substring(md5(doc_id || ':redir'), 1, 8) AS BIGINT) % 5 = 0
+                          THEN CAST('0x' || substring(md5(doc_id || ':rtarget'), 1, 8) AS BIGINT) % (SELECT n FROM nn)
+                          ELSE node END AS target
+              FROM nodes),
+            walk AS (
+              SELECT node AS start, node AS cur, 0 AS hops FROM r
+              UNION ALL
+              SELECT w.start, rr.target, w.hops + 1
+              FROM walk w JOIN r rr ON rr.node = w.cur
+              WHERE rr.is_redir AND w.hops < 16),
+            fin AS (
+              SELECT start, cur, hops,
+                     row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+              FROM walk)
+            SELECT sn.doc_id,
+                   CASE WHEN NOT rc.is_redir THEN cn.doc_id END AS final_doc_id,
+                   CASE WHEN NOT rc.is_redir THEN CAST(f.hops AS BIGINT) END AS hops,
+                   NOT rc.is_redir AS resolved
+            FROM fin f
+            JOIN r rc ON rc.node = f.cur
+            JOIN r sn ON sn.node = f.start
+            JOIN r cn ON cn.node = f.cur
+            WHERE f.rn = 1
         """,
         "multimodal_shot_bounds": _MEDIA_CTE + """
             , e AS (

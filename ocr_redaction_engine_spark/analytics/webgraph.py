@@ -938,3 +938,73 @@ def trustrank(docs: DataFrame, iters: int = 3, damping_pct: int = 85,
            .select("doc_id", F.col("rank").alias("trust_micro"), "is_seed"))
     edges.unpersist()
     return out
+
+
+def synth_redirects(docs: DataFrame, redirect_mod: int = 5) -> DataFrame:
+    """Deterministic redirect table over the doc graph: every node whose
+    md5 draw hits ``redirect_mod`` redirects to an md5-chosen node (often
+    itself a redirect → multi-hop chains; self/cyclic targets possible —
+    exactly the mess a crawler's canonicalizer sees). Returns
+    (node, is_redir, target) with target = node for terminals."""
+    n_nodes = docs.select("doc_id").distinct().count()
+    nodes = _doc_nodes(docs)
+    is_redir = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":redir"))), 1, 8), 16, 10)
+        .cast("long") % redirect_mod == 0)
+    target = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":rtarget"))), 1, 8), 16, 10)
+        .cast("long") % n_nodes)
+    return nodes.select(
+        "doc_id", "node", is_redir.alias("is_redir"),
+        F.when(is_redir, target).otherwise(F.col("node")).alias("target"))
+
+
+def resolve_redirects(docs: DataFrame, redirect_mod: int = 5,
+                      iters: int = 4) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING — the crawl
+    canonicalization step that maps every URL to its final landing page:
+    each of ``iters`` rounds composes the next-pointer with itself
+    (`next ← next.next`, hop counts added), so chains up to 2^iters hops
+    collapse in ``iters`` shuffles instead of chain-length shuffles — the
+    log-round trick [[dedup_components]] uses for label propagation,
+    applied to functional graphs. Cycles (incl. self-redirects) never
+    reach a terminal and come back ``resolved = false``.
+
+    Output: (doc_id, final_doc_id, hops, resolved) — final/hops NULL when
+    unresolved. One equi-join per round on the node id; terminals are
+    self-loops with hop 0, so they absorb chains exactly.
+    """
+    r = synth_redirects(docs, redirect_mod)
+    term = r.select(F.col("node").alias("t_node"),
+                    (~F.col("is_redir")).alias("t_term"))
+    ptr = (r.select(
+        "node", F.col("target").alias("next"),
+        F.when(F.col("is_redir"), F.lit(1)).otherwise(F.lit(0))
+         .cast("long").alias("dist"))
+        .join(term, F.col("next") == F.col("t_node"))
+        .select("node", "next", "dist", F.col("t_term").alias("next_term")))
+    for _ in range(iters):
+        b = ptr.select(F.col("node").alias("b_node"),
+                       F.col("next").alias("b_next"),
+                       F.col("dist").alias("b_dist"),
+                       F.col("next_term").alias("b_term"))
+        ptr = (ptr.join(b, ptr.next == b.b_node)
+               .select("node",
+                       F.when(F.col("next_term"), F.col("next"))
+                        .otherwise(F.col("b_next")).alias("next"),
+                       F.when(F.col("next_term"), F.col("dist"))
+                        .otherwise(F.col("dist") + F.col("b_dist"))
+                        .alias("dist"),
+                       F.when(F.col("next_term"), F.lit(True))
+                        .otherwise(F.col("b_term")).alias("next_term")))
+    nodes = r.select("doc_id", "node")
+    finals = nodes.select(F.col("doc_id").alias("final_doc_id"),
+                          F.col("node").alias("f_node"))
+    return (nodes.join(ptr, "node")
+            .join(finals, F.col("next") == F.col("f_node"))
+            .select(
+                "doc_id",
+                F.when(F.col("next_term"), F.col("final_doc_id"))
+                 .alias("final_doc_id"),
+                F.when(F.col("next_term"), F.col("dist")).alias("hops"),
+                F.col("next_term").alias("resolved")))

@@ -555,3 +555,28 @@ def test_trustrank_starves_unreachable_and_conserves_seed_flow(spark):
     # max seed teleport floor holds for seeds with zero inflow too
     base = 10**12 * 15 // 100 // len(seeds)
     assert all(r.trust_micro >= base for r in seeds)
+
+
+def test_resolve_redirects_matches_sequential_walk(spark):
+    from ocr_redaction_engine_spark.analytics.webgraph import resolve_redirects
+    import hashlib
+    N = 60
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(N)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: (r.final_doc_id, r.hops, r.resolved)
+           for r in resolve_redirects(docs, redirect_mod=5, iters=4).collect()}
+
+    def h(s): return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    is_redir = {i: h(f"{i}:redir") % 5 == 0 for i in range(N)}
+    target = {i: (h(f"{i}:rtarget") % N) if is_redir[i] else i
+              for i in range(N)}
+    assert any(is_redir.values())
+    for i in range(N):
+        cur, hops = i, 0
+        while is_redir[cur] and hops < 16:
+            cur = target[cur]; hops += 1
+        if is_redir[cur]:
+            assert got[i] == (None, None, False), i
+        else:
+            assert got[i] == (cur, hops, True), i
