@@ -1845,6 +1845,15 @@ def web_redirects(spark, sf_dir):
                              redirect_mod=5, iters=4)
 
 
+def sample_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap confidence intervals for the corpus mean doc
+    length: per (row, replicate) Poisson(1) multiplicity from an md5
+    uniform pushed through a precomputed integer CDF — map-side weights,
+    one replicate hash-agg, no resample materialization."""
+    from ocr_redaction_engine_spark.analytics.sampling import poisson_bootstrap
+    return poisson_bootstrap(_t(spark, sf_dir, "documents"), n_reps=20)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2288,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_onion_funnel": dedup_onion_funnel,
         "multimodal_shot_bounds": multimodal_shot_bounds,
         "web_redirects": web_redirects,
+        "sample_bootstrap": sample_bootstrap,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5958,6 +5968,27 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "sample_bootstrap": """
+            WITH reps AS (
+              SELECT doc_id, n_chars AS v, CAST(r.range AS BIGINT) AS rep,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.range AS VARCHAR) || ':boot'), 1, 15)) AS BIGINT) % 1000000 AS u
+              FROM documents CROSS JOIN range(20) r),
+            w AS (
+              SELECT rep, v,
+                     CASE WHEN u < 367879 THEN 0
+                          WHEN u < 735759 THEN 1
+                          WHEN u < 919699 THEN 2
+                          WHEN u < 981012 THEN 3
+                          WHEN u < 996340 THEN 4
+                          WHEN u < 999406 THEN 5
+                          ELSE 6 END AS wgt
+              FROM reps)
+            SELECT rep, CAST(SUM(wgt) AS BIGINT) AS n_eff,
+                   CAST(SUM(wgt * v) AS BIGINT) AS wsum,
+                   CAST(CAST(SUM(wgt * v) AS HUGEINT) * 1000000
+                        // greatest(SUM(wgt), 1) AS BIGINT) AS mean_e6
+            FROM w GROUP BY rep
         """,
         "web_redirects": r"""
             WITH RECURSIVE nodes AS (

@@ -717,3 +717,51 @@ def unimax_mixture(docs: DataFrame, budget_tokens: int,
                 .alias("epochs_e6"))
         .orderBy("cap_tokens", "source")
     )
+
+
+# Poisson(1) CDF thresholds scaled to 1e6, precomputed so the replicate
+# weights are pure integer comparisons (same constants in the SQL oracle):
+# P(K<=k) for k=0..5; the residual tail (~0.06%) maps to weight 6.
+POISSON1_CDF_E6 = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def poisson_bootstrap(docs: DataFrame, n_reps: int = 20,
+                      value: str = "n_chars") -> DataFrame:
+    """Distributed confidence intervals via the POISSON BOOTSTRAP (the
+    big-data bootstrap: per replicate, each row's resample multiplicity is
+    an independent Poisson(1) draw — no global N needed, so the resample
+    is a map-side weight, not a shuffle; Chamandy et al., Google 2012).
+    Each (row, replicate) weight comes from an md5-derived uniform pushed
+    through the precomputed Poisson(1) CDF table above — integer
+    comparisons only, engine-exact and rerun-stable.
+
+    Output: one row per replicate with the weighted count, sum and mean
+    (×1e6, truncating DIV) of ``value`` — the replicate spread IS the
+    sampling distribution of the corpus mean; downstream takes p2.5/p97.5
+    of these B rows for the interval. Scale shape: one explode by
+    ``n_reps`` (the only fan-out; B=20-50 is the published sweet spot)
+    into a (replicate) hash-agg — no resample materialization, no global
+    sort.
+    """
+    u = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("rep").cast("string"),
+        F.lit("boot"))), 1, 15), 16, 10).cast("long") % 1000000
+    cdf = POISSON1_CDF_E6
+    wgt = (F.when(u < cdf[0], 0).when(u < cdf[1], 1).when(u < cdf[2], 2)
+           .when(u < cdf[3], 3).when(u < cdf[4], 4).when(u < cdf[5], 5)
+           .otherwise(6).cast("long"))
+    reps = (docs.select("doc_id", F.col(value).cast("long").alias("v"))
+            .select("doc_id", "v",
+                    F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1)))
+                     .alias("rep"))
+            .withColumn("w", wgt))
+    dec = "DECIMAL(38,0)"
+    return (reps.groupBy("rep")
+            .agg(F.sum("w").alias("n_eff"),
+                 F.sum(F.expr(f"CAST(w AS {dec}) * v")).alias("wsum"))
+            .select(F.col("rep").cast("long").alias("rep"),
+                    F.col("n_eff").cast("long").alias("n_eff"),
+                    F.col("wsum").cast("long").alias("wsum"),
+                    F.expr(f"CAST(CAST(wsum AS {dec}) * 1000000"
+                           " DIV greatest(n_eff, 1) AS BIGINT)")
+                     .alias("mean_e6")))

@@ -389,3 +389,31 @@ def test_unimax_water_filling(spark):
     gotbig = {r.source: r for r in unimax_mixture(docs, 1000, max_epochs=2).collect()}
     assert all(r.capped for r in gotbig.values())
     assert {s: r.alloc_tokens for s, r in gotbig.items()} == {"A": 4, "B": 10, "C": 200}
+
+
+def test_poisson_bootstrap_mirror_and_spread(spark):
+    from ocr_redaction_engine_spark.analytics.sampling import (
+        POISSON1_CDF_E6, poisson_bootstrap)
+    import hashlib
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 100 + i) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.rep: (r.n_eff, r.wsum, r.mean_e6)
+           for r in poisson_bootstrap(docs, n_reps=8).collect()}
+
+    def weight(doc, rep):
+        u = int(hashlib.md5(f"{doc}:{rep}:boot".encode()).hexdigest()[:15],
+                16) % 1000000
+        for k, t in enumerate(POISSON1_CDF_E6):
+            if u < t:
+                return k
+        return 6
+    for rep in range(8):
+        n_eff = sum(weight(i, rep) for i in range(50))
+        wsum = sum(weight(i, rep) * (100 + i) for i in range(50))
+        assert got[rep] == (n_eff, wsum, wsum * 1000000 // max(n_eff, 1)), rep
+    # replicate means vary (that spread IS the CI) but hug the true mean
+    means = [m for _, _, m in got.values()]
+    assert len(set(means)) > 1
+    true = sum(100 + i for i in range(50)) * 1000000 // 50
+    assert all(abs(m - true) < true // 10 for m in means)
