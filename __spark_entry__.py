@@ -1854,6 +1854,21 @@ def sample_bootstrap(spark, sf_dir):
     return poisson_bootstrap(_t(spark, sf_dir, "documents"), n_reps=20)
 
 
+def events_changepoint(spark, sf_dir):
+    """Level-shift detection per event type: argmax |mean-before −
+    mean-after| split over daily volumes, exact cross-multiplied integer
+    scoring. The uniform feed is thinned deterministically (clicks lose
+    ~60% of rows after 2024-01-16) so a true change-point exists."""
+    from ocr_redaction_engine_spark.analytics.temporal import volume_changepoints
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400")
+    drop = ((F.col("event_type") == "click") & (day >= 19738)
+            & (F.conv(F.substring(F.md5(F.concat(
+                F.col("event_id").cast("string"), F.lit(":thin"))), 1, 8),
+                16, 10).cast("long") % 10 < 6))
+    return volume_changepoints(ev.where(~drop), min_delta_e6=300000)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2298,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_shot_bounds": multimodal_shot_bounds,
         "web_redirects": web_redirects,
         "sample_bootstrap": sample_bootstrap,
+        "events_changepoint": events_changepoint,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5968,6 +5984,40 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "events_changepoint": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              FROM events
+              WHERE NOT (event_type = 'click'
+                         AND CAST(floor(epoch(ts)) AS BIGINT) // 86400 >= 19738
+                         AND CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':thin'), 1, 8) AS BIGINT) % 10 < 6)),
+            daily AS (
+              SELECT event_type, day, COUNT(*) AS n FROM base GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     COUNT(*) OVER (PARTITION BY event_type) AS m,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM daily),
+            scored AS (
+              SELECT event_type, day AS split_day,
+                     CAST(CAST(cum AS HUGEINT) * 1000000 // i AS BIGINT) AS mean_before_e6,
+                     CAST(CAST(tot - cum AS HUGEINT) * 1000000 // (m - i) AS BIGINT) AS mean_after_e6,
+                     CAST(abs(CAST(cum AS HUGEINT) * (m - i)
+                              - CAST(tot - cum AS HUGEINT) * i) * 1000000
+                          // (CAST(i AS HUGEINT) * (m - i)) AS BIGINT) AS delta_e6
+              FROM cum WHERE i >= 1 AND i < m),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY delta_e6 DESC, split_day ASC) AS rn
+              FROM scored)
+            SELECT event_type, split_day, mean_before_e6, mean_after_e6,
+                   delta_e6, delta_e6 >= 300000 AS shifted
+            FROM ranked WHERE rn = 1
         """,
         "sample_bootstrap": """
             WITH reps AS (

@@ -112,7 +112,8 @@ HEADLINE = [
     "privacy_t_closeness", "privacy_dp_counts", "text_code_detection",
     "text_readability", "storage_partition_skew", "q36_market_share",
     "extract_table_structure", "pack_fill_stats", "web_url_params",
-    "dedup_onion_funnel",
+    "dedup_onion_funnel", "multimodal_shot_bounds", "web_redirects",
+    "sample_bootstrap", "events_changepoint",
 ]
 
 

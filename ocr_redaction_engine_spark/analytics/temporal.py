@@ -486,3 +486,50 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
                     "cum_rev_cents",
                     F.expr("CAST(cum_rev_cents DIV n_custs AS BIGINT)")
                      .alias("cum_per_cust_cents")))
+
+
+def volume_changepoints(events: DataFrame, min_delta_e6: int = 300000) -> DataFrame:
+    """Change-point detection on per-type daily event volume: for every
+    candidate split day the |mean-before − mean-after| gap is scored in
+    exact integer arithmetic (cross-multiplied, ×1e6), and the argmax
+    split is reported per event type with a ``shifted`` flag when the gap
+    clears ``min_delta_e6`` — the level-shift monitor that catches a
+    producer outage or double-fire the hourly z-score
+    ([[events_hourly_anomaly]]) smooths over.
+
+    Scale shape: one (type, day) hash-agg over the scan; cumulative sums,
+    split scoring and the argmax window all ride |types|×|days| rows.
+    Ties break to the earliest split day.
+    """
+    from pyspark.sql import Window
+
+    day = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = (daily
+           .withColumn("i", F.row_number().over(w))
+           .withColumn("cum", F.sum("n").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("m", F.count("*").over(Window.partitionBy("event_type")))
+           .withColumn("tot", F.sum("n").over(Window.partitionBy("event_type"))))
+    dec = "DECIMAL(38,0)"
+    scored = (cum.where((F.col("i") >= 1) & (F.col("i") < F.col("m")))
+              .select(
+                  "event_type", F.col("day").alias("split_day"),
+                  F.expr(f"CAST(CAST(cum AS {dec}) * 1000000 DIV i AS BIGINT)")
+                   .alias("mean_before_e6"),
+                  F.expr(f"CAST(CAST(tot - cum AS {dec}) * 1000000"
+                         " DIV (m - i) AS BIGINT)").alias("mean_after_e6"),
+                  F.expr(
+                      f"CAST(abs(CAST(cum AS {dec}) * (m - i)"
+                      f" - CAST(tot - cum AS {dec}) * i) * 1000000"
+                      " DIV (CAST(i AS DECIMAL(38,0)) * (m - i)) AS BIGINT)")
+                   .alias("delta_e6")))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("delta_e6").desc(), F.col("split_day").asc())
+    return (scored.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select("event_type", "split_day", "mean_before_e6",
+                    "mean_after_e6", "delta_e6",
+                    (F.col("delta_e6") >= min_delta_e6).alias("shifted")))

@@ -362,3 +362,31 @@ def test_cohort_ltv_hand_computed(spark):
     assert got[(m94_1, 2)] == (2, 500, 2250, 1125)
     assert got[(m94_1 + 1, 0)] == (1, 225, 225, 225)
     assert len(got) == 3
+
+
+def test_volume_changepoints_planted_shift(spark):
+    from ocr_redaction_engine_spark.analytics.temporal import volume_changepoints
+    import datetime as dt
+    rows, eid = [], 0
+    # type A: 10/day for 5 days then 2/day for 5 days -> split after day 5
+    for d in range(10):
+        per = 10 if d < 5 else 2
+        for _ in range(per):
+            rows.append((eid, dt.datetime(2024, 3, 1 + d, 9), 1, "A", 0.0, "{}"))
+            eid += 1
+    # type B: flat 4/day
+    for d in range(10):
+        for _ in range(4):
+            rows.append((eid, dt.datetime(2024, 3, 1 + d, 9), 1, "B", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.event_type: r for r in
+           volume_changepoints(ev, min_delta_e6=3_000_000).collect()}
+    a = got["A"]
+    d5 = (dt.datetime(2024, 3, 5, 9) - dt.datetime(1970, 1, 1)).days
+    assert a.split_day == d5 and a.shifted
+    assert a.mean_before_e6 == 10_000_000 and a.mean_after_e6 == 2_000_000
+    assert a.delta_e6 == 8_000_000
+    assert not got["B"].shifted and got["B"].delta_e6 < 3_000_000
