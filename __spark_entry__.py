@@ -6490,10 +6490,10 @@ def oracle_sql() -> dict[str, str]:
               FROM terms)
             SELECT n_points,
                    round((n_points * sxy - sx * sy)
-                         / (n_points * sxx - sx * sx), 6) AS beta,
-                   round((sy - round((n_points * sxy - sx * sy)
-                                     / (n_points * sxx - sx * sx), 6) * sx)
-                         / n_points, 6) AS ln_k
+                         / (n_points * sxx - sx * sx), 6) + 0.0 AS beta,
+                   round((sy - (round((n_points * sxy - sx * sy)
+                                      / (n_points * sxx - sx * sx), 6) + 0.0) * sx)
+                         / n_points, 6) + 0.0 AS ln_k
             FROM agg WHERE n_points >= 3
         """,
         "storage_partition_skew": """
@@ -6714,10 +6714,10 @@ def oracle_sql() -> dict[str, str]:
               FROM terms GROUP BY 1)
             SELECT source, n_terms,
                    round((n_terms * sxy - sx * sy)
-                         / (n_terms * sxx - sx * sx), 6) AS slope,
-                   round((sy - round((n_terms * sxy - sx * sy)
-                                     / (n_terms * sxx - sx * sx), 6) * sx)
-                         / n_terms, 6) AS intercept
+                         / (n_terms * sxx - sx * sx), 6) + 0.0 AS slope,
+                   round((sy - (round((n_terms * sxy - sx * sy)
+                                      / (n_terms * sxx - sx * sx), 6) + 0.0) * sx)
+                         / n_terms, 6) + 0.0 AS intercept
             FROM agg WHERE n_terms >= 3
         """,
         "dedup_cdc_chunks": """

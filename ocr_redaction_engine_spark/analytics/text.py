@@ -1143,14 +1143,17 @@ def zipf_fit(docs: DataFrame, top_n: int = 200,
         F.round(F.sum("y"), 6).alias("sy"),
         F.round(F.sum("xy"), 6).alias("sxy"),
         F.round(F.sum("xx"), 6).alias("sxx"))
+    # + 0.0 collapses IEEE negative zero (a flat fit rounds to -0.0 in one
+    # engine and +0.0 in another; %.6g then formats them differently)
     slope = F.round(
         (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+        / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")), 6) + F.lit(0.0)
     return (agg.where(F.col("n_terms") >= 3)
             .withColumn("slope", slope)
             .select("source", "n_terms", "slope",
-                    F.round((F.col("sy") - F.col("slope") * F.col("sx"))
-                            / F.col("n_terms"), 6).alias("intercept")))
+                    (F.round((F.col("sy") - F.col("slope") * F.col("sx"))
+                             / F.col("n_terms"), 6) + F.lit(0.0))
+                    .alias("intercept")))
 
 
 def source_overlap(docs: DataFrame, n: int = 5) -> DataFrame:
@@ -1277,12 +1280,13 @@ def heaps_fit(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
         F.round(F.sum("xx"), 6).alias("sxx"))
     beta = F.round(
         (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")), 6)
+        / (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")), 6) + F.lit(0.0)
     return (agg.where(F.col("n_points") >= 3)
             .withColumn("beta", beta)
             .select("n_points", "beta",
-                    F.round((F.col("sy") - F.col("beta") * F.col("sx"))
-                            / F.col("n_points"), 6).alias("ln_k")))
+                    (F.round((F.col("sy") - F.col("beta") * F.col("sx"))
+                             / F.col("n_points"), 6) + F.lit(0.0))
+                    .alias("ln_k")))
 
 
 CODE_KEYWORDS = ("def", "return", "import", "class", "void", "int",
