@@ -1869,6 +1869,16 @@ def events_changepoint(spark, sf_dir):
     return volume_changepoints(ev.where(~drop), min_delta_e6=300000)
 
 
+def embed_top_component(spark, sf_dir):
+    """Top principal direction by integer power iteration (2 rounds):
+    ×1e6 quantized vectors, md5-seeded integer v0, DECIMAL(38,0) per-dim
+    folds, floor-division renormalization to ±2^19 — one posexplode
+    hash-agg per round, 64-row collect between rounds (kmeans
+    precedent). The pre-whitening anisotropy probe."""
+    from ocr_redaction_engine_spark.analytics.similarity import top_component
+    return top_component(_t(spark, sf_dir, "embeddings"), n_iters=2)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2314,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirects": web_redirects,
         "sample_bootstrap": sample_bootstrap,
         "events_changepoint": events_changepoint,
+        "embed_top_component": embed_top_component,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5984,6 +5995,42 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "embed_top_component": """
+            WITH fxt AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS fx
+              FROM embeddings),
+            v0 AS (
+              SELECT CAST(d.range AS BIGINT) AS dim,
+                     CAST(md5_number_upper('pca:0:' || CAST(d.range AS VARCHAR)) >> 44 AS BIGINT) - 524288 AS v
+              FROM range(64) d),
+            q AS (
+              SELECT vec_id,
+                     UNNEST(list_transform(fx, (x, i) -> struct_pack(dim := i - 1, q := x))) AS e
+              FROM fxt),
+            dot1 AS (
+              SELECT q.vec_id, SUM(q.e.q * v.v) AS dot
+              FROM q JOIN v0 v ON v.dim = q.e.dim GROUP BY 1),
+            y1 AS (
+              SELECT q.e.dim AS dim, SUM(CAST(q.e.q AS HUGEINT) * d1.dot) AS y
+              FROM q JOIN dot1 d1 ON d1.vec_id = q.vec_id GROUP BY 1),
+            m1 AS (SELECT greatest(MAX(abs(y)), 1) AS ymax FROM y1),
+            v1 AS (
+              SELECT dim, CAST((y * 524288) // (SELECT ymax FROM m1) AS BIGINT) AS v
+              FROM y1),
+            dot2 AS (
+              SELECT q.vec_id, SUM(q.e.q * v.v) AS dot
+              FROM q JOIN v1 v ON v.dim = q.e.dim GROUP BY 1),
+            y2 AS (
+              SELECT q.e.dim AS dim, SUM(CAST(q.e.q AS HUGEINT) * d2.dot) AS y
+              FROM q JOIN dot2 d2 ON d2.vec_id = q.vec_id GROUP BY 1),
+            m2 AS (SELECT greatest(MAX(abs(y)), 1) AS ymax FROM y2),
+            v2 AS (
+              SELECT dim, CAST((y * 524288) // (SELECT ymax FROM m2) AS BIGINT) AS v
+              FROM y2)
+            SELECT dim, v AS loading FROM v2
         """,
         "events_changepoint": """
             WITH base AS (

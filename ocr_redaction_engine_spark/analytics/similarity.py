@@ -812,3 +812,55 @@ def dim_stats(embeddings: DataFrame, top_k: int = 10) -> DataFrame:
             .where(F.col("var_rank") <= top_k)
             .select("dim", "n", "mean_e6", "var_e12", "var_share_bp",
                     F.col("var_rank").cast("long").alias("var_rank")))
+
+
+def top_component(embeddings: DataFrame, n_iters: int = 2) -> DataFrame:
+    """Top principal direction by POWER ITERATION in exact integer
+    arithmetic — the anisotropy probe run before whitening (embedding
+    models concentrate mass on a dominant direction; Mu & Viswanath 2018
+    recommend removing it before cosine retrieval): v ← Σ_x x·(xᵀv),
+    renormalized to a fixed ±2^19 integer range after each round.
+
+    Determinism contract (the [[ann_ivf_topk]]/[[kmeans_centroids]]
+    discipline): vectors quantize to ×1e6 int64; v₀ is the md5-derived
+    integer hyperplane (seed 'pca', the _plane_matrix construction);
+    per-row dots are int64 (≤3.2e13 at dim 64); per-dim sums fold in
+    DECIMAL(38,0); renormalization is sign-adjusted TRUNCATING division
+    by the max |y| (SQL integer-division semantics, not Python floor) —
+    every step reproducible bit-for-bit in SQL (oracle unrolls the
+    iterations like the k-means CTE chain). The 64-row y vector is
+    collected per round (metadata-scale, the kmeans precedent); each
+    round is ONE posexplode hash-agg over the corpus.
+
+    Output: (dim, loading) — v after ``n_iters`` rounds, integer in
+    [−2^19, 2^19].
+    """
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "dim long, loading long")
+    dim = first.d
+    v = [int(x) for x in _plane_matrix(1, dim, seed="pca")[0]]
+
+    fx = embeddings.select(_fixed_point_col().alias("fx"))
+    dec = "DECIMAL(38,0)"
+    for _ in range(n_iters):
+        lit_v = F.array(*[F.lit(x).cast("long") for x in v])
+        dot = F.aggregate(
+            F.zip_with("fx", lit_v, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        y_rows = (fx.withColumn("dot", dot)
+                  .select(F.posexplode("fx").alias("dim", "q"), "dot")
+                  .groupBy("dim")
+                  .agg(F.sum(F.expr(f"CAST(q AS {dec}) * dot")).alias("y"))
+                  .collect())
+        y = {r.dim: int(r.y) for r in y_rows}
+        ymax = max((abs(val) for val in y.values()), default=0) or 1
+        # truncate toward zero (SQL // / Spark DIV semantics; Python //
+        # floors, which differs on negatives) — the oracle recomputes this
+        # renormalization in SQL, so semantics must match exactly
+        v = [(abs(y.get(d, 0)) * 524288 // ymax)
+             * (1 if y.get(d, 0) >= 0 else -1) for d in range(dim)]
+
+    out = [(d, v[d]) for d in range(dim)]
+    return embeddings.sparkSession.createDataFrame(out, "dim long, loading long")

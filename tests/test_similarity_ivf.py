@@ -285,3 +285,34 @@ def test_dim_stats_planted_variance(spark):
     # dim1: values ±1e6, mean 0 -> var_e12 = 1e12
     assert got[1].mean_e6 == 0 and got[1].var_e12 == 10 ** 12
     assert got[1].var_share_bp + got[2].var_share_bp <= 10000
+
+
+def test_top_component_matches_integer_mirror(spark):
+    from ocr_redaction_engine_spark.analytics.similarity import top_component
+    import hashlib
+    vecs = [[1.0, 0.1, 0.0], [-1.0, -0.2, 0.05], [0.9, 0.0, -0.1],
+            [-0.8, 0.15, 0.0], [1.1, 0.05, 0.02]]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+    got = {r.dim: r.loading for r in top_component(df, n_iters=2).collect()}
+
+    import numpy as np
+    fx = [[int(np.floor(np.float64(np.float32(x)) * 1_000_000)) for x in v]
+          for v in vecs]
+    def h(d):
+        b = hashlib.md5(f"pca:0:{d}".encode()).digest()[:8]
+        return (int.from_bytes(b, "little") >> 44) - 524288
+    v = [h(d) for d in range(3)]
+    for _ in range(2):
+        y = [0, 0, 0]
+        for row in fx:
+            dot = sum(a * b for a, b in zip(row, v))
+            for d in range(3):
+                y[d] += row[d] * dot
+        ymax = max(abs(t) for t in y) or 1
+        v = [(abs(y[d]) * 524288 // ymax) * (1 if y[d] >= 0 else -1)
+             for d in range(3)]
+    assert got == {d: v[d] for d in range(3)}
+    # dominant direction is e0: its loading has the max magnitude
+    assert abs(got[0]) == max(abs(x) for x in got.values()) == 524288
