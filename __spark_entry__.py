@@ -1879,6 +1879,14 @@ def embed_top_component(spark, sf_dir):
     return top_component(_t(spark, sf_dir, "embeddings"), n_iters=2)
 
 
+def web_host_graph(spark, sf_dir):
+    """Host-level link-graph rollup: page edges collapse through the
+    page→host map into weighted host edges (n_links, distinct source
+    pages, intra-host flag) — the compression before ranking at scale."""
+    from ocr_redaction_engine_spark.analytics.webgraph import host_graph
+    return host_graph(_t(spark, sf_dir, "documents"))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2325,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bootstrap": sample_bootstrap,
         "events_changepoint": events_changepoint,
         "embed_top_component": embed_top_component,
+        "web_host_graph": web_host_graph,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -5995,6 +6004,35 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "web_host_graph": r"""
+            WITH nodes AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            hosts AS (
+              SELECT node,
+                     'www.domain' || length(bin(CAST('0x' || substring(md5(doc_id || ':host'), 1, 2) AS BIGINT))) || '.com' AS host
+              FROM nodes),
+            deg AS (
+              SELECT doc_id, node,
+                     CAST('0x' || substring(md5(doc_id || ':deg'), 1, 8) AS BIGINT) % 3 + 2 AS outdeg
+              FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     CAST('0x' || substring(md5(doc_id || ':' || CAST(unnest(range(outdeg)) AS VARCHAR)), 1, 8) AS BIGINT)
+                       % (SELECT n FROM nn) AS dst
+              FROM deg),
+            e AS (
+              SELECT hs.host AS src_host, hd.host AS dst_host, edges.src
+              FROM edges
+              JOIN hosts hs ON hs.node = edges.src
+              JOIN hosts hd ON hd.node = edges.dst)
+            SELECT src_host, dst_host, COUNT(*) AS n_links,
+                   COUNT(DISTINCT src) AS n_src_pages,
+                   src_host = dst_host AS intra_host
+            FROM e GROUP BY 1, 2
         """,
         "embed_top_component": """
             WITH fxt AS (

@@ -1008,3 +1008,30 @@ def resolve_redirects(docs: DataFrame, redirect_mod: int = 5,
                  .alias("final_doc_id"),
                 F.when(F.col("next_term"), F.col("dist")).alias("hops"),
                 F.col("next_term").alias("resolved")))
+
+
+def host_graph(docs: DataFrame) -> DataFrame:
+    """Host-level link graph — the compression every web-graph pipeline
+    applies before ranking at scale (PageRank on 10^12 pages vs ~10^8
+    hosts): page edges collapse through the page→host map into weighted
+    host edges (n_links, distinct source pages, intra-host flag). The
+    page→host joins are broadcastable at sandbox scale and bucketed
+    equi-joins at 100 TB; the final hash-agg is |host|²-bounded, Zipf-
+    concentrated in practice.
+
+    Returns (src_host, dst_host, n_links, n_src_pages, intra_host).
+    """
+    n_nodes = docs.select("doc_id").distinct().count()
+    nodes = _doc_nodes(docs)
+    hosts = synth_hosts(docs).join(nodes, "doc_id").select(
+        "node", "host")
+    edges = synth_edges(docs, n_nodes)
+    e = (edges
+         .join(hosts.select(F.col("node").alias("src"),
+                            F.col("host").alias("src_host")), "src")
+         .join(hosts.select(F.col("node").alias("dst"),
+                            F.col("host").alias("dst_host")), "dst"))
+    return (e.groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("src").alias("n_src_pages"))
+            .withColumn("intra_host", F.col("src_host") == F.col("dst_host")))

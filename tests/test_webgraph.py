@@ -580,3 +580,26 @@ def test_resolve_redirects_matches_sequential_walk(spark):
             assert got[i] == (None, None, False), i
         else:
             assert got[i] == (cur, hops, True), i
+
+
+def test_host_graph_collapses_and_counts(spark):
+    from ocr_redaction_engine_spark.analytics.webgraph import (
+        host_graph, synth_edges, synth_hosts, _doc_nodes)
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r.src_host, r.dst_host): (r.n_links, r.n_src_pages, r.intra_host)
+           for r in host_graph(docs).collect()}
+    # independent recomputation from the synth primitives
+    nodes = {r.doc_id: r.node for r in _doc_nodes(docs).collect()}
+    hosts = {nodes[r.doc_id]: r.host for r in synth_hosts(docs).collect()}
+    from collections import Counter, defaultdict
+    links, pages = Counter(), defaultdict(set)
+    for r in synth_edges(docs, 40).collect():
+        key = (hosts[r.src], hosts[r.dst])
+        links[key] += 1
+        pages[key].add(r.src)
+    want = {k: (links[k], len(pages[k]), k[0] == k[1]) for k in links}
+    assert got == want
+    assert any(v[2] for v in got.values())  # intra-host edges exist
+    assert sum(v[0] for v in got.values()) == synth_edges(docs, 40).count()
