@@ -1887,6 +1887,16 @@ def web_host_graph(spark, sf_dir):
     return host_graph(_t(spark, sf_dir, "documents"))
 
 
+def events_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive vs naive-1 MAE backtest per event type (×1e6
+    integer units, identical scored days) — the forecast sanity floor +
+    weekly-seasonality detector. (type,day) hash-agg; lags/MAEs ride
+    |types|×|days| rows."""
+    from ocr_redaction_engine_spark.analytics.temporal import (
+        seasonal_naive_backtest)
+    return seasonal_naive_backtest(_t(spark, sf_dir, "events"), season=7)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2334,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": events_changepoint,
         "embed_top_component": embed_top_component,
         "web_host_graph": web_host_graph,
+        "events_forecast_backtest": events_forecast_backtest,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -6004,6 +6015,29 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "events_forecast_backtest": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type, day, n,
+                     lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_season,
+                     lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive
+              FROM daily
+              QUALIFY f_season IS NOT NULL AND f_naive IS NOT NULL)
+            SELECT event_type, COUNT(*) AS n_days,
+                   CAST(CAST(SUM(abs(n - f_season)) AS HUGEINT) * 1000000
+                        // COUNT(*) AS BIGINT) AS mae_seasonal_e6,
+                   CAST(CAST(SUM(abs(n - f_naive)) AS HUGEINT) * 1000000
+                        // COUNT(*) AS BIGINT) AS mae_naive_e6,
+                   CAST(CAST(SUM(abs(n - f_season)) AS HUGEINT) * 1000000
+                        // COUNT(*) AS BIGINT)
+                   < CAST(CAST(SUM(abs(n - f_naive)) AS HUGEINT) * 1000000
+                          // COUNT(*) AS BIGINT) AS seasonal_wins
+            FROM lagged GROUP BY 1
         """,
         "web_host_graph": r"""
             WITH nodes AS (

@@ -533,3 +533,41 @@ def volume_changepoints(events: DataFrame, min_delta_e6: int = 300000) -> DataFr
             .select("event_type", "split_day", "mean_before_e6",
                     "mean_after_e6", "delta_e6",
                     (F.col("delta_e6") >= min_delta_e6).alias("shifted")))
+
+
+def seasonal_naive_backtest(events: DataFrame, season: int = 7) -> DataFrame:
+    """Forecast-baseline backtest over daily event volume: seasonal-naive
+    (forecast = value ``season`` days ago) vs naive-1 (yesterday), scored
+    by MAE in ×1e6 integer units per event type — the sanity floor every
+    volume forecast must beat before it ships, and a cheap seasonality
+    detector (seasonal winning ⇒ weekly structure exists).
+
+    One (type, day) hash-agg over the scan; lags and MAEs ride
+    |types|×|days| rows. Days with no forecastable lag are excluded from
+    that model's denominator (both models scored only where BOTH lags
+    exist, so the comparison is on identical days).
+    """
+    from pyspark.sql import Window
+
+    day = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (daily
+              .withColumn("f_season", F.lag("n", season).over(w))
+              .withColumn("f_naive", F.lag("n", 1).over(w))
+              .where(F.col("f_season").isNotNull()
+                     & F.col("f_naive").isNotNull()))
+    dec = "DECIMAL(38,0)"
+    return (lagged.groupBy("event_type")
+            .agg(F.count("*").alias("n_days"),
+                 F.sum(F.abs(F.col("n") - F.col("f_season"))).alias("ae_s"),
+                 F.sum(F.abs(F.col("n") - F.col("f_naive"))).alias("ae_n"))
+            .select(
+                "event_type", "n_days",
+                F.expr(f"CAST(CAST(ae_s AS {dec}) * 1000000 DIV n_days"
+                       " AS BIGINT)").alias("mae_seasonal_e6"),
+                F.expr(f"CAST(CAST(ae_n AS {dec}) * 1000000 DIV n_days"
+                       " AS BIGINT)").alias("mae_naive_e6"))
+            .withColumn("seasonal_wins",
+                        F.col("mae_seasonal_e6") < F.col("mae_naive_e6")))

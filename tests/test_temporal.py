@@ -390,3 +390,26 @@ def test_volume_changepoints_planted_shift(spark):
     assert a.mean_before_e6 == 10_000_000 and a.mean_after_e6 == 2_000_000
     assert a.delta_e6 == 8_000_000
     assert not got["B"].shifted and got["B"].delta_e6 < 3_000_000
+
+
+def test_seasonal_naive_backtest_weekly_pattern(spark):
+    from ocr_redaction_engine_spark.analytics.temporal import seasonal_naive_backtest
+    import datetime as dt
+    rows, eid = [], 0
+    # strong weekly pattern: weekday d%7 determines volume exactly
+    pattern = [3, 5, 2, 8, 1, 4, 6]
+    for d in range(21):
+        for _ in range(pattern[d % 7]):
+            rows.append((eid, dt.datetime(2024, 4, 1, 0) + dt.timedelta(days=d),
+                         1, "W", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = seasonal_naive_backtest(ev, season=7).collect()[0]
+    # seasonal forecast is exact (period 7); naive-1 jumps around
+    assert got.event_type == "W" and got.n_days == 14
+    assert got.mae_seasonal_e6 == 0
+    diffs = [abs(pattern[d % 7] - pattern[(d - 1) % 7]) for d in range(7, 21)]
+    assert got.mae_naive_e6 == sum(diffs) * 1000000 // 14
+    assert got.seasonal_wins
