@@ -1897,6 +1897,15 @@ def events_forecast_backtest(spark, sf_dir):
     return seasonal_naive_backtest(_t(spark, sf_dir, "events"), season=7)
 
 
+def ann_whitened_topk(spark, sf_dir):
+    """All-but-the-top whitened retrieval: remove the power-iteration
+    dominant direction with the scale-free integer correction
+    x' = x·(v·v) − v·(x·v), then the ann_cosine_topk protocol verbatim —
+    before/after anisotropy evidence."""
+    from ocr_redaction_engine_spark.analytics.similarity import whitened_topk
+    return whitened_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2345,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_top_component": embed_top_component,
         "web_host_graph": web_host_graph,
         "events_forecast_backtest": events_forecast_backtest,
+        "ann_whitened_topk": ann_whitened_topk,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -6015,6 +6025,70 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "ann_whitened_topk": """
+            WITH fxt AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS fx
+              FROM embeddings),
+            v0 AS (
+              SELECT CAST(d.range AS BIGINT) AS dim,
+                     CAST(md5_number_upper('pca:0:' || CAST(d.range AS VARCHAR)) >> 44 AS BIGINT) - 524288 AS v
+              FROM range(64) d),
+            q AS (
+              SELECT vec_id,
+                     UNNEST(list_transform(fx, (x, i) -> struct_pack(dim := i - 1, q := x))) AS e
+              FROM fxt),
+            dot1 AS (
+              SELECT q.vec_id, SUM(q.e.q * v.v) AS dot
+              FROM q JOIN v0 v ON v.dim = q.e.dim GROUP BY 1),
+            y1 AS (
+              SELECT q.e.dim AS dim, SUM(CAST(q.e.q AS HUGEINT) * d1.dot) AS y
+              FROM q JOIN dot1 d1 ON d1.vec_id = q.vec_id GROUP BY 1),
+            m1 AS (SELECT greatest(MAX(abs(y)), 1) AS ymax FROM y1),
+            v1 AS (
+              SELECT dim, CAST((y * 524288) // (SELECT ymax FROM m1) AS BIGINT) AS v
+              FROM y1),
+            dot2 AS (
+              SELECT q.vec_id, SUM(q.e.q * v.v) AS dot
+              FROM q JOIN v1 v ON v.dim = q.e.dim GROUP BY 1),
+            y2 AS (
+              SELECT q.e.dim AS dim, SUM(CAST(q.e.q AS HUGEINT) * d2.dot) AS y
+              FROM q JOIN dot2 d2 ON d2.vec_id = q.vec_id GROUP BY 1),
+            m2 AS (SELECT greatest(MAX(abs(y)), 1) AS ymax FROM y2),
+            v2 AS (
+              SELECT dim, CAST((y * 524288) // (SELECT ymax FROM m2) AS BIGINT) AS v
+              FROM y2),
+            vs AS (
+              SELECT dim,
+                     CAST((abs(v) // 1024) * (CASE WHEN v >= 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+              FROM v2),
+            vv AS (SELECT SUM(v * v) AS vv FROM vs),
+            xv AS (
+              SELECT q.vec_id, SUM(q.e.q * s.v) AS xv
+              FROM q JOIN vs s ON s.dim = q.e.dim GROUP BY 1),
+            corr AS (
+              SELECT q.vec_id, q.e.dim AS dim,
+                     CAST(q.e.q * (SELECT vv FROM vv) - s.v * x.xv AS DOUBLE) AS c
+              FROM q
+              JOIN vs s ON s.dim = q.e.dim
+              JOIN xv x ON x.vec_id = q.vec_id),
+            pairs AS (
+              SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                     SUM(a.c * b.c) AS dot,
+                     sqrt(SUM(a.c * a.c)) AS na, sqrt(SUM(b.c * b.c)) AS nb
+              FROM corr a JOIN corr b ON a.dim = b.dim
+              WHERE a.vec_id < 5 AND b.vec_id >= 5
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT q_id, c_id, round(dot / (na * nb), 6) AS sim FROM pairs),
+            ranked AS (
+              SELECT q_id, c_id, sim,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                                             ORDER BY sim DESC, c_id ASC) AS INT) AS rank
+              FROM scored)
+            SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 10
         """,
         "events_forecast_backtest": """
             WITH daily AS (

@@ -864,3 +864,46 @@ def top_component(embeddings: DataFrame, n_iters: int = 2) -> DataFrame:
 
     out = [(d, v[d]) for d in range(dim)]
     return embeddings.sparkSession.createDataFrame(out, "dim long, loading long")
+
+
+def whitened_topk(embeddings: DataFrame, n_queries: int = 5,
+                  k: int = 10) -> DataFrame:
+    """Top-k cosine retrieval AFTER removing the dominant direction — the
+    all-but-the-top correction (Mu & Viswanath 2018) that de-anisotropizes
+    embedding spaces: x' = x·(v·v) − v·(x·v), the scale-free integer form
+    of projecting out [[embed_top_component]]'s v (cosine is invariant to
+    the (v·v) scaling, so no division enters the integer path; v is
+    pre-shrunk ÷1024 to keep every product inside int64). Query/candidate
+    protocol and tie-breaks identical to [[ann_cosine_topk]], so the two
+    result tables diff directly — the before/after evidence for whether
+    whitening helps on this corpus.
+    """
+    v_rows = top_component(embeddings, n_iters=2).collect()
+    # truncate toward zero (SQL // semantics; Python // floors on negatives)
+    v = [(abs(int(r.loading)) // 1024) * (1 if r.loading >= 0 else -1)
+         for r in sorted(v_rows, key=lambda r: r.dim)]
+    vv = sum(x * x for x in v)
+    lit_v = F.array(*[F.lit(x).cast("long") for x in v])
+
+    fx = embeddings.select("vec_id", _fixed_point_col().alias("fx"))
+    xv = F.aggregate(F.zip_with("fx", lit_v, lambda a, b: a * b),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    corrected = fx.withColumn("xv", xv).select(
+        "vec_id",
+        F.zip_with("fx", lit_v,
+                   lambda a, b: (a * F.lit(vv) - b * F.col("xv"))
+                   .cast("double")).alias("emb"))
+    q = corrected.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"),
+        F.pmod(F.col("vec_id"), F.lit(1)).alias("__k"))
+    c = corrected.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"),
+        F.pmod(F.col("vec_id"), F.lit(1)).alias("__k"))
+    scored = (
+        c.join(F.broadcast(q), "__k")
+        .withColumn("sim", F.round(
+            _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6))
+        .select("q_id", "c_id", "sim"))
+    return salted_topk(
+        scored, ["q_id"], [F.col("sim").desc(), F.col("c_id").asc()],
+        k, salt_on="c_id")

@@ -316,3 +316,29 @@ def test_top_component_matches_integer_mirror(spark):
     assert got == {d: v[d] for d in range(3)}
     # dominant direction is e0: its loading has the max magnitude
     assert abs(got[0]) == max(abs(x) for x in got.values()) == 524288
+
+
+def test_whitened_topk_removes_dominant_direction(spark):
+    from ocr_redaction_engine_spark.analytics.similarity import whitened_topk
+    import numpy as np
+    rng = np.random.RandomState(5)
+    # all vectors share a huge common component along e0 + small signal
+    vecs = []
+    for i in range(30):
+        v = np.zeros(4); v[0] = 10.0
+        v[1 + i % 3] = 1.0 if i % 2 == 0 else -1.0
+        vecs.append([float(x) for x in v])
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int")
+    got = {}
+    for r in whitened_topk(df, n_queries=2, k=5).collect():
+        got.setdefault(r.q_id, []).append((r.c_id, r.sim))
+    assert set(got) == {0, 1} and all(len(v) == 5 for v in got.values())
+    # raw cosine would put EVERY candidate near sim 1 (shared e0 mass);
+    # whitened sims must separate: same-signal candidates ≈ +1, opposite ≈ -1
+    for q, rows in got.items():
+        sims = [s for _, s in rows]
+        assert max(sims) > 0.9
+        # ranked output is sim-desc with c_id tie-break
+        assert sims == sorted(sims, reverse=True) or len(set(sims)) < 5
