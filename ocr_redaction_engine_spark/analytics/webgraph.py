@@ -972,7 +972,12 @@ def resolve_redirects(docs: DataFrame, redirect_mod: int = 5,
 
     Output: (doc_id, final_doc_id, hops, resolved) — final/hops NULL when
     unresolved. One equi-join per round on the node id; terminals are
-    self-loops with hop 0, so they absorb chains exactly.
+    self-loops with hop 0, so they absorb chains exactly. Each round
+    ends in an eager ``localCheckpoint``: a doubling SELF-join otherwise
+    duplicates the whole upstream lineage every round (plan grows 2^k —
+    measured 98 Exchange nodes without truncation vs ~8 with), which is
+    the known failure mode of iterative plans ([[dedup_components]]
+    truncates the same way).
     """
     r = synth_redirects(docs, redirect_mod)
     term = r.select(F.col("node").alias("t_node"),
@@ -984,6 +989,7 @@ def resolve_redirects(docs: DataFrame, redirect_mod: int = 5,
         .join(term, F.col("next") == F.col("t_node"))
         .select("node", "next", "dist", F.col("t_term").alias("next_term")))
     for _ in range(iters):
+        ptr = ptr.localCheckpoint(eager=True)
         b = ptr.select(F.col("node").alias("b_node"),
                        F.col("next").alias("b_next"),
                        F.col("dist").alias("b_dist"),
