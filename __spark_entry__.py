@@ -1906,6 +1906,14 @@ def ann_whitened_topk(spark, sf_dir):
     return whitened_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def text_burstiness(spark, sf_dir):
+    """Token burstiness (Church-Gale VMR, integer cross-multiplied) for
+    the top-100 tokens — keyword-vs-stopword separation raw frequency
+    misses. One (token,doc) hash-agg + vocab rollup + Zipf-small rank."""
+    from ocr_redaction_engine_spark.analytics.text import burstiness
+    return burstiness(_t(spark, sf_dir, "documents"), top_n=100, min_docs=5)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2355,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_graph": web_host_graph,
         "events_forecast_backtest": events_forecast_backtest,
         "ann_whitened_topk": ann_whitened_topk,
+        "text_burstiness": text_burstiness,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -6025,6 +6034,29 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "text_burstiness": f"""
+            WITH dd AS (SELECT COUNT(*) AS d FROM documents),
+            tok AS (
+              SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+            per_doc AS (
+              SELECT tok, doc_id, COUNT(*) AS c
+              FROM tok WHERE length(tok) > 0 GROUP BY 1, 2),
+            per_tok AS (
+              SELECT tok, COUNT(DISTINCT doc_id) AS n_docs,
+                     SUM(c) AS total,
+                     SUM(CAST(c AS HUGEINT) * c) AS sumsq
+              FROM per_doc GROUP BY 1),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY total DESC, tok ASC) AS rnk
+              FROM per_tok WHERE n_docs >= 5)
+            SELECT tok, n_docs, CAST(total AS BIGINT) AS total,
+                   CAST(CAST(total AS HUGEINT) * 1000000 // (SELECT d FROM dd) AS BIGINT) AS mean_e6,
+                   CAST((CAST((SELECT d FROM dd) AS HUGEINT) * sumsq
+                         - CAST(total AS HUGEINT) * total) * 1000000
+                        // (CAST(total AS HUGEINT) * (SELECT d FROM dd)) AS BIGINT) AS vmr_e6,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 100
         """,
         "ann_whitened_topk": """
             WITH fxt AS (

@@ -1330,3 +1330,44 @@ def code_detection(docs: DataFrame,
     return scored.select(
         "doc_id", "sym_bp", "kw_hits", "dig_bp", score.alias("score"),
         F.when(score >= 2, "code").otherwise("prose").alias("class"))
+
+
+def burstiness(docs: DataFrame, top_n: int = 100,
+               min_docs: int = 5) -> DataFrame:
+    """Token burstiness (Church & Gale 1995): variance-to-mean ratio of
+    per-document counts for the corpus' top tokens. Function words spread
+    evenly (VMR ≈ 1, Poisson-like); content/topic words BURST — many
+    occurrences in few documents (VMR ≫ 1) — which is why burstiness
+    separates keyword candidates from stopwords when raw frequency can't.
+
+    Integer fixed-point: with per-doc counts c_i over D docs (zeros
+    included via the doc total), mean·1e6 = T·1e6 DIV D and VMR·1e6 =
+    (D·Σc² − T²)·1e6 DIV (T·D) — one cross-multiplied expression, no
+    float. Scale shape: one (token, doc) hash-agg, one token rollup, a
+    top-``top_n`` rank over the vocab (Zipf-small), D from a 1-row agg.
+    """
+    from pyspark.sql import Window
+
+    d_total = docs.count()
+    tok = (with_tokens(docs)
+           .select("doc_id", F.explode("tokens").alias("tok"))
+           .where(F.length("tok") > 0))
+    per_doc = tok.groupBy("tok", "doc_id").agg(F.count("*").alias("c"))
+    dec = "DECIMAL(38,0)"
+    per_tok = per_doc.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("c").alias("total"),
+        F.sum(F.expr(f"CAST(c AS {dec}) * c")).alias("sumsq"))
+    ranked = (per_tok.where(F.col("n_docs") >= min_docs)
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy(F.col("total").desc(), F.col("tok").asc())))
+              .where(F.col("rnk") <= top_n))
+    return ranked.select(
+        "tok", "n_docs", F.col("total").cast("long").alias("total"),
+        F.expr(f"CAST(CAST(total AS {dec}) * 1000000 DIV {d_total}"
+               " AS BIGINT)").alias("mean_e6"),
+        F.expr(f"CAST((CAST({d_total} AS {dec}) * sumsq"
+               f" - CAST(total AS {dec}) * total) * 1000000"
+               f" DIV (CAST(total AS {dec}) * {d_total}) AS BIGINT)")
+         .alias("vmr_e6"),
+        F.col("rnk").cast("long").alias("rnk"))

@@ -623,3 +623,26 @@ def test_code_detection_routes_code_and_prose(spark):
                       "function", "var", "const", "if", "else", "for",
                       "while"))
     assert got[1].kw_hits == kw
+
+
+def test_burstiness_separates_bursty_from_uniform(spark):
+    from ocr_redaction_engine_spark.analytics.text import burstiness
+    rows = []
+    # 'the' once per doc (uniform); 'llama' 5x in 2 docs only (bursty)
+    for i in range(10):
+        text = "the filler words here"
+        if i < 2:
+            text += " " + " ".join(["llama"] * 5)
+        rows.append((i, text, "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.tok: r for r in burstiness(docs, top_n=10, min_docs=2).collect()}
+    D = 10
+    # 'the': c_i = 1 in all 10 docs; T=10, sumsq=10
+    # vmr_e6 = (10*10 - 100)*1e6 // (10*10) = 0
+    assert (got["the"].n_docs, got["the"].total, got["the"].vmr_e6) == (10, 10, 0)
+    assert got["the"].mean_e6 == 1_000_000
+    # 'llama': T=10, sumsq=50 -> (10*50-100)*1e6 // (10*10) = 4e6
+    assert (got["llama"].n_docs, got["llama"].total) == (2, 10)
+    assert got["llama"].vmr_e6 == 4_000_000
+    assert got["llama"].vmr_e6 > got["the"].vmr_e6
