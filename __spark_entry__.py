@@ -1914,6 +1914,16 @@ def text_burstiness(spark, sf_dir):
     return burstiness(_t(spark, sf_dir, "documents"), top_n=100, min_docs=5)
 
 
+def storage_clustering_depth(spark, sf_dir):
+    """Clustering-depth audit over the synthetic file inventory: average/
+    max key-range overlap per (source, layout) for a contiguous-slice vs
+    md5-scattered layout of the same files — the sort-order-health metric
+    behind zorder maintenance. Bucketed interval equi-join, no BNLJ."""
+    from ocr_redaction_engine_spark.storage import clustering_depth
+    return clustering_depth(_t(spark, sf_dir, "documents"),
+                            files_per_source=40)
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2364,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_backtest": events_forecast_backtest,
         "ann_whitened_topk": ann_whitened_topk,
         "text_burstiness": text_burstiness,
+        "storage_clustering_depth": storage_clustering_depth,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -6034,6 +6045,37 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "storage_clustering_depth": """
+            WITH inv AS (
+              SELECT source,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':file'), 1, 8)) AS BIGINT) % 40 AS file_id,
+                     SUM(n_chars) AS file_bytes
+              FROM documents GROUP BY 1, 2),
+            ranges AS (
+              SELECT source, file_id, layout,
+                     CASE WHEN layout = 'clustered' THEN file_id * 2500
+                          ELSE CAST(('0x' || substring(md5(source || ':' || CAST(file_id AS VARCHAR) || ':kr'), 1, 8)) AS BIGINT) % (100000 - 2500)
+                     END AS kmin
+              FROM inv CROSS JOIN (SELECT UNNEST(['clustered', 'scattered']) AS layout)),
+            r2 AS (SELECT *, kmin + 2500 - 1 AS kmax FROM ranges),
+            spans AS (
+              SELECT source, file_id, layout, kmin, kmax,
+                     UNNEST(range(kmin // 12500, kmax // 12500 + 1)) AS bk
+              FROM r2),
+            pairs AS (
+              SELECT DISTINCT a.source, a.layout, a.file_id, b.file_id AS b_file
+              FROM spans a
+              JOIN spans b ON a.source = b.source AND a.layout = b.layout
+                          AND a.bk = b.bk
+              WHERE a.kmin <= b.kmax AND b.kmin <= a.kmax),
+            depth AS (
+              SELECT source, layout, file_id, COUNT(*) AS depth
+              FROM pairs GROUP BY 1, 2, 3)
+            SELECT source, layout, COUNT(*) AS n_files,
+                   CAST(CAST(SUM(depth) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS avg_depth_e6,
+                   CAST(MAX(depth) AS BIGINT) AS max_depth
+            FROM depth GROUP BY 1, 2
         """,
         "text_burstiness": f"""
             WITH dd AS (SELECT COUNT(*) AS d FROM documents),

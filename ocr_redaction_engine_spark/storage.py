@@ -208,3 +208,69 @@ def partition_stats(docs: DataFrame, keys: tuple = ("source", "lang"),
             F.expr(f"CAST((bytes + {target_bytes} - 1) DIV {target_bytes}"
                    " AS BIGINT)").alias("files_needed"))
         .withColumn("hot", F.col("skew_x10") >= 30))
+
+
+def clustering_depth(docs: DataFrame, files_per_source: int = 40,
+                     key_space: int = 100_000,
+                     bucket_w: int = 12_500) -> DataFrame:
+    """Clustering-depth audit (the Snowflake `clustering_information` /
+    Iceberg sort-order health metric): for each file, how many OTHER files
+    of the same (source, layout) its key range [kmin, kmax] overlaps —
+    average depth ≈ 1 means a point/range query prunes to ~one file; depth
+    ≈ |files| means the sort order has decayed and every query reads the
+    partition. Measured on two deterministic layouts of the SAME inventory
+    so the table shows what clustering buys:
+
+      ``clustered``  file i owns the contiguous slice i·W..(i+1)·W−1
+      ``scattered``  md5 start, same width — ranges strewn at random
+
+    The pairwise overlap test is the repo's bucketed interval-join idiom
+    ([[q33_range_join]]): ranges explode over coarse key buckets, pairs
+    come from an EQUI-join on (source, layout, bucket) — never a
+    nested-loop join — and the exact overlap predicate filters candidates.
+    Output: one row per (source, layout) with files, avg_depth_e6 (self
+    counted, so perfectly clustered = 1.0), max_depth.
+    """
+    from pyspark.sql import functions as F
+
+    inv = synth_file_inventory(docs, files_per_source)
+    width = key_space // files_per_source
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", "source", F.col("file_id").cast("string"), F.lit("kr"))),
+        1, 8), 16, 10).cast("long")
+    ranges = inv.select(
+        "source", "file_id",
+        F.explode(F.array(F.lit("clustered"), F.lit("scattered")))
+         .alias("layout"),
+    ).select(
+        "source", "file_id", "layout",
+        F.when(F.col("layout") == "clustered",
+               F.col("file_id") * width)
+         .otherwise(h % (key_space - width)).alias("kmin"),
+    ).withColumn("kmax", F.col("kmin") + width - 1)
+    spans = ranges.select(
+        "source", "file_id", "layout", "kmin", "kmax",
+        F.explode(F.sequence(F.expr(f"kmin DIV {bucket_w}"),
+                             F.expr(f"kmax DIV {bucket_w}"))).alias("bk"))
+    a = spans.alias("a")
+    b = spans.select(
+        F.col("source").alias("source"), F.col("layout").alias("layout"),
+        F.col("bk").alias("bk"), F.col("file_id").alias("b_file"),
+        F.col("kmin").alias("b_kmin"), F.col("kmax").alias("b_kmax"))
+    pairs = (a.join(b, ["source", "layout", "bk"])
+             .where((F.col("a.kmin") <= F.col("b_kmax"))
+                    & (F.col("b_kmin") <= F.col("a.kmax")))
+             .select("source", "layout", F.col("a.file_id").alias("file_id"),
+                     "b_file")
+             .distinct())
+    depth = pairs.groupBy("source", "layout", "file_id").agg(
+        F.count("*").alias("depth"))
+    dec = "DECIMAL(38,0)"
+    return (depth.groupBy("source", "layout")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("depth").alias("sum_depth"),
+                 F.max("depth").alias("max_depth"))
+            .select("source", "layout", "n_files",
+                    F.expr(f"CAST(CAST(sum_depth AS {dec}) * 1000000"
+                           " DIV n_files AS BIGINT)").alias("avg_depth_e6"),
+                    F.col("max_depth").cast("long").alias("max_depth")))

@@ -168,3 +168,19 @@ def test_partition_stats_skew_flags(spark):
     got2 = {r.source: r for r in
             partition_stats(docs2, keys=("source",)).collect()}
     assert got2["mega"].hot  # 10000*10*11/11000 = 100 >= 30
+
+
+def test_clustering_depth_layouts_separate(spark):
+    from ocr_redaction_engine_spark.storage import clustering_depth
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s0", 100) for i in range(400)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {(r.source, r.layout): r for r in
+           clustering_depth(docs, files_per_source=20).collect()}
+    cl = got[("s0", "clustered")]
+    sc = got[("s0", "scattered")]
+    # contiguous non-overlapping slices: every file overlaps only itself
+    assert cl.avg_depth_e6 == 1_000_000 and cl.max_depth == 1
+    # random placement collides: depth must exceed the clustered floor
+    assert sc.avg_depth_e6 > 1_000_000 and sc.max_depth >= 2
+    assert cl.n_files == sc.n_files
