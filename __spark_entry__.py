@@ -6171,11 +6171,10 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) AS n
               FROM events GROUP BY 1, 2),
             lagged AS (
-              SELECT event_type, day, n,
-                     lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_season,
-                     lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive
-              FROM daily
-              QUALIFY f_season IS NOT NULL AND f_naive IS NOT NULL)
+              SELECT d.event_type, d.day, d.n, s.n AS f_season, o.n AS f_naive
+              FROM daily d
+              JOIN daily s ON s.event_type = d.event_type AND s.day = d.day - 7
+              JOIN daily o ON o.event_type = d.event_type AND o.day = d.day - 1)
             SELECT event_type, COUNT(*) AS n_days,
                    CAST(CAST(SUM(abs(n - f_season)) AS HUGEINT) * 1000000
                         // COUNT(*) AS BIGINT) AS mae_seasonal_e6,

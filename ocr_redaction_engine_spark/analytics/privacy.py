@@ -155,6 +155,12 @@ def t_closeness_audit(customers: DataFrame,
     gd = sorted(
         base.groupBy("b").agg(F.count("*").alias("g")).collect(),
         key=lambda r: r.b)
+    if len(gd) > 10_000:
+        raise ValueError(
+            f"t_closeness_audit: {len(gd)} sensitive buckets — the bucket "
+            f"domain must stay metadata-scale (raise sens_bucket to coarsen "
+            f"the quantization; a near-continuous attribute cannot be "
+            f"collected as a literal spine)")
     m = len(gd)
     n_total = sum(r.g for r in gd)
     if not gd:   # empty input: an empty literal array has no element type

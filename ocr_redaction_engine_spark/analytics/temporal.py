@@ -542,22 +542,21 @@ def seasonal_naive_backtest(events: DataFrame, season: int = 7) -> DataFrame:
     volume forecast must beat before it ships, and a cheap seasonality
     detector (seasonal winning ⇒ weekly structure exists).
 
-    One (type, day) hash-agg over the scan; lags and MAEs ride
-    |types|×|days| rows. Days with no forecastable lag are excluded from
-    that model's denominator (both models scored only where BOTH lags
-    exist, so the comparison is on identical days).
+    One (type, day) hash-agg over the scan; forecasts attach by DAY-keyed
+    equi-joins (day−season, day−1), not row-offset lags — a zero-volume
+    day would silently shift a row lag and misalign every forecast after
+    it. Scored days are those where BOTH forecasts exist, so the two
+    models compare on identical days; MAEs ride |types|×|days| rows.
     """
-    from pyspark.sql import Window
-
     day = F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) DIV 86400")
     daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
         F.count("*").alias("n"))
-    w = Window.partitionBy("event_type").orderBy("day")
-    lagged = (daily
-              .withColumn("f_season", F.lag("n", season).over(w))
-              .withColumn("f_naive", F.lag("n", 1).over(w))
-              .where(F.col("f_season").isNotNull()
-                     & F.col("f_naive").isNotNull()))
+    fs = daily.select("event_type", (F.col("day") + season).alias("day"),
+                      F.col("n").alias("f_season"))
+    fn = daily.select("event_type", (F.col("day") + 1).alias("day"),
+                      F.col("n").alias("f_naive"))
+    lagged = (daily.join(fs, ["event_type", "day"])
+              .join(fn, ["event_type", "day"]))
     dec = "DECIMAL(38,0)"
     return (lagged.groupBy("event_type")
             .agg(F.count("*").alias("n_days"),

@@ -164,3 +164,14 @@ def test_t_closeness_empty_input(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "c_nationkey", "c_mktsegment", "group_n", "emd_e6", "t_risk"]
+
+
+def test_t_closeness_bucket_domain_guard(spark):
+    import pytest
+    # sens_bucket=1 over a wide-spread attribute -> bucket per distinct value
+    rows = [(i, "c", 1, float(i * 7), "S") for i in range(11000)]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    with pytest.raises(ValueError, match="sensitive buckets"):
+        t_closeness_audit(df, sens_bucket=1)
