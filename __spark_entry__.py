@@ -1924,6 +1924,34 @@ def storage_clustering_depth(spark, sf_dir):
                             files_per_source=40)
 
 
+def q37_abc_parts(spark, sf_dir):
+    """ABC (Pareto) classification of parts by revenue: per-part revenue
+    hash-agg over lineitem (the only fact-table pass), then rank /
+    cumulative-share windows over the DIMENSION-sized part list (≪ fact
+    table at any SF) — class A ≤80% cumulative revenue, B ≤95%, C rest,
+    integer cents + bp end-to-end."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        )).alias("rev_cents"))
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+    dec = "DECIMAL(38,0)"
+    ranked = (per
+              .withColumn("rnk", F.row_number().over(w))
+              .withColumn("cum", F.sum("rev_cents").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("total", F.sum("rev_cents").over(
+                  Window.partitionBy())))
+    share = F.expr(f"CAST(CAST(cum AS {dec}) * 10000 DIV total AS BIGINT)")
+    return ranked.select(
+        "l_partkey", "rev_cents", F.col("rnk").cast("long").alias("rnk"),
+        share.alias("cum_share_bp"),
+        F.when(share <= 8000, "A").when(share <= 9500, "B")
+         .otherwise("C").alias("abc_class"))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2375,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_whitened_topk": ann_whitened_topk,
         "text_burstiness": text_burstiness,
         "storage_clustering_depth": storage_clustering_depth,
+        "q37_abc_parts": q37_abc_parts,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -6045,6 +6074,26 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "q37_abc_parts": """
+            WITH per AS (
+              SELECT l_partkey,
+                     SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+              FROM lineitem GROUP BY 1),
+            ranked AS (
+              SELECT l_partkey, rev_cents,
+                     row_number() OVER (ORDER BY rev_cents DESC, l_partkey ASC) AS rnk,
+                     SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum,
+                     SUM(rev_cents) OVER () AS total
+              FROM per)
+            SELECT l_partkey, rev_cents, CAST(rnk AS BIGINT) AS rnk,
+                   CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) AS cum_share_bp,
+                   CASE WHEN CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) <= 8000 THEN 'A'
+                        WHEN CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) <= 9500 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
         """,
         "storage_clustering_depth": """
             WITH inv AS (
