@@ -1952,6 +1952,15 @@ def q37_abc_parts(spark, sf_dir):
          .otherwise("C").alias("abc_class"))
 
 
+def text_vocab_coverage(spark, sf_dir):
+    """Vocab coverage curve: token-mass share covered by the top-k types
+    for k in (10,100,1000,10000) — the vocab-size selection read. One
+    vocab hash-agg + rank window over the Zipf-small type table."""
+    from ocr_redaction_engine_spark.analytics.text import vocab_coverage
+    return vocab_coverage(_t(spark, sf_dir, "documents"),
+                          ks=(10, 100, 1000, 10000))
+
+
 def dedup_sentences(spark, sf_dir):
     """C4-style global sentence dedup: first corpus-wide occurrence of each
     sentence survives (window over the sentence hash), documents reassembled
@@ -2404,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_burstiness": text_burstiness,
         "storage_clustering_depth": storage_clustering_depth,
         "q37_abc_parts": q37_abc_parts,
+        "text_vocab_coverage": text_vocab_coverage,
         "dedup_sentences": dedup_sentences,
         "dedup_host_boilerplate": dedup_host_boilerplate,
         "bpe_pair_counts": bpe_pair_counts,
@@ -6074,6 +6084,39 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.example-site.com/articles/' || substring(h, 3, 6) ||
                    '?id=' || substring(h, 9, 4) AS canonical_url
             FROM u
+        """,
+        "text_vocab_coverage": f"""
+            WITH counts AS (
+              SELECT tok, COUNT(*) AS c
+              FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+              WHERE length(tok) > 0 GROUP BY 1),
+            ranked AS (
+              SELECT c,
+                     row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk,
+                     SUM(c) OVER (ORDER BY c DESC, tok ASC ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(c) OVER () AS total,
+                     COUNT(*) OVER () AS n_types
+              FROM counts)
+            SELECT CAST(10 AS BIGINT) AS vocab_k,
+                   CAST(cum AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
+                   CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) AS coverage_bp
+            FROM ranked WHERE rnk = least(10, n_types)
+            UNION ALL
+            SELECT CAST(100 AS BIGINT) AS vocab_k,
+                   CAST(cum AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
+                   CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) AS coverage_bp
+            FROM ranked WHERE rnk = least(100, n_types)
+            UNION ALL
+            SELECT CAST(1000 AS BIGINT) AS vocab_k,
+                   CAST(cum AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
+                   CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) AS coverage_bp
+            FROM ranked WHERE rnk = least(1000, n_types)
+            UNION ALL
+            SELECT CAST(10000 AS BIGINT) AS vocab_k,
+                   CAST(cum AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
+                   CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) AS coverage_bp
+            FROM ranked WHERE rnk = least(10000, n_types)
         """,
         "q37_abc_parts": """
             WITH per AS (

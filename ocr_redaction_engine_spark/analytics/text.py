@@ -1371,3 +1371,45 @@ def burstiness(docs: DataFrame, top_n: int = 100,
                f" DIV (CAST(total AS {dec}) * {d_total}) AS BIGINT)")
          .alias("vmr_e6"),
         F.col("rnk").cast("long").alias("rnk"))
+
+
+def vocab_coverage(docs: DataFrame,
+                   ks: tuple = (10, 100, 1000, 10000)) -> DataFrame:
+    """Vocabulary coverage curve: what share of the corpus TOKEN MASS the
+    top-k most frequent types cover, for a grid of k — the number that
+    actually drives tokenizer vocab-size selection ([[text_vocab]] lists
+    the types; this prices the cut-off: mass beyond the vocab falls to
+    byte-fallback/UNK).
+
+    One vocab hash-agg, one frequency-rank window over the (Zipf-small)
+    type table, then each k reads a single cumulative cell. Output: one
+    row per k with covered mass, total mass and coverage bp.
+    """
+    from pyspark.sql import Window
+
+    counts = (with_tokens(docs)
+              .select(F.explode("tokens").alias("tok"))
+              .where(F.length("tok") > 0)
+              .groupBy("tok").agg(F.count("*").alias("c")))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = (counts
+              .withColumn("rnk", F.row_number().over(w))
+              .withColumn("cum", F.sum("c").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("total", F.sum("c").over(Window.partitionBy()))
+              .withColumn("n_types", F.count("*").over(Window.partitionBy())))
+    dec = "DECIMAL(38,0)"
+    outs = []
+    for k in ks:
+        outs.append(
+            ranked.where(F.col("rnk") == F.least(F.lit(k), F.col("n_types")))
+            .select(
+                F.lit(k).cast("long").alias("vocab_k"),
+                F.col("cum").cast("long").alias("covered"),
+                F.col("total").cast("long").alias("total"),
+                F.expr(f"CAST(CAST(cum AS {dec}) * 10000 DIV total"
+                       " AS BIGINT)").alias("coverage_bp")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

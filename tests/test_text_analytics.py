@@ -646,3 +646,17 @@ def test_burstiness_separates_bursty_from_uniform(spark):
     assert (got["llama"].n_docs, got["llama"].total) == (2, 10)
     assert got["llama"].vmr_e6 == 4_000_000
     assert got["llama"].vmr_e6 > got["the"].vmr_e6
+
+
+def test_vocab_coverage_curve(spark):
+    from ocr_redaction_engine_spark.analytics.text import vocab_coverage
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.vocab_k: (r.covered, r.total, r.coverage_bp)
+           for r in vocab_coverage(docs, ks=(1, 2, 100)).collect()}
+    # freq: a=4, b=2, c=1, d=1 (ties by token asc); total 8
+    assert got[1] == (4, 8, 5000)
+    assert got[2] == (6, 8, 7500)
+    # k beyond the vocab clamps to all 4 types -> full mass
+    assert got[100] == (8, 8, 10000)
