@@ -113,7 +113,7 @@ HEADLINE = [
     "text_readability", "storage_partition_skew", "q36_market_share",
     "extract_table_structure", "pack_fill_stats", "web_url_params",
     "dedup_onion_funnel", "multimodal_shot_bounds", "web_redirects",
-    "sample_bootstrap", "events_changepoint", "embed_top_component", "web_host_graph", "events_forecast_backtest", "ann_whitened_topk", "text_burstiness", "storage_clustering_depth",
+    "sample_bootstrap", "events_changepoint", "embed_top_component", "web_host_graph", "events_forecast_backtest", "ann_whitened_topk", "text_burstiness", "storage_clustering_depth", "q37_abc_parts", "text_vocab_coverage",
 ]
 
 
