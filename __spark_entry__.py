@@ -754,7 +754,12 @@ def q36_market_share(spark, sf_dir):
     order-year, share in basis points of the year total. Dims ride
     broadcasts (supplier→nation→region chain collapses map-side), the one
     big shuffle is lineitem⋈orders on orderkey; the share window runs over
-    the |years×nations| aggregate. Revenue in integer cents; the ×10000
+    the |years×nations| aggregate. Revenue rides as EXACT integer
+    centi-cents — price recovered to DECIMAL(14,2) (2-decimal data, so the
+    double is within ½ulp of the true value and any engine's nearest-cast
+    agrees), discount as an integer percent, product in pure BIGINT — no
+    round() on a double product anywhere, so the result is engine-portable
+    even at half-cent boundaries (the r3 driver-hash lesson). The ×10000
     fold goes through DECIMAL(38,0) so it cannot wrap at warehouse scale."""
     from pyspark.sql import Window
     li = _t(spark, sf_dir, "lineitem")
@@ -772,14 +777,15 @@ def q36_market_share(spark, sf_dir):
                  li.l_orderkey == F.col("o_orderkey")))
     per = rev.groupBy("o_year", "n_name").agg(
         F.sum(F.expr(
-            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
-        )).alias("rev_cents"))
+            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT))"
+        )).alias("rev_cc"))
     return (per
             .withColumn("year_total",
-                        F.sum("rev_cents").over(Window.partitionBy("o_year")))
+                        F.sum("rev_cc").over(Window.partitionBy("o_year")))
             .select(
-                "o_year", "n_name", "rev_cents",
-                F.expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 10000 DIV "
+                "o_year", "n_name", "rev_cc",
+                F.expr("CAST(CAST(rev_cc AS DECIMAL(38,0)) * 10000 DIV "
                        "year_total AS BIGINT)").alias("share_bp")))
 
 
@@ -1926,27 +1932,53 @@ def storage_clustering_depth(spark, sf_dir):
 
 def q37_abc_parts(spark, sf_dir):
     """ABC (Pareto) classification of parts by revenue: per-part revenue
-    hash-agg over lineitem (the only fact-table pass), then rank /
-    cumulative-share windows over the DIMENSION-sized part list (≪ fact
-    table at any SF) — class A ≤80% cumulative revenue, B ≤95%, C rest,
-    integer cents + bp end-to-end."""
+    hash-agg over lineitem (the only fact-table pass), then a TWO-PHASE
+    distributed cumulative rank over the part list — repartitionByRange on
+    (rev desc, partkey), per-partition totals collected (≤P scalar rows),
+    prefix offsets broadcast back, rank/cumsum windows partitioned by pid
+    (pack_offsets discipline; no single-task Window.orderBy, so the part
+    dimension can grow with SF without serializing through one core).
+    Revenue is EXACT integer centi-cents (no double round()); class A ≤80%
+    cumulative revenue, B ≤95%, C rest, bp via DECIMAL(38,0)."""
     from pyspark.sql import Window
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(
         F.sum(F.expr(
-            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
-        )).alias("rev_cents"))
-    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
-    dec = "DECIMAL(38,0)"
-    ranked = (per
-              .withColumn("rnk", F.row_number().over(w))
-              .withColumn("cum", F.sum("rev_cents").over(
-                  w.rowsBetween(Window.unboundedPreceding, 0)))
-              .withColumn("total", F.sum("rev_cents").over(
-                  Window.partitionBy())))
-    share = F.expr(f"CAST(CAST(cum AS {dec}) * 10000 DIV total AS BIGINT)")
+            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT))"
+        )).alias("rev_cc"))
+    parts = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialization of the range exchange so the
+    # totals collect and the window job see identical partition boundaries
+    d = (per.repartitionByRange(parts, F.col("rev_cc").desc(),
+                                F.col("l_partkey").asc())
+         .withColumn("pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    totals = {r["pid"]: (r["cnt"], r["tot"]) for r in
+              d.groupBy("pid").agg(
+                  F.count("*").alias("cnt"),
+                  F.sum("rev_cc").alias("tot")).collect()}
+    cnt_prefix, sum_prefix, run_c, run_s = {}, {}, 0, 0
+    for pid in sorted(totals):
+        cnt_prefix[pid], sum_prefix[pid] = run_c, run_s
+        run_c += totals[pid][0]
+        run_s += totals[pid][1]
+    total = max(run_s, 1)
+    cmap = F.create_map(
+        *[F.lit(x) for pid in sorted(cnt_prefix) for x in (pid, cnt_prefix[pid])])
+    smap = F.create_map(
+        *[F.lit(x) for pid in sorted(sum_prefix) for x in (pid, sum_prefix[pid])])
+    w = Window.partitionBy("pid").orderBy(
+        F.col("rev_cc").desc(), F.col("l_partkey").asc())
+    ranked = (d
+              .withColumn("rnk", (cmap[F.col("pid")]
+                                  + F.row_number().over(w)).cast("long"))
+              .withColumn("cum", smap[F.col("pid")] + F.sum("rev_cc").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    share = F.expr(
+        f"CAST(CAST(cum AS DECIMAL(38,0)) * 10000 DIV {total} AS BIGINT)")
     return ranked.select(
-        "l_partkey", "rev_cents", F.col("rnk").cast("long").alias("rnk"),
+        "l_partkey", "rev_cc", "rnk",
         share.alias("cum_share_bp"),
         F.when(share <= 8000, "A").when(share <= 9500, "B")
          .otherwise("C").alias("abc_class"))
@@ -3019,19 +3051,37 @@ def oracle_sql() -> dict[str, str]:
         "events_value_trend": """
             WITH s AS (
               SELECT event_type,
-                     CAST(COUNT(*) AS DOUBLE) AS nd,
-                     CAST(COUNT(*) AS BIGINT) AS n,
-                     CAST(SUM(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DOUBLE) AS sx,
-                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-                     CAST(SUM(CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DECIMAL(38,0))
-                              * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-                     CAST(SUM(CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DECIMAL(38,0))
-                              * CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS DECIMAL(38,0))) AS DOUBLE) AS sxx
-              FROM events GROUP BY event_type)
-            SELECT event_type, n,
-                   CAST(round(((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * 1e9) AS BIGINT) AS slope_e9,
-                   CAST(round(((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd) * 1e9) AS BIGINT) AS intercept_e9
-            FROM s
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS sy_cc,
+                     CAST(SUM(CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS HUGEINT)
+                              * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS sxy_cc,
+                     CAST(SUM(CAST((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS HUGEINT)
+                              * (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)) AS HUGEINT) AS sxx
+              FROM events GROUP BY event_type),
+            c AS (
+              SELECT event_type, n, sx, sy_cc,
+                     n * sxy_cc - sx * sy_cc AS num_cc,
+                     n * sxx - sx * sx AS den
+              FROM s),
+            sl AS (
+              SELECT event_type, n, sx, sy_cc, den,
+                     CASE WHEN den = 0 THEN NULL ELSE
+                       CAST((num_cc * 2000000000 +
+                             (CASE WHEN num_cc < 0 THEN -(den * 100) ELSE den * 100 END))
+                            // (den * 200) AS BIGINT)
+                     END AS slope_e9
+              FROM c),
+            i AS (
+              SELECT event_type, n, den, slope_e9,
+                     sy_cc * 10000000 - CAST(slope_e9 AS HUGEINT) * sx AS n2
+              FROM sl)
+            SELECT event_type, CAST(n AS BIGINT) AS n, slope_e9,
+                   CASE WHEN den = 0 THEN NULL ELSE
+                     CAST((n2 * 2 + (CASE WHEN n2 < 0 THEN -n ELSE n END))
+                          // (n * 2) AS BIGINT)
+                   END AS intercept_e9
+            FROM i
         """,
         "q36_market_share": """
             WITH sn AS (
@@ -3042,14 +3092,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE r_name = 'ASIA'),
             per AS (
               SELECT year(o_orderdate) AS o_year, n_name,
-                     SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+                     CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                              * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT))) AS BIGINT) AS rev_cc
               FROM lineitem
               JOIN sn ON l_suppkey = s_suppkey
               JOIN orders ON l_orderkey = o_orderkey
               GROUP BY 1, 2)
-            SELECT o_year, n_name, rev_cents,
-                   CAST(CAST(rev_cents AS HUGEINT) * 10000
-                        // SUM(rev_cents) OVER (PARTITION BY o_year) AS BIGINT) AS share_bp
+            SELECT o_year, n_name, rev_cc,
+                   CAST(CAST(rev_cc AS HUGEINT) * 10000
+                        // SUM(rev_cc) OVER (PARTITION BY o_year) AS BIGINT) AS share_bp
             FROM per
         """,
         "q35_snowflake_rollup": """
@@ -3181,7 +3232,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey,
                      MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS last_day,
                      COUNT(*) AS frequency,
-                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
               FROM orders GROUP BY 1),
             mx AS (SELECT MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS max_day FROM orders),
             m AS (
@@ -6121,17 +6172,18 @@ def oracle_sql() -> dict[str, str]:
         "q37_abc_parts": """
             WITH per AS (
               SELECT l_partkey,
-                     SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+                     CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                              * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INT))) AS BIGINT) AS rev_cc
               FROM lineitem GROUP BY 1),
             ranked AS (
-              SELECT l_partkey, rev_cents,
-                     row_number() OVER (ORDER BY rev_cents DESC, l_partkey ASC) AS rnk,
-                     SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+              SELECT l_partkey, rev_cc,
+                     row_number() OVER (ORDER BY rev_cc DESC, l_partkey ASC) AS rnk,
+                     SUM(rev_cc) OVER (ORDER BY rev_cc DESC, l_partkey ASC
                                           ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW) AS cum,
-                     SUM(rev_cents) OVER () AS total
+                     SUM(rev_cc) OVER () AS total
               FROM per)
-            SELECT l_partkey, rev_cents, CAST(rnk AS BIGINT) AS rnk,
+            SELECT l_partkey, rev_cc, CAST(rnk AS BIGINT) AS rnk,
                    CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) AS cum_share_bp,
                    CASE WHEN CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) <= 8000 THEN 'A'
                         WHEN CAST(CAST(cum AS HUGEINT) * 10000 // total AS BIGINT) <= 9500 THEN 'B'
@@ -6615,7 +6667,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT o_custkey,
                      year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
-                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                     CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
               FROM orders),
             firsts AS (
               SELECT o_custkey, MIN(m) AS cohort_m FROM base GROUP BY 1),

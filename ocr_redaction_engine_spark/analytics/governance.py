@@ -123,7 +123,7 @@ def rfm_segments(orders: DataFrame, qs: tuple = (33, 67)) -> DataFrame:
     m = orders.groupBy("o_custkey").agg(
         F.max(day).alias("last_day"),
         F.count("*").cast("long").alias("frequency"),
-        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("monetary_cents"),
+        F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")).alias("monetary_cents"),
     )
     mx = orders.agg(F.max(day).alias("max_day")) \
         .withColumn("__k", F.pmod(F.col("max_day"), F.lit(1)))

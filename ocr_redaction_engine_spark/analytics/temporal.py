@@ -226,42 +226,67 @@ def value_trend(events: DataFrame, epoch0: int = 1704067200) -> DataFrame:
         slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
 
     Exactness discipline: x (seconds since ``epoch0``) stays integral and y
-    is cast to DECIMAL(18,2), so every Σ is an exact DECIMAL(38,·) — the
-    distributed, order-free sums match DuckDB's HUGEINT/decimal arithmetic
-    digit for digit; floating point appears exactly once, in the final
-    single division (deterministic given exact operands). Map-side partial
-    aggregation makes the shuffle |groups| rows of five numbers — the
-    textbook reduction for any moment-based statistic at 100 TB.
+    rides as integer CENTS (value cast DECIMAL(18,2) ×100), so every Σ is
+    an exact integer DECIMAL and the release is computed with **no floating
+    point at all**: slope_e9 is the half-away-from-zero rounding of the
+    exact rational num_cc·10⁹ / (100·den), done as a single truncating
+    integer division — `(2a + sign(a)·b) DIV (2b)` — which Spark's `DIV`
+    and DuckDB's `//` evaluate identically (both truncate toward zero).
+    intercept_e9 is *defined* as the same rounding of
+    (sy·10⁹ − slope_e9·sx)/n using the already-released integer slope_e9,
+    so it too is a pure-integer expression either engine reproduces bit
+    for bit. Map-side partial aggregation makes the shuffle |groups| rows
+    of five numbers — the textbook reduction for any moment-based
+    statistic at 100 TB.
+
+    Precision ceiling (documented, not silent): the widest term is
+    num_cc·2·10⁹ with num_cc kept in DECIMAL(27,0), exact up to ~10⁸ rows
+    per group at this corpus's x/y magnitudes; past that, release at e6
+    scale (drop three digits from the fold) — the formulation is unchanged.
+    Groups with zero x-variance release NULL slope/intercept.
 
     Returns (event_type, n, slope_e9, intercept_e9) with slope/intercept
-    scaled ×1e9 and rounded to integers for engine-portable hashing.
+    scaled ×1e9, exact-integer-rounded for engine-portable hashing.
     """
-    x = (F.col("ts").cast("timestamp").cast("long") - F.lit(epoch0)).cast("decimal(38,0)")
-    y = F.col("value").cast("decimal(18,2)")
+    x = (F.col("ts").cast("timestamp").cast("long") - F.lit(epoch0)).cast("decimal(17,0)")
+    y_cc = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))")
     s = events.groupBy("event_type").agg(
-        F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).cast("decimal(38,2)").alias("sxy"),
-        F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
+        F.count("*").cast("decimal(13,0)").alias("n"),
+        F.sum(x).cast("decimal(17,0)").alias("sx"),
+        F.sum(y_cc).cast("decimal(20,0)").alias("sy_cc"),
+        F.sum(x * y_cc).cast("decimal(24,0)").alias("sxy_cc"),
+        F.sum(x * x).cast("decimal(24,0)").alias("sxx"),
     )
-    # combine in DOUBLE (decimal×decimal at p38 would trigger Spark's
-    # precision-loss rounding): each sufficient statistic is cast once —
-    # the decimal→double conversion of the same exact integer rounds
-    # identically in any IEEE engine — and the oracle mirrors this
-    # expression order operation for operation
-    nd, sxd, syd = (F.col("n").cast("double"), F.col("sx").cast("double"),
-                    F.col("sy").cast("double"))
-    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    num = nd * sxyd - sxd * syd
-    den = nd * sxxd - sxd * sxd
-    slope = num / den
-    intercept = (syd - slope * sxd) / nd
-    return s.select(
+    # every operand is cast so each product's precision is ≤38 — Spark then
+    # computes it EXACTLY (no allowPrecisionLoss rounding); the oracle
+    # mirrors the same integer expressions in HUGEINT
+    combined = s.select(
+        "event_type", "n", "sx", "sy_cc",
+        F.expr("CAST(n * sxy_cc - sx * sy_cc AS DECIMAL(27,0))").alias("num_cc"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(25,0))").alias("den"),
+    )
+    # sign() returns DOUBLE in Spark, which would demote the arithmetic to
+    # floating point — the CASE branches keep everything DECIMAL; every
+    # product below is precision-≤38 so Spark computes it exactly
+    slope_e9 = F.expr(
+        "CASE WHEN den = 0 THEN NULL ELSE "
+        "CAST((num_cc * 2000000000 + "
+        "(CASE WHEN num_cc < 0 THEN -(den * 100) ELSE den * 100 END)) "
+        "DIV (den * 200) AS BIGINT) END")
+    out = (
+        combined.withColumn("slope_e9", slope_e9)
+        .withColumn("n2", F.expr(
+            "CAST(sy_cc * 10000000 - CAST(slope_e9 AS DECIMAL(19,0)) * sx "
+            "AS DECIMAL(36,0))"))
+        .withColumn("intercept_e9", F.expr(
+            "CASE WHEN den = 0 THEN NULL ELSE "
+            "CAST((n2 * CAST(2 AS DECIMAL(1,0)) + "
+            "(CASE WHEN n2 < 0 THEN -n ELSE n END)) "
+            "DIV (n * CAST(2 AS DECIMAL(1,0))) AS BIGINT) END")))
+    return out.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(slope * 1e9).cast("long").alias("slope_e9"),
-        F.round(intercept * 1e9).cast("long").alias("intercept_e9"),
+        "slope_e9", "intercept_e9",
     )
 
 
@@ -468,7 +493,7 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
     month = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
     base = orders.select(
         "o_custkey", month.alias("m"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"))
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").alias("cents"))
     firsts = base.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
     joined = base.join(firsts, "o_custkey").select(
         "o_custkey", "cohort_m", (F.col("m") - F.col("cohort_m")).alias("offset_m"),
