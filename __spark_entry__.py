@@ -885,13 +885,16 @@ def privacy_t_closeness(spark, sf_dir):
                              sens_bucket=2000, t_e6=250000)
 
 
-def privacy_dp_counts(spark, sf_dir):
-    """Binomial-mechanism DP count release per (lang, source): noisy_n =
-    max(0, n + bit_count(md5_60bit(seed:key)) - 30). Integer coins — the
-    draw is seed-deterministic and engine-exact. One hash-agg."""
-    from ocr_redaction_engine_spark.analytics.privacy import dp_release_counts
-    return dp_release_counts(_t(spark, sf_dir, "documents"),
-                             keys=("lang", "source"), seed="dp1")
+def privacy_noisy_counts(spark, sf_dir):
+    """Deterministic synthetic-noise count release per (lang, source):
+    noisy_n = max(0, n + bit_count(md5_60bit(seed:key)) - 30). NOT DP —
+    the perturbation is a public function of (seed, key), kept
+    deterministic so the oracle gate can check it; see
+    seeded_noise_counts' docstring for the honest threat-model note.
+    One hash-agg."""
+    from ocr_redaction_engine_spark.analytics.privacy import seeded_noise_counts
+    return seeded_noise_counts(_t(spark, sf_dir, "documents"),
+                               keys=("lang", "source"), seed="dp1")
 
 
 def er_blocked_match(spark, sf_dir):
@@ -2324,7 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_pseudonymize": privacy_pseudonymize,
         "privacy_t_closeness": privacy_t_closeness,
         "er_blocked_match": er_blocked_match,
-        "privacy_dp_counts": privacy_dp_counts,
+        "privacy_noisy_counts": privacy_noisy_counts,
         "q34_skew_join": q34_skew_join,
         "embed_norms": embed_norms,
         "text_token_count": text_token_count,
@@ -3526,7 +3529,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             GROUP BY c_nationkey, c_mktsegment, group_n, m, n_total
         """,
-        "privacy_dp_counts": """
+        "privacy_noisy_counts": """
             SELECT lang, source,
                    GREATEST(0, COUNT(*)
                      + bit_count(CAST(('0x' || substr(md5('dp1:' || lang || ':' || source), 1, 15)) AS BIGINT))

@@ -109,7 +109,7 @@ HEADLINE = [
     "dedup_banding_eval", "sketch_bloom_fpr", "text_zipf_fit",
     "text_heaps_fit", "events_schema_drift", "web_trustrank",
     "ann_centroid_outliers", "embed_dim_stats", "orders_cohort_ltv",
-    "privacy_t_closeness", "privacy_dp_counts", "text_code_detection",
+    "privacy_t_closeness", "privacy_noisy_counts", "text_code_detection",
     "text_readability", "storage_partition_skew", "q36_market_share",
     "extract_table_structure", "pack_fill_stats", "web_url_params",
     "dedup_onion_funnel", "multimodal_shot_bounds", "web_redirects",

@@ -1195,8 +1195,6 @@ def onion_funnel(docs: DataFrame, jaccard_t: float = 0.8,
     template-correlated corpora — see [[doc_tokens_distinct]]; measured
     91 s → ~2 s at sf0.1 for this funnel).
     """
-    from pyspark.sql import Window
-
     fp1 = with_tokens(docs).select(
         "doc_id", F.md5(F.concat_ws(" ", "tokens")).alias("fp"))
     k1 = fp1.groupBy("fp").agg(F.min("doc_id").alias("keep"))
@@ -1210,30 +1208,32 @@ def onion_funnel(docs: DataFrame, jaccard_t: float = 0.8,
           .select("doc_id"))
     # stage-3 scans its survivor input several times (tokens, sizes, band
     # signatures, verify) — persist the doc_id+text projection so the
-    # exact+normalized layers are not recomputed per scan (callers cycling
-    # corpora: spark.catalog.clearCache(), the repo-wide persist contract)
+    # exact+normalized layers are not recomputed per scan; the cache is
+    # RELEASED before return (the per-stage counts below are collected
+    # eagerly — 3 scalars — so nothing in the returned plan still needs it)
     s2 = s1.join(r2, "doc_id", "left_anti").persist()
+    try:
+        pairs = jaccard_pairs(s2, threshold=jaccard_t, n_bands=n_bands,
+                              shingle_n=shingle_n)
+        r3 = pairs.select(F.col("b").alias("doc_id")).distinct()
 
-    pairs = jaccard_pairs(s2, threshold=jaccard_t, n_bands=n_bands,
-                          shingle_n=shingle_n)
-    r3 = pairs.select(F.col("b").alias("doc_id")).distinct()
-
-    rejected = (r1.withColumn("stage", F.lit(1))
-                .unionByName(r2.withColumn("stage", F.lit(2)))
-                .unionByName(r3.withColumn("stage", F.lit(3))))
-    per = rejected.groupBy("stage").agg(F.count("*").cast("long").alias("n"))
-    names = docs.sparkSession.createDataFrame(
-        [(1, "exact"), (2, "normalized"), (3, "near_dup")],
-        "stage int, rule string")
-    total = docs.count()
-    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        names.join(per, "stage", "left")
-        .withColumn("n_rejected", F.coalesce("n", F.lit(0)))
-        .withColumn("cum", F.sum("n_rejected").over(w))
-        .select(
-            F.col("stage").cast("long").alias("stage"), "rule", "n_rejected",
-            (F.lit(total) - F.col("cum")).alias("n_surviving"),
-            F.expr(f"CAST(n_rejected * 10000 DIV {max(total, 1)} AS BIGINT)")
-             .alias("rejected_share_bp"))
-        .orderBy("stage"))
+        rejected = (r1.withColumn("stage", F.lit(1))
+                    .unionByName(r2.withColumn("stage", F.lit(2)))
+                    .unionByName(r3.withColumn("stage", F.lit(3))))
+        counts = {r["stage"]: r["n"] for r in
+                  rejected.groupBy("stage")
+                  .agg(F.count("*").cast("long").alias("n")).collect()}
+        total = docs.count()
+    finally:
+        s2.unpersist()
+    # funnel report is 3 rows of scalars — assemble locally, no lingering
+    # lineage into the (now-unpersisted) heavy stages
+    rows, cum = [], 0
+    for stage, rule in ((1, "exact"), (2, "normalized"), (3, "near_dup")):
+        n = int(counts.get(stage, 0))
+        cum += n
+        rows.append((stage, rule, n, total - cum,
+                     n * 10000 // max(total, 1)))
+    return docs.sparkSession.createDataFrame(
+        rows, "stage long, rule string, n_rejected long, "
+              "n_surviving long, rejected_share_bp long")

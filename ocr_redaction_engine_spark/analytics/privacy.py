@@ -202,22 +202,26 @@ def t_closeness_audit(customers: DataFrame,
     )
 
 
-def dp_release_counts(docs: DataFrame,
-                      keys: tuple = ("lang", "source"),
-                      seed: str = "dp1") -> DataFrame:
-    """Differentially-private group-count release via the BINOMIAL
-    mechanism (Dwork, McSherry, Nissim, Smith 2006 §3.2): released_n =
-    max(0, true_n + (Binomial(60, ½) − 30)). The noise draw is integer
-    arithmetic end-to-end — ``bit_count`` of the 60-bit md5 of
-    (seed, group key) — so the release is reproducible under a fixed seed
-    and bit-identical in any engine (a Laplace draw would need ``ln`` and
-    make cross-engine equality float-fragile; the binomial mechanism gives
-    (ε,δ)-DP with integer coins).
+def seeded_noise_counts(docs: DataFrame,
+                        keys: tuple = ("lang", "source"),
+                        seed: str = "dp1") -> DataFrame:
+    """Deterministic SYNTHETIC-noise group-count release (binomial-shaped):
+    released_n = max(0, true_n + (bit_count(md5_60bit(seed:key)) − 30)).
 
-    NOTE the deliberate design point: seeded noise makes the mechanism
-    deterministic per (seed, key) — rerunning the SAME release never spends
-    extra privacy budget, while a new seed is a new draw. Scale shape: one
-    hash-agg; the noise column is a map-side expression over |keys| rows.
+    This is **not differential privacy** and makes no privacy claim: the
+    perturbation is a public deterministic function of (seed, group key),
+    so anyone holding the seed can recompute and subtract it, and the noise
+    is fixed per key across dataset versions (two releases on adjacent
+    datasets differ by exactly the true delta). Real DP needs secret, fresh
+    randomness per release — which is mutually exclusive with this repo's
+    oracle-checked determinism contract (every queries() entry must be
+    bit-reproducible in two engines). What this operator IS: the
+    *distributed shape* of a noisy-release pipeline (hash-agg + map-side
+    integer perturbation over |keys| rows) plus a deterministic workload
+    for testing downstream consumers' tolerance to count jitter. Swap the
+    noise column for a secret-seeded or OS-random draw outside the gate to
+    get a real mechanism with the same plan. Scale: one hash-agg; the
+    noise column is a map-side expression over |keys| rows.
     """
     key = F.concat_ws(":", F.lit(seed), *[F.col(k) for k in keys])
     noise = (F.bit_count(F.conv(F.substring(F.md5(key), 1, 15), 16, 10)

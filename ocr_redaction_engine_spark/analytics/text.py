@@ -1246,6 +1246,11 @@ def heaps_fit(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
     from pyspark.sql import Window
 
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None or hi is None:
+        # empty corpus: no points, no fit — mirror top_component's
+        # empty-input guard instead of crashing on int(None)
+        return docs.sparkSession.createDataFrame(
+            [], "n_points long, beta double, ln_k double")
     width = max(1, (int(hi) - int(lo) + 1 + n_buckets - 1) // n_buckets)
     # integer DIV (not double divide + cast): exact at any doc_id magnitude
     bucket = F.expr(f"CAST((doc_id - {int(lo)}) DIV {width} AS BIGINT)")

@@ -8,7 +8,7 @@ from __future__ import annotations
 import hashlib
 
 from ocr_redaction_engine_spark.analytics.privacy import (
-    dp_release_counts,
+    seeded_noise_counts,
     t_closeness_audit,
     k_anonymity_audit,
     pseudonymize,
@@ -127,14 +127,14 @@ def test_t_closeness_skew_flags(spark):
     assert got[1] == (9, 100000, False)
 
 
-def test_dp_release_counts_deterministic_and_clamped(spark):
+def test_seeded_noise_counts_deterministic_and_clamped(spark):
     import hashlib
     docs = spark.createDataFrame(
         [(i, "t", "en", "web", 1) for i in range(100)]
         + [(100, "t", "xx", "rare", 1)],
         "doc_id long, text string, lang string, source string, n_chars long")
     got = {(r.lang, r.source): r.noisy_n
-           for r in dp_release_counts(docs, seed="dp1").collect()}
+           for r in seeded_noise_counts(docs, seed="dp1").collect()}
 
     def noise(lang, src):
         h = hashlib.md5(f"dp1:{lang}:{src}".encode()).hexdigest()[:15]
@@ -144,14 +144,14 @@ def test_dp_release_counts_deterministic_and_clamped(spark):
     assert got[("xx", "rare")] == max(0, 1 + noise("xx", "rare"))
     # rerun with the same seed is bit-identical (no fresh budget spend)
     again = {(r.lang, r.source): r.noisy_n
-             for r in dp_release_counts(docs, seed="dp1").collect()}
+             for r in seeded_noise_counts(docs, seed="dp1").collect()}
     assert again == got
     # a different seed is its own (still deterministic) draw
     def noise2(lang, src):
         h = hashlib.md5(f"dp2:{lang}:{src}".encode()).hexdigest()[:15]
         return bin(int(h, 16)).count("1") - 30
     other = {(r.lang, r.source): r.noisy_n
-             for r in dp_release_counts(docs, seed="dp2").collect()}
+             for r in seeded_noise_counts(docs, seed="dp2").collect()}
     assert other == {(l, s): max(0, (100 if l == "en" else 1) + noise2(l, s))
                      for (l, s) in got}
 

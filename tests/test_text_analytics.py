@@ -660,3 +660,14 @@ def test_vocab_coverage_curve(spark):
     assert got[2] == (6, 8, 7500)
     # k beyond the vocab clamps to all 4 types -> full mass
     assert got[100] == (8, 8, 10000)
+
+
+def test_heaps_fit_empty_corpus_returns_empty(spark):
+    """Empty input yields an empty (n_points, beta, ln_k) frame instead of
+    crashing on int(None) from the null min/max (ADVICE r3)."""
+    from ocr_redaction_engine_spark.analytics.text import heaps_fit
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long")
+    out = heaps_fit(docs, n_buckets=8)
+    assert out.columns == ["n_points", "beta", "ln_k"]
+    assert out.count() == 0
