@@ -1363,6 +1363,30 @@ def pipeline_redactions(spark, sf_dir):
     return run_pipeline(docs_df, pages_df)["redactions"]
 
 
+def pipeline_invalid_route(spark, sf_dir):
+    """P1 third terminal status: the seed-42 corpus with deterministically
+    planted invalid documents (bad extension / dangling media_ref) routed
+    through the slim validity probe — (doc_id, INVALID_DOCUMENT,
+    'Invalid Document', reason) rows, doc-level, before any processing.
+    Golden = the independent pure-Python oracle
+    (oracle.expected_invalid_docs). Reference:
+    in_progress/process_in_progress_status.py:62-84,123-131."""
+    from ocr_redaction_engine_spark import corpus
+    from ocr_redaction_engine_spark.operators.validate import invalid_documents
+    docs, pages = corpus.build_corpus_local(42, 150)
+    docs, pages, _ = corpus.corrupt_corpus_local(docs, pages, every=13)
+    docs_df = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+         for d in docs], schema=corpus.DOCUMENTS_DDL)
+    pages_df = spark.createDataFrame(
+        [(p["media_ref"], p["document_name"], p["width"], p["height"], p["doc_type"],
+          [(w["x1"], w["y1"], w["x2"], w["y2"], w["text"]) for w in p["words"]],
+          p["lines"],
+          [(q["x1"], q["y1"], q["x2"], q["y2"]) for q in p["qr_boxes"]])
+         for p in pages], schema=corpus.MEDIA_PAGES_DDL)
+    return invalid_documents(docs_df, pages_df)
+
+
 def extract_pipeline_spans(spark, sf_dir):
     """Main-content extraction pipeline end-to-end (north rule): html spans →
     DOM-block boilerplate strip, pdf spans → two-column reading-order
@@ -2388,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
         "pipeline_spans": pipeline_spans,
         "pipeline_redactions": pipeline_redactions,
+        "pipeline_invalid_route": pipeline_invalid_route,
         "dedup_simhash_cands": dedup_simhash_cands,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "ann_lsh_topk": ann_lsh_topk,
@@ -5495,6 +5520,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, media_ref, status, field, seq, x1, y1, x2, y2,
                    frame_id, document_id
             FROM read_parquet('/root/repo/tests/golden/pipeline_redactions.parquet/*.parquet')
+        """,
+        "pipeline_invalid_route": """
+            SELECT doc_id, status, task_result, reason
+            FROM read_parquet('/root/repo/tests/golden/pipeline_invalid.parquet/*.parquet')
         """,
         "extract_pipeline_spans": """
             SELECT doc_id, "order", kind, text, media_ref

@@ -372,6 +372,54 @@ def build_web_corpus_local(seed: int, n_docs: int):
 
 
 # ---------------------------------------------------------------------------
+# Invalid-document planting (P1 validity route). Default-off so the seed-42
+# golden corpora are byte-identical to every prior round; when enabled, a
+# deterministic rule (pure function of the doc index) marks documents
+# invalid the two ways the reference can reject them
+# (in_progress/process_in_progress_status.py:62-84): a non-whitelisted
+# file extension, or a file that does not exist (here: a media_ref with no
+# backing media_pages row).
+# ---------------------------------------------------------------------------
+
+def invalid_plan(i: int, every: int) -> str | None:
+    """Deterministic planting rule: doc index i is invalid iff
+    ``every > 0 and i % every == 3``; alternates between the two failure
+    modes so both routes stay exercised at any corpus size."""
+    if every <= 0 or i % every != 3:
+        return None
+    return "bad_extension" if (i // every) % 2 == 0 else "missing_media"
+
+
+def corrupt_corpus_local(docs: list, pages: list, every: int = 13):
+    """Apply ``invalid_plan`` to a locally-built corpus. Mutates copies:
+    bad_extension rewrites the FIRST media page's document_name suffix to
+    '.pdf'; missing_media drops that page row (dangling media_ref). Docs
+    without media spans are skipped (nothing to invalidate — the validity
+    check is about the media file). Returns (docs, pages, expected) where
+    expected maps doc_id -> reason for docs actually corrupted."""
+    by_ref = {p["media_ref"]: p for p in pages}
+    expected, drop_refs = {}, set()
+    for i, d in enumerate(docs):
+        mode = invalid_plan(i, every)
+        if mode is None:
+            continue
+        media_refs = [s["media_ref"] for s in d["spans"] if s["kind"] == "media"]
+        if not media_refs:
+            continue
+        ref = media_refs[0]
+        if mode == "bad_extension":
+            page = by_ref[ref]
+            stem = page["document_name"].rsplit(".", 1)[0]
+            page["document_name"] = f"{stem}.pdf"
+        else:
+            drop_refs.add(ref)
+        expected[d["doc_id"]] = mode
+    if drop_refs:
+        pages = [p for p in pages if p["media_ref"] not in drop_refs]
+    return docs, pages, expected
+
+
+# ---------------------------------------------------------------------------
 # Distributed materialization
 # ---------------------------------------------------------------------------
 
@@ -387,11 +435,24 @@ MEDIA_PAGES_DDL = (
 
 
 def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: int = 32,
-                 gen=gen_document):
+                 gen=gen_document, invalid_every: int = 0):
     """Distributed, deterministic corpus materialization: documents +
     media_pages parquet under ``out_dir``. Pure function of (seed, id) per
-    row, so any partitioning/retry yields identical data."""
+    row, so any partitioning/retry yields identical data.
+    ``invalid_every`` > 0 plants INVALID documents by the same
+    ``invalid_plan`` rule as ``corrupt_corpus_local`` (default off — the
+    golden corpora stay byte-identical)."""
     import pandas as pd
+
+    def _corrupt_pages(i, pages_i):
+        mode = invalid_plan(int(i), invalid_every)
+        if mode is None or not pages_i:
+            return pages_i
+        if mode == "bad_extension":
+            p0 = dict(pages_i[0])
+            p0["document_name"] = p0["document_name"].rsplit(".", 1)[0] + ".pdf"
+            return [p0] + pages_i[1:]
+        return pages_i[1:]   # missing_media: drop the first page row
 
     def gen_docs(iterator):
         for pdf in iterator:
@@ -405,7 +466,7 @@ def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42, partitions: i
         for pdf in iterator:
             out = []
             for i in pdf["id"]:
-                for p in gen(seed, int(i))[1]:
+                for p in _corrupt_pages(i, gen(seed, int(i))[1]):
                     out.append((
                         p["media_ref"], p["document_name"], p["width"], p["height"], p["doc_type"],
                         [(w["x1"], w["y1"], w["x2"], w["y2"], w["text"]) for w in p["words"]],

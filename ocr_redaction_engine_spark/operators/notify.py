@@ -1,12 +1,18 @@
 """Completion notifier (SURVEY.md §2.1 S10) — the webhook sink.
 
 The reference POSTs per-document JSON to ``{url}/CVCore/processstatus``
-(webhook/post_trigger.py:22-35); every call site is commented out
-(ocrr_document/process_ocrr.py:252-254), so this is deliberately a thin,
-optional edge adapter: ``foreachPartition`` with one connection per
-partition and per-document payloads — the standard Spark side-effect sink
-shape. The HTTP transport is injected (the sandbox has no network); any
-callable ``sender(payloads: list[dict]) -> None`` works.
+(webhook/post_trigger.py:22-35); every completion call site is commented
+out (ocrr_document/process_ocrr.py:252-254), and the one LIVE call is the
+INVALID_DOCUMENT route (in_progress/process_in_progress_status.py:67 —
+which then crashes on the ``document['taskid']`` key typo; we keep the
+notification, not the crash). So this is a thin, optional edge adapter:
+``foreachPartition`` with one connection per partition and per-document
+payloads — the standard Spark side-effect sink shape. It serves both the
+completion sink (S10) and the invalid-document variant (P1): pass
+``run_pipeline(...)["invalid"]`` and the payloads carry
+(doc_id, status, task_result, reason). The HTTP transport is injected
+(the sandbox has no network); any callable
+``sender(payloads: list[dict]) -> None`` works.
 """
 
 from __future__ import annotations
@@ -26,7 +32,8 @@ def notify_results(results: DataFrame,
     dicts — mirroring post_trigger.py's
     ``{"taskId": ..., "status": ...}`` body shape.
     """
-    cols = [c for c in ("doc_id", "media_ref", "status") if c in results.columns]
+    cols = [c for c in ("doc_id", "media_ref", "status", "task_result", "reason")
+            if c in results.columns]
     slim = results.select(*cols)
 
     def run(partition):

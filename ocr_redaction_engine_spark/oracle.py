@@ -120,3 +120,28 @@ def expected_page_outputs(docs, pages, level: int = 1, places=None):
                 seq += 1
                 redactions.append((d["doc_id"], page["media_ref"], "REDACTED", field, seq, x1, y1, x2, y2))
     return redactions, values
+
+
+def expected_invalid_docs(docs, pages,
+                          whitelist=("jpg", "jpeg", "tiff")) -> list[tuple]:
+    """P1 validity oracle: (doc_id, status, task_result, reason) rows for
+    documents whose media fails the reference's promotion check — media_ref
+    unresolvable (missing_media ≅ os.path.exists False) or resolved
+    document_name extension outside the whitelist (bad_extension), doc-level
+    reason = min(reasons) mirroring operators/validate.py."""
+    by_ref = {p["media_ref"]: p for p in pages}
+    out = []
+    for d in docs:
+        reasons = []
+        for s in d["spans"]:
+            if s["kind"] != "media":
+                continue
+            p = by_ref.get(s["media_ref"])
+            if p is None:
+                reasons.append("missing_media")
+            elif p["document_name"].rsplit(".", 1)[-1].lower() not in whitelist:
+                reasons.append("bad_extension")
+        if reasons:
+            out.append((d["doc_id"], "INVALID_DOCUMENT", "Invalid Document",
+                        min(reasons)))
+    return out

@@ -29,6 +29,7 @@ from .operators.extract import extract_page_rows
 from .operators.redactions import build_redactions, build_values
 from .operators.reassemble import assemble_documents, reassemble_flat
 from .operators.tokenize import tokenize_fixture
+from .operators.validate import VALID_EXTENSIONS, validity_route
 
 
 @dataclass
@@ -40,6 +41,8 @@ class PipelineConfig:
     places: list[str] | None = None  # address dictionary override (default:
     # places.PLACES_LIST; load the reference's full 1,391-entry list here in
     # production — it ships to executors inside the Arrow UDF closure)
+    validate: bool = True          # P1 validity route (INVALID_DOCUMENT)
+    ext_whitelist: tuple = VALID_EXTENSIONS
 
 
 def run_pipeline(documents: DataFrame, media_pages: DataFrame,
@@ -48,6 +51,15 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
     """Lazy plan builder: returns the output DataFrames. ``counters`` =
     optional accumulator dict for live progress metrics (A8)."""
     cfg = config or PipelineConfig()
+    if cfg.validate:
+        # P1: INVALID_DOCUMENT is terminal BEFORE any processing — one slim
+        # (doc_id, media_ref)⋈(media_ref, ext) probe, then a broadcast
+        # anti-join gates the whole document out of every sink
+        documents, invalid = validity_route(documents, media_pages,
+                                            cfg.ext_whitelist)
+    else:
+        invalid = documents.sparkSession.createDataFrame(
+            [], "doc_id string, status string, task_result string, reason string")
     spans = explode_spans(documents)
     text_spans, media_spans = route_spans(spans)
 
@@ -74,6 +86,8 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
         # byte-identical reference XML documents (lazy; computed only if forced)
         "redactions_xml": render_redactions_xml(extracted),
         "values_xml": render_values_xml(extracted),
+        # P1 third terminal status (empty frame when cfg.validate=False)
+        "invalid": invalid,
     }
 
 
@@ -111,6 +125,8 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
 
         spans = ckpt.with_bucket(outs["spans"], cfg.n_buckets)
         spans.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/spans")
+        inv = ckpt.with_bucket(outs["invalid"], cfg.n_buckets)
+        inv.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/invalid")
         red = ckpt.with_bucket(outs["redactions"], cfg.n_buckets)
         red.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/redactions")
         vals = ckpt.with_bucket(outs["values"], cfg.n_buckets)
@@ -142,4 +158,10 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
     stats["buckets_total"] = cfg.n_buckets
     stats["acc_pages"] = counters["pages"].value
     stats["acc_rejected"] = counters["rejected"].value
+    # explicit schema: a zero-invalid run leaves the partitioned dir empty,
+    # which schema inference cannot read (and downstream readers should use
+    # the same pattern)
+    stats["n_invalid"] = spark.read.schema(
+        "doc_id string, status string, task_result string, reason string, "
+        "bucket int").parquet(f"{out_dir}/invalid").count()
     return stats

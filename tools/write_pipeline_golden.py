@@ -20,6 +20,7 @@ SEED, N_DOCS = 42, 150
 OUT = "/root/repo/tests/golden"
 
 SPANS_DDL = "doc_id string, order int, kind string, text string, media_ref string"
+INVALID_DDL = "doc_id string, status string, task_result string, reason string"
 RED_DDL = ("doc_id string, media_ref string, status string, field string, seq int, "
            "x1 int, y1 int, x2 int, y2 int, frame_id int, document_id string")
 
@@ -44,8 +45,16 @@ def main():
         .write.mode("overwrite").parquet(f"{OUT}/pipeline_redactions.parquet")
     spark.createDataFrame(xspans, SPANS_DDL).coalesce(1) \
         .write.mode("overwrite").parquet(f"{OUT}/extract_spans.parquet")
+
+    # P1 validity-route golden: corrupted seed-42 corpus (every=13), the
+    # exact input __spark_entry__.pipeline_invalid_route builds
+    cdocs, cpages = corpus.build_corpus_local(SEED, N_DOCS)
+    cdocs, cpages, _ = corpus.corrupt_corpus_local(cdocs, cpages, every=13)
+    inv = oracle.expected_invalid_docs(cdocs, cpages)
+    spark.createDataFrame(inv, INVALID_DDL).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{OUT}/pipeline_invalid.parquet")
     print(f"wrote {len(spans)} span rows, {len(red_full)} redaction rows, "
-          f"{len(xspans)} extracted span rows to {OUT}")
+          f"{len(xspans)} extracted span rows, {len(inv)} invalid rows to {OUT}")
 
 
 if __name__ == "__main__":
