@@ -237,8 +237,11 @@ def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
     documents = spark.read.parquet(docs_path)
     media_pages = spark.read.parquet(pages_path)
 
-    cfg = PipelineConfig()  # no explicit repartition: the tokenize join's
-    # hash partitioning on media_ref already feeds the Arrow stage evenly
+    cfg = PipelineConfig(probe_documents=spark.read.schema(
+        "doc_id string, spans array<struct<kind:string,media_ref:string>>"
+    ).parquet(docs_path))  # validity probe reads the pruned view; no explicit
+    # repartition: the tokenize join's hash partitioning on media_ref already
+    # feeds the Arrow stage evenly
 
     def one_pass():
         t0 = time.time()

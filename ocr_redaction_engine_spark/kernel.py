@@ -25,6 +25,7 @@ SURVEY.md §7.0). Each is cited inline.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from functools import lru_cache
 
 from . import banks
@@ -32,6 +33,8 @@ from .places import PLACES_LIST
 
 REDACTED = "REDACTED"
 REJECTED = "REJECTED"
+
+_DIGIT_RE = re.compile(r"[0-9]")
 
 
 @lru_cache(maxsize=4096)
@@ -44,8 +47,16 @@ def _cs(pattern: str) -> re.Pattern:
     return re.compile(pattern)
 
 
+@lru_cache(maxsize=4096)
+def _ci_union(patterns: tuple) -> re.Pattern:
+    """One compiled alternation per pattern tuple: ``union.search(t)`` hits
+    iff any individual pattern hits (pure ∃-semantics — every call site asks
+    a boolean, never which pattern), so k regex calls collapse to one."""
+    return re.compile("|".join(f"(?:{p})" for p in patterns), re.IGNORECASE)
+
+
 def _search_any(patterns, text: str) -> bool:
-    return any(_ci(p).search(text) for p in patterns)
+    return _ci_union(tuple(patterns)).search(text) is not None
 
 
 def _has_digit_and_alpha(t: str) -> bool:
@@ -108,21 +119,78 @@ def _qr_field(key: str, qr_boxes):
 # ocrr_document/process_ocrr.py:63-72 + identify_* matchers.
 # ---------------------------------------------------------------------------
 
+_META = set(r".^$*+?{}[]()|\\" + "\\")
+
+
+def _literal_needles(pattern: str) -> list[str]:
+    """One lowercase literal needle per top-level alternate of a
+    ``\\b\\w*(a|b|c)\\b``-shaped bank pattern: the alternate's LONGEST
+    metachar-free run. A regex alternate can only match where every one of
+    its literal runs appears, so 'needle not in text.lower()' is a sound
+    rejection (necessary condition); alternates whose longest run is <3
+    chars yield no needle and mark the bank unprefilterable."""
+    inner = pattern
+    for pre in (r"\b\w*(", r"\b("):
+        if inner.startswith(pre) and inner.endswith(r")\b"):
+            inner = inner[len(pre):-3]
+            break
+    else:
+        return []
+    needles = []
+    for alt in inner.split("|"):
+        runs, cur = [], []
+        for ch in alt:
+            if ch in _META:
+                if cur:
+                    runs.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            runs.append("".join(cur))
+        best = max(runs, key=len, default="")
+        if len(best) < 3:
+            return []        # bank must always run its regex
+        needles.append(best.lower())
+    return needles
+
+
 @lru_cache(maxsize=8)
 def _identify_unions():
-    """One compiled union regex per bank: ``union.search(t)`` hits iff any
-    bank pattern hits, so bank-level first-match priority is preserved while
-    the per-token cost drops from |bank| regex calls to one."""
-    return [
-        (dt, re.compile("|".join(f"(?:{p})" for p in banks.IDENTIFY_BANK[dt]),
-                        re.IGNORECASE))
-        for dt in banks.DOC_TYPES
-    ]
+    """Per bank: (doc_type, union regex, prefilter needles). The union
+    search hits iff any bank pattern hits, preserving bank-level first-match
+    priority; the needle list (empty = unprefilterable) lets a page skip the
+    backtracking alternation entirely when no alternate's literal core is
+    present — C-speed str.find instead of |alternates| regex branches."""
+    out = []
+    for dt in banks.DOC_TYPES:
+        pats = banks.IDENTIFY_BANK[dt]
+        union = re.compile("|".join(f"(?:{p})" for p in pats), re.IGNORECASE)
+        needles = []
+        for p in pats:
+            ns = _literal_needles(p)
+            if not ns:
+                needles = []
+                break
+            needles.extend(ns)
+        out.append((dt, union, tuple(needles)))
+    return out
 
 
 def identify_page(tokens) -> str:
-    for doc_type, union in _identify_unions():
-        if any(union.search(t) for t in tokens):
+    """Ordered first-match over the page's token stream. The per-token
+    ∃-scan is evaluated as ONE search over the '\\n'-joined page text:
+    every bank pattern is \\b-delimited and neither \\w nor the default
+    ``.`` crosses a newline, and the multi-word phrase alternates (which a
+    single OCR token can never contain — spaces) still cannot match across
+    the separator, so the page-level search hits iff some token hits.
+    7 searches/page instead of |banks|x|tokens|."""
+    page_text = "\n".join(tokens)
+    lowered = page_text.lower()
+    for doc_type, union, needles in _identify_unions():
+        if needles and not any(n in lowered for n in needles):
+            continue
+        if union.search(page_text):
             return doc_type
     return banks.UNKNOWN_TYPE
 
@@ -324,16 +392,41 @@ def _places_union(places=None) -> re.Pattern:
     return _compile_places_union(tuple(places if places is not None else PLACES_LIST))
 
 
+@lru_cache(maxsize=64)
+def _lower_places(places_t: tuple) -> tuple:
+    return tuple(p.lower() for p in places_t)
+
+
+def _place_candidates(words, place_list):
+    """Indices of tokens some place hits, via C-speed ``str.find`` of each
+    lowercase place literal over the lowercased '\\n'-joined page text —
+    the multi-literal scan the backtracking regex union can't do cheaply.
+    Sound because the reference's test is IGNORECASE literal containment
+    (ASCII places, so lower/lower ≡ IGNORECASE) and a literal cannot match
+    across the separator. Candidates then pay the reference's per-place
+    loop; token order is preserved."""
+    lowered = "\n".join(w[4] for w in words).lower()
+    starts, pos = [], 0
+    for w in words:
+        starts.append(pos)
+        pos += len(w[4]) + 1
+    cand = set()
+    for pl in _lower_places(tuple(place_list)):
+        start = lowered.find(pl)
+        while start != -1:
+            cand.add(bisect_right(starts, start) - 1)
+            start = lowered.find(pl, start + 1)
+    return sorted(cand)
+
+
 def _places_address(words, key, ignore_pattern=None, places=None):
     """Token × places containment loop (aadhaar:274-280; e_aadhaar adds an
     ignore regex, :316-327). No inner break: a token matching several places
     is appended several times."""
     addr, coords = "", []
     place_list = places if places is not None else PLACES_LIST
-    union = _places_union(place_list)
-    for x1, y1, x2, y2, t in words:
-        if not union.search(t):
-            continue
+    for idx in _place_candidates(words, place_list):
+        x1, y1, x2, y2, t = words[idx]
         for place in place_list:
             if _ci(place).search(t):
                 if ignore_pattern is not None and _ci(ignore_pattern).search(t):
@@ -628,7 +721,7 @@ def _passport_number(words):
     deduped inline; value accumulates; NO width trim."""
     value, coords = "", []
     for x1, y1, x2, y2, t in words:
-        digits_after = any(c in _DIGITS for c in t[1:])
+        digits_after = _DIGIT_RE.search(t, 1) is not None
         hit = False
         if _cs(banks.PASSPORT_NUM_EXACT).match(t):
             hit = True
@@ -694,10 +787,8 @@ def _passport_address(words, places=None):
     (deduped against the places boxes)."""
     addr, coords = "", []
     place_list = places if places is not None else PLACES_LIST
-    union = _places_union(place_list)
-    for x1, y1, x2, y2, t in words:
-        if not union.search(t):
-            continue
+    for idx in _place_candidates(words, place_list):
+        x1, y1, x2, y2, t = words[idx]
         for place in place_list:
             if _ci(place).search(t):
                 addr += " " + t
@@ -914,6 +1005,12 @@ def mode_view(words, lines, mode: str = "eng"):
     drop_isolated = mode == "default"
     if keep_non_ascii and not drop_isolated:
         return list(words), list(lines)
+    if not drop_isolated:
+        # eng fast path: a fully-ASCII page (the overwhelming majority) is
+        # returned as-is — one C-speed isascii over the joined token/line
+        # stream instead of per-token Python filtering
+        if "".join(lines).isascii() and "".join([w[4] for w in words]).isascii():
+            return list(words), list(lines)
     counts: dict = {}
     if drop_isolated:
         for w in words:

@@ -43,16 +43,23 @@ _COLS = ["doc_id", "offset", "media_ref", "document_name", "status", "row_kind",
          "boxes_failed"]
 
 
+def _as_list(v):
+    """numpy array cell → Python list via C-speed ``tolist()`` (which also
+    converts numpy ints to plain ints, so no numpy leaks into output
+    boxes); already-list cells pass through."""
+    return v.tolist() if hasattr(v, "tolist") else list(v)
+
+
 def _word_tuples(row):
     """Struct-of-arrays page columns → [(x1, y1, x2, y2, text)] with plain
-    Python ints (numpy ints would leak into output boxes otherwise)."""
-    return [(int(a), int(b), int(c), int(d), t)
-            for a, b, c, d, t in zip(row.wx1, row.wy1, row.wx2, row.wy2, row.wtext)]
+    Python ints — one zip over tolist()ed columns, no per-element casts."""
+    return list(zip(_as_list(row.wx1), _as_list(row.wy1),
+                    _as_list(row.wx2), _as_list(row.wy2), _as_list(row.wtext)))
 
 
 def _qr_tuples(row):
-    return [(int(a), int(b), int(c), int(d))
-            for a, b, c, d in zip(row.qx1, row.qy1, row.qx2, row.qy2)]
+    return list(zip(_as_list(row.qx1), _as_list(row.qy1),
+                    _as_list(row.qx2), _as_list(row.qy2)))
 
 
 def extract_page_rows(pages: DataFrame, level: int = 1,
@@ -83,7 +90,7 @@ def extract_page_rows(pages: DataFrame, level: int = 1,
                 c_pages.add(len(pdf))
             for row in pdf.itertuples(index=False):
                 words = _word_tuples(row)
-                lines = list(row.lines)
+                lines = _as_list(row.lines)
                 # identification sees the sparse "eng" stream (the reference
                 # identifies from the lang=None psm-11 pass); extract_page
                 # re-views per doc type (CDSL → "default", F34)
@@ -109,7 +116,12 @@ def extract_page_rows(pages: DataFrame, level: int = 1,
                 for seq, (fi, field, x1, y1, x2, y2) in enumerate(
                         kernel.flatten_boxes(res["fields"]), start=1):
                     out.append(base + ("box", fi, field, "", seq, x1, y1, x2, y2, False))
-            yield pd.DataFrame(out, columns=_COLS) if out else pd.DataFrame({c: [] for c in _COLS})
+            if out:
+                # columnar construction: one C-speed transpose instead of
+                # pandas row-tuple inference
+                yield pd.DataFrame(dict(zip(_COLS, zip(*out))))
+            else:
+                yield pd.DataFrame({c: [] for c in _COLS})
 
     return pages.mapInPandas(run, schema=PAGE_ROWS_SCHEMA_DDL)
 

@@ -46,9 +46,14 @@ def invalid_documents(documents: DataFrame, media_pages: DataFrame,
     winning when a document has both (matches the reference's check order:
     path first, extension second).
     """
-    refs = (documents.select("doc_id", F.explode("spans").alias("s"))
-            .where(F.col("s.kind") == "media")
-            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+    # HOF projection BEFORE the explode so Parquet nested-schema pruning
+    # drops spans.text (the bulk of the table) from the scan — explode-then-
+    # filter defeats the pruner and reads the whole struct
+    refs = documents.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(filter(spans, s -> s.kind = 'media'), s -> s.media_ref)"
+        )).alias("media_ref"))
     pages = media_pages.select(
         "media_ref",
         F.lower(F.substring_index("document_name", ".", -1)).alias("ext"))
@@ -72,13 +77,56 @@ def invalid_documents(documents: DataFrame, media_pages: DataFrame,
 def validity_route(documents: DataFrame, media_pages: DataFrame,
                    whitelist: tuple = VALID_EXTENSIONS
                    ) -> tuple[DataFrame, DataFrame]:
-    """(valid_documents, invalid_status) split.
+    """(valid_documents, invalid_status) split — fully lazy variant.
 
     The invalid side is a vanishing fraction of any real corpus, so it
     rides a broadcast anti-join — map-side, no extra shuffle on the
-    document table.
+    document table. Note every consumer of BOTH outputs re-evaluates the
+    probe; batch callers should prefer :func:`collect_invalid` +
+    :func:`route_with_collected` (one probe job total — the reference
+    also validates exactly once, at promotion time).
     """
     invalid = invalid_documents(documents, media_pages, whitelist)
     valid = documents.join(
         F.broadcast(invalid.select("doc_id")), "doc_id", "left_anti")
+    return valid, invalid
+
+
+INVALID_DDL = "doc_id string, status string, task_result string, reason string"
+
+#: Above this many invalid documents the collected route refuses (driver
+#: memory guard) and callers fall back to the lazy anti-join plan.
+COLLECT_CAP = 100_000
+
+
+def collect_invalid(documents: DataFrame, media_pages: DataFrame,
+                    whitelist: tuple = VALID_EXTENSIONS,
+                    cap: int = COLLECT_CAP):
+    """Run the probe ONCE and return its rows as a list (None if the
+    invalid set exceeds ``cap`` — pathological corpus, use the lazy route).
+    The list is what run_pipeline threads into every sink plan as a
+    map-side filter, so forcing N sinks costs one probe job, not N."""
+    rows = (invalid_documents(documents, media_pages, whitelist)
+            .limit(cap + 1).collect())
+    if len(rows) > cap:
+        return None
+    return rows
+
+
+def route_with_collected(documents: DataFrame, invalid_rows) -> tuple:
+    """(valid_documents, invalid_status) from a pre-collected invalid set:
+    zero added plan cost when the set is empty (the common case), a literal
+    isin filter for small sets, a broadcast anti-join against a local frame
+    past 1000 ids."""
+    spark = documents.sparkSession
+    invalid = spark.createDataFrame(
+        [tuple(r) for r in invalid_rows], INVALID_DDL)
+    if not invalid_rows:
+        return documents, invalid
+    ids = [r[0] for r in invalid_rows]
+    if len(ids) <= 1000:
+        valid = documents.where(~F.col("doc_id").isin(ids))
+    else:
+        valid = documents.join(F.broadcast(invalid.select("doc_id")),
+                               "doc_id", "left_anti")
     return valid, invalid

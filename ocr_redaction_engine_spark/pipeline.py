@@ -29,7 +29,8 @@ from .operators.extract import extract_page_rows
 from .operators.redactions import build_redactions, build_values
 from .operators.reassemble import assemble_documents, reassemble_flat
 from .operators.tokenize import tokenize_fixture
-from .operators.validate import VALID_EXTENSIONS, validity_route
+from .operators.validate import (VALID_EXTENSIONS, collect_invalid,
+                                 route_with_collected, validity_route)
 
 
 @dataclass
@@ -43,6 +44,14 @@ class PipelineConfig:
     # production — it ships to executors inside the Arrow UDF closure)
     validate: bool = True          # P1 validity route (INVALID_DOCUMENT)
     ext_whitelist: tuple = VALID_EXTENSIONS
+    invalid_rows: list | None = None  # pre-collected probe result (run_job
+    # probes the whole corpus once and threads the rows into every wave)
+    probe_documents: DataFrame | None = None  # slimmer view of the SAME
+    # documents used only by the validity probe — e.g. a schema-pruned
+    # parquet re-read ("doc_id string, spans array<struct<kind:string,
+    # media_ref:string>>"): Spark's generator nested-column aliasing cannot
+    # prune multi-field struct access through an explode, so an explicit
+    # pruned scan is how the probe avoids reading spans.text
 
 
 def run_pipeline(documents: DataFrame, media_pages: DataFrame,
@@ -53,10 +62,22 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
     cfg = config or PipelineConfig()
     if cfg.validate:
         # P1: INVALID_DOCUMENT is terminal BEFORE any processing — one slim
-        # (doc_id, media_ref)⋈(media_ref, ext) probe, then a broadcast
-        # anti-join gates the whole document out of every sink
-        documents, invalid = validity_route(documents, media_pages,
-                                            cfg.ext_whitelist)
+        # (doc_id, media_ref)⋈(media_ref, ext) probe evaluated EAGERLY here
+        # (exactly once, like the reference's promotion-time check), so the
+        # sink plans carry only a map-side filter — zero added cost when the
+        # corpus is clean instead of a probe re-run per forced sink
+        inv_rows = cfg.invalid_rows
+        if inv_rows is None:
+            inv_rows = collect_invalid(
+                cfg.probe_documents if cfg.probe_documents is not None
+                else documents,
+                media_pages, cfg.ext_whitelist)
+        if inv_rows is None:
+            # pathological corpus (> COLLECT_CAP invalid docs): lazy route
+            documents, invalid = validity_route(documents, media_pages,
+                                                cfg.ext_whitelist)
+        else:
+            documents, invalid = route_with_collected(documents, inv_rows)
     else:
         invalid = documents.sparkSession.createDataFrame(
             [], "doc_id string, status string, task_result string, reason string")
@@ -113,20 +134,43 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
     counters = {"pages": spark.sparkContext.accumulator(0),
                 "rejected": spark.sparkContext.accumulator(0)}
 
+    # P1 validity: probe the WHOLE corpus once (the reference validates once,
+    # at promotion), write the status sink, and thread the collected rows
+    # into every wave so no wave re-runs the probe join
+    from dataclasses import replace as _replace
+    from .operators.validate import INVALID_DDL
+    if cfg.validate:
+        slim_docs = spark.read.schema(
+            "doc_id string, spans array<struct<kind:string,media_ref:string>>"
+        ).parquet(documents_path)
+        inv_rows = collect_invalid(slim_docs, media_pages, cfg.ext_whitelist)
+        if inv_rows is None:   # > COLLECT_CAP invalid docs — let waves route lazily
+            inv_rows_cfg = None
+            inv_df = validity_route(docs.drop("bucket"), media_pages,
+                                    cfg.ext_whitelist)[1]
+        else:
+            inv_rows_cfg = inv_rows
+            inv_df = spark.createDataFrame(
+                [tuple(r) for r in inv_rows], INVALID_DDL)
+    else:
+        inv_rows_cfg = []
+        inv_df = spark.createDataFrame([], INVALID_DDL)
+    ckpt.with_bucket(inv_df, cfg.n_buckets).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(f"{out_dir}/invalid")
+    wave_cfg = _replace(cfg, invalid_rows=inv_rows_cfg)
+
     stats = {"buckets_done_before": len(done), "waves": 0}
     for g in range(0, len(remaining), cfg.bucket_group):
         group = remaining[g: g + cfg.bucket_group]
         timer = ckpt.StageTimer()
         wave_docs = docs.filter(F.col("bucket").isin(group))
-        outs = run_pipeline(wave_docs.drop("bucket"), media_pages, cfg, counters)
+        outs = run_pipeline(wave_docs.drop("bucket"), media_pages, wave_cfg, counters)
         # redactions + values both derive from the flat extract output;
         # persist it so the Arrow stage runs once per wave, not per sink
         page_rows = outs["page_rows"].persist()
 
         spans = ckpt.with_bucket(outs["spans"], cfg.n_buckets)
         spans.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/spans")
-        inv = ckpt.with_bucket(outs["invalid"], cfg.n_buckets)
-        inv.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/invalid")
         red = ckpt.with_bucket(outs["redactions"], cfg.n_buckets)
         red.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/redactions")
         vals = ckpt.with_bucket(outs["values"], cfg.n_buckets)
