@@ -53,8 +53,11 @@ def completed_buckets(spark: SparkSession, ckpt_dir: str) -> set[int]:
     from pyspark.errors import AnalysisException
 
     try:
+        # explicit schema: a ckpt dir holding only hidden _claims files has
+        # no visible parquet to infer from but is a legitimate fresh run;
+        # corrupt data files still fail at scan time, not silently
         rows = (
-            spark.read.parquet(ckpt_dir)
+            spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt_dir)
             .filter(F.col("status") == "done")
             .select("bucket").distinct().collect()
         )
@@ -92,3 +95,52 @@ class StageTimer:
 
     def elapsed(self) -> float:
         return time.time() - self.t0
+
+
+# ---------------------------------------------------------------------------
+# Multi-writer claims (S2) — the reference's atomic IN_QUEUE → IN_PROGRESS
+# update_many (ocrr_engine.py:54) is a multi-consumer claim; two concurrent
+# drivers must not double-process a bucket.
+# ---------------------------------------------------------------------------
+
+CLAIMS_SCHEMA = "bucket int, claimant string, ts double"
+
+
+def _claims_dir(ckpt_dir: str) -> str:
+    # underscore prefix: parquet readers treat _-prefixed paths as hidden,
+    # so the lineage reader at ckpt_dir never sees claim files
+    return f"{ckpt_dir}/_claims"
+
+
+def claim_buckets(spark: SparkSession, ckpt_dir: str, buckets: list[int],
+                  claimant: str) -> set[int]:
+    """Write-intent claim with a deterministic single-winner rule.
+
+    Protocol: append (bucket, claimant, ts) rows, then read back EVERY claim
+    and keep only buckets whose winner — min row by (ts, claimant), a total
+    order — is this claimant. Any driver that reads after both writes land
+    computes the same winner, so the claim set is consistent.
+
+    Guarantee by backend: on an ACID table format the append is a
+    serialized commit and the rule is airtight; on raw parquet the
+    append-visibility window means two drivers claiming the SAME bucket at
+    the same instant can briefly both believe they won — the outputs stay
+    correct because every sink is bucket-partitioned dynamic-overwrite
+    (identical, idempotent data), so the race costs duplicate work, never
+    duplicate rows. This is the documented parquet trade; production
+    deployments point ckpt_dir at Iceberg/Delta
+    (lakehouse.append_checkpoint_table) for exact single-processing.
+    """
+    if not buckets:
+        return set()
+    spark.createDataFrame(
+        [(int(b), claimant, time.time()) for b in buckets],
+        schema=CLAIMS_SCHEMA,
+    ).write.mode("append").parquet(_claims_dir(ckpt_dir))
+    all_claims = spark.read.parquet(_claims_dir(ckpt_dir)).collect()
+    best: dict[int, tuple] = {}
+    for r in all_claims:
+        k = (r["ts"], r["claimant"])
+        if r["bucket"] not in best or k < best[r["bucket"]]:
+            best[r["bucket"]] = k
+    return {b for b in buckets if best[b][1] == claimant}

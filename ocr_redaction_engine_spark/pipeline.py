@@ -46,6 +46,10 @@ class PipelineConfig:
     ext_whitelist: tuple = VALID_EXTENSIONS
     invalid_rows: list | None = None  # pre-collected probe result (run_job
     # probes the whole corpus once and threads the rows into every wave)
+    claimant: str | None = None    # multi-writer id (S2): when set, run_job
+    # claims its remaining buckets through checkpoint.claim_buckets and
+    # processes only the buckets it won — two concurrent drivers split the
+    # corpus instead of double-processing it
     probe_documents: DataFrame | None = None  # slimmer view of the SAME
     # documents used only by the validity probe — e.g. a schema-pruned
     # parquet re-read ("doc_id string, spans array<struct<kind:string,
@@ -128,6 +132,11 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
     media_pages = spark.read.parquet(media_pages_path)
     done = ckpt.completed_buckets(spark, ckpt_dir)
     remaining = sorted(set(range(cfg.n_buckets)) - done)
+    if cfg.claimant is not None and remaining:
+        # S2 multi-writer claim: process only the buckets this driver wins
+        # (single-winner rule documented at checkpoint.claim_buckets)
+        remaining = sorted(ckpt.claim_buckets(
+            spark, ckpt_dir, remaining, cfg.claimant))
 
     # live at-least-once progress accumulators (A8); exact numbers live in
     # the checkpoint lineage rows

@@ -99,3 +99,45 @@ def test_corrupted_checkpoint_raises(spark, tmp_path):
     (ckpt / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         checkpoint.completed_buckets(spark, str(ckpt))
+
+
+def test_claim_buckets_single_winner(spark, tmp_path):
+    """Two claimants over overlapping bucket sets: the winner per bucket is
+    deterministic (min by (ts, claimant)) and the won sets are disjoint."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    won_a = checkpoint.claim_buckets(spark, ckpt_dir, list(range(8)), "driver-a")
+    won_b = checkpoint.claim_buckets(spark, ckpt_dir, list(range(8)), "driver-b")
+    assert won_a == set(range(8))      # first claimant wins everything
+    assert won_b == set()              # second sees the earlier claims
+    # a third claimant over fresh buckets wins only those
+    won_c = checkpoint.claim_buckets(spark, ckpt_dir, [8, 9], "driver-c")
+    assert won_c == {8, 9}
+    # claims are invisible to the lineage reader
+    assert checkpoint.completed_buckets(spark, ckpt_dir) == set()
+
+
+def test_two_driver_claimed_run_partitions_work(spark, corpus_input, tmp_path):
+    """S2 multi-writer: driver A claims (and processes) a prefix of the
+    buckets, driver B then claims the rest; no bucket is processed twice and
+    the union of outputs equals a clean single-writer run."""
+    base = corpus_input
+    docs, pages = f"{base}/input/documents", f"{base}/input/media_pages"
+    ref_out = str(tmp_path / "ref")
+    run_job(spark, docs, pages, ref_out, str(tmp_path / "ref_ckpt"),
+            PipelineConfig(**CFG))
+    want = _spans(spark, ref_out)
+
+    out = str(tmp_path / "mw")
+    ckpt_dir = str(tmp_path / "mw_ckpt")
+    # simulate driver A having already claimed half the buckets
+    pre = checkpoint.claim_buckets(spark, ckpt_dir, [0, 1, 2, 3], "driver-a")
+    assert pre == {0, 1, 2, 3}
+    stats_b = run_job(spark, docs, pages, out, ckpt_dir,
+                      PipelineConfig(claimant="driver-b", **CFG))
+    done_after_b = checkpoint.completed_buckets(spark, ckpt_dir)
+    assert done_after_b == {4, 5, 6, 7}          # B never touched A's claims
+    stats_a = run_job(spark, docs, pages, out, ckpt_dir,
+                      PipelineConfig(claimant="driver-a", **CFG))
+    assert checkpoint.completed_buckets(spark, ckpt_dir) == set(range(8))
+    assert stats_a["waves"] >= 1 and stats_b["waves"] >= 1
+    assert _spans(spark, out) == want
