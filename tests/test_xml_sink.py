@@ -98,3 +98,23 @@ def test_xml_bytes_equal_reference_writer(spark, corpus_dfs, local_corpus):
     got_vals = {(r.doc_id, r.media_ref): (r.xml_file_name, r.xml)
                 for r in render_values_xml(page_rows).collect()}
     assert got_vals == exp_vals
+
+
+def test_render_masks_smoke(tmp_path):
+    """Debug renderer (ocrr_testing parity): a synthetic page renders to a
+    valid P6 PPM with at least one black redaction fill."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import render_masks
+    from ocr_redaction_engine_spark import corpus
+
+    _, pages = corpus.build_corpus_local(42, 10)
+    page = pages[0]
+    status, boxes = render_masks.page_boxes(page)
+    out = str(tmp_path / "m.ppm")
+    w, h = render_masks.render_page_ppm(page, boxes, out)
+    data = open(out, "rb").read()
+    assert data.startswith(f"P6\n{w} {h}\n255\n".encode())
+    body = data.split(b"\n", 3)[3]
+    assert len(body) == w * h * 3
+    assert boxes and b"\x00\x00\x00" in body   # a black fill landed
