@@ -228,6 +228,29 @@ def host_probe(seconds: float = 1.0) -> float:
     return round(i / (time.time() - t0) / 1e6, 1)
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    i = 0
+    while time.time() - t0 < seconds:
+        for _ in range(100000):
+            i += 1
+    return i
+
+
+def parallel_host_probe(procs: int, seconds: float = 1.0) -> float:
+    """Aggregate busy-loop rate (Miters/s) across ``procs`` PROCESSES — the
+    Spark-free measurement of how much parallel ALU the host actually grants
+    at this width right now (GIL-free, unlike threads). The ratio of this
+    probe between two parallelism levels is the HOST's scaling ceiling; the
+    engine's raw efficiency divided by it is the probe-normalized
+    efficiency the scaling tables publish (VERDICT r3 #4)."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    with ctx.Pool(procs) as pool:
+        counts = pool.map(_burn, [seconds] * procs)
+    return round(sum(counts) / seconds / 1e6, 1)
+
+
 def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
                       corpus_base: str | None = None) -> dict:
     from ocr_redaction_engine_spark.pipeline import PipelineConfig, run_pipeline
@@ -264,12 +287,14 @@ def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
     # passes there; low-cpu legs get one extra pass as steal shelter too.
     n_timed = 1 if single else TIMED_RUNS + 2
     probe = host_probe()
+    pprobe = parallel_host_probe(cpus)
     walls = sorted(one_pass() for _ in range(n_timed))
     wall = walls[0]
     spark.stop()
     return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(wall, 3),
             "walls": [round(w, 3) for w in walls],
             "host_probe_miters": probe,
+            "host_parallel_miters": pprobe,
             "docs_per_sec": round(n_docs / wall, 2)}
 
 
@@ -294,11 +319,13 @@ def run_extraction_once(cpus: int, n_docs: int, single: bool = False,
         one_pass()
     n_timed = 1 if single else TIMED_RUNS + 2
     probe = host_probe()
+    pprobe = parallel_host_probe(cpus)
     walls = sorted(one_pass() for _ in range(n_timed))
     spark.stop()
     return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(walls[0], 3),
             "walls": [round(w, 3) for w in walls],
             "host_probe_miters": probe,
+            "host_parallel_miters": pprobe,
             "docs_per_sec": round(n_docs / walls[0], 2)}
 
 
@@ -409,6 +436,7 @@ def main():
     def interleaved_scaling(flag: str, rounds: int, ndocs: int) -> dict:
         walls: dict[int, list] = {c: [] for c in levels}
         probes: dict[int, list] = {c: [] for c in levels}
+        pprobes: dict[int, list] = {c: [] for c in levels}
         for r in range(rounds):
             for cpus in levels:
                 t_leg = time.time()
@@ -429,15 +457,37 @@ def main():
                 leg = json.loads(out.stdout.strip().splitlines()[-1])
                 walls[cpus].extend(leg["walls"])
                 probes[cpus].append(leg.get("host_probe_miters"))
+                pprobes[cpus].append(leg.get("host_parallel_miters"))
         runs = {}
         for cpus in levels:
             ws = sorted(walls[cpus])
+            pp = [x for x in pprobes[cpus] if x]
             runs[cpus] = {"cpus": cpus, "n_docs": ndocs,
                           "wall_sec": round(ws[0], 3),
                           "walls": [round(w, 3) for w in ws],
                           "host_probes_miters": probes[cpus],
+                          "host_parallel_miters": pp,
+                          "host_parallel_best": max(pp) if pp else None,
                           "docs_per_sec": round(ndocs / ws[0], 2)}
         return runs
+
+    def norm_efficiency(runs: dict) -> dict:
+        """Raw and probe-normalized step efficiency. The host ceiling for a
+        step a->b is the best-case parallel probe ratio (pp_b/pp_a)/(b/a)
+        — what a perfectly-scaling Spark-free workload achieves on this
+        host; the normalized number is raw/ceiling, i.e. the ENGINE's
+        share of the scaling it could possibly have gotten."""
+        out = {}
+        for a, b in zip(levels, levels[1:]):
+            raw = (runs[b]["docs_per_sec"] / runs[a]["docs_per_sec"]) / (b / a)
+            pa, pb = runs[a]["host_parallel_best"], runs[b]["host_parallel_best"]
+            ceiling = ((pb / pa) / (b / a)) if pa and pb else None
+            out[f"{a}->{b}"] = {
+                "raw": round(raw, 3),
+                "host_ceiling": round(ceiling, 3) if ceiling else None,
+                "probe_normalized": round(raw / ceiling, 3) if ceiling else None,
+            }
+        return out
 
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
     runs = interleaved_scaling("--pipeline-only", rounds, args.ndocs)
@@ -462,6 +512,7 @@ def main():
                                    / (b / a), 3)
                 for a, b in zip(levels, levels[1:])
             },
+            "efficiency_detail": norm_efficiency(runs),
         }
         # main-content extraction pipeline: same interleaved two-cluster-size
         # evidence (fewer rounds — the UDF-free plan is cheap and stable)
@@ -477,6 +528,7 @@ def main():
                                    / (b / a), 3)
                 for a, b in zip(levels, levels[1:])
             },
+            "efficiency_detail": norm_efficiency(xruns),
         }
     # Full payload (per-pass walls, host probes, stage cuts) goes to a file;
     # stdout's FINAL line is a compact summary so the driver's tail capture
@@ -505,6 +557,12 @@ def main():
     }
     if not args.no_scaling:
         compact["scaling_efficiency"] = result["scaling"]["efficiency"]
+        compact["scaling_probe_normalized"] = {
+            k: v["probe_normalized"]
+            for k, v in result["scaling"]["efficiency_detail"].items()}
+        compact["host_scaling_ceiling"] = {
+            k: v["host_ceiling"]
+            for k, v in result["scaling"]["efficiency_detail"].items()}
         compact["scaling_docs_per_sec"] = {
             str(c): runs[c]["docs_per_sec"] for c in levels}
         compact["extraction_docs_per_sec"] = result["extraction"]["docs_per_sec"]
