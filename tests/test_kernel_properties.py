@@ -114,3 +114,58 @@ def test_dedupe_boxes_idempotent_order_preserving(boxes):
             uniq.append(b)
             seen.add(tuple(b))
     assert once[0]["boxes"] == uniq
+
+
+# Round-4 optimization equivalences: the page-concat + needle-prefilter
+# identify and the find-based place-candidate scan must be EXACTLY the
+# per-token reference semantics they replaced.
+
+_token_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=18)
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens=st.lists(_token_st, min_size=0, max_size=40))
+def test_identify_page_equals_per_token_reference(tokens):
+    """identify_page (one prefiltered search over the joined page text)
+    equals the reference's ordered any-token x any-pattern loop."""
+    from ocr_redaction_engine_spark import banks
+
+    def reference(tokens):
+        for dt in banks.DOC_TYPES:
+            union = kernel._ci("|".join(
+                f"(?:{p})" for p in banks.IDENTIFY_BANK[dt]))
+            if any(union.search(t) for t in tokens):
+                return dt
+        return banks.UNKNOWN_TYPE
+
+    assert kernel.identify_page(tokens) == reference(tokens)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens=st.lists(st.one_of(
+    _token_st,
+    st.sampled_from(["Mumbai", "xDelhi,", "PUNEPUNE", "new", "delhi",
+                     "Hyderabad99", "", "no-place-here"])),
+    min_size=0, max_size=30))
+def test_place_candidates_equal_per_token_union(tokens):
+    """_place_candidates (C find over the joined page text) equals the
+    per-token IGNORECASE union search it replaced."""
+    from ocr_redaction_engine_spark.places import PLACES_LIST
+
+    words = [(i, i, i + 1, i + 1, t) for i, t in enumerate(tokens)]
+    union = kernel._places_union(PLACES_LIST)
+    want = [i for i, t in enumerate(tokens) if union.search(t)]
+    assert kernel._place_candidates(words, PLACES_LIST) == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens=st.lists(_token_st, min_size=0, max_size=25),
+       pats=st.lists(st.sampled_from(
+           [r"\b(foo|bar)\b", r"\d{2}/\d{2}", r"[A-Z]{3}\d", r"x+y?z"]),
+           min_size=1, max_size=4))
+def test_search_any_equals_sequential(tokens, pats):
+    for t in tokens:
+        want = any(kernel._ci(p).search(t) for p in pats)
+        assert kernel._search_any(pats, t) == want
