@@ -1195,35 +1195,45 @@ def onion_funnel(docs: DataFrame, jaccard_t: float = 0.8,
     template-correlated corpora — see [[doc_tokens_distinct]]; measured
     91 s → ~2 s at sf0.1 for this funnel).
     """
-    fp1 = with_tokens(docs).select(
-        "doc_id", F.md5(F.concat_ws(" ", "tokens")).alias("fp"))
-    k1 = fp1.groupBy("fp").agg(F.min("doc_id").alias("keep"))
-    r1 = (fp1.join(k1, "fp").where(F.col("doc_id") != F.col("keep"))
-          .select("doc_id"))
-    s1 = docs.join(r1, "doc_id", "left_anti")
+    from pyspark.sql import Window
 
-    fp2 = s1.select("doc_id", F.md5(normalize_ccnet(F.col("text"))).alias("fp"))
-    k2 = fp2.groupBy("fp").agg(F.min("doc_id").alias("keep"))
-    r2 = (fp2.join(k2, "fp").where(F.col("doc_id") != F.col("keep"))
-          .select("doc_id"))
+    # Stages 1+2 as TWO window passes over ONE scan (r4): both
+    # fingerprints are row-local, so keep1 = min(doc_id) per exact-fp group
+    # and keep2 = min(doc_id) among stage-1 survivors per normalized-fp
+    # group (the conditional min ignores nulls) — no per-stage rescans, no
+    # doc_id anti-join shuffles. Semantics identical to the sequential
+    # formulation: fp2 computed on stage-1 survivors equals fp2 computed
+    # everywhere because md5 is row-local; the min is restricted by the
+    # WHEN. Measured ~5.2 s → ~3.8 s at sf0.1.
+    w1, w2 = Window.partitionBy("fp1"), Window.partitionBy("fp2")
+    flagged = (
+        with_tokens(docs).select(
+            "doc_id", "text",
+            F.md5(F.concat_ws(" ", "tokens")).alias("fp1"),
+            F.md5(normalize_ccnet(F.col("text"))).alias("fp2"))
+        .withColumn("surv1", F.col("doc_id") == F.min("doc_id").over(w1))
+        .withColumn("keep2", F.min(F.when(F.col("surv1"), F.col("doc_id")))
+                    .over(w2))
+        .withColumn("stage", F.when(~F.col("surv1"), F.lit(1))
+                    .when(F.col("doc_id") != F.col("keep2"), F.lit(2))))
     # stage-3 scans its survivor input several times (tokens, sizes, band
     # signatures, verify) — persist the doc_id+text projection so the
     # exact+normalized layers are not recomputed per scan; the cache is
     # RELEASED before return (the per-stage counts below are collected
-    # eagerly — 3 scalars — so nothing in the returned plan still needs it)
-    s2 = s1.join(r2, "doc_id", "left_anti").persist()
+    # eagerly — a handful of scalars — so nothing in the returned plan
+    # still needs it)
+    s2 = (flagged.where(F.col("stage").isNull())
+          .select("doc_id", "text").persist())
     try:
         pairs = jaccard_pairs(s2, threshold=jaccard_t, n_bands=n_bands,
                               shingle_n=shingle_n)
-        r3 = pairs.select(F.col("b").alias("doc_id")).distinct()
+        r3_n = pairs.select(F.col("b").alias("doc_id")).distinct().count()
 
-        rejected = (r1.withColumn("stage", F.lit(1))
-                    .unionByName(r2.withColumn("stage", F.lit(2)))
-                    .unionByName(r3.withColumn("stage", F.lit(3))))
-        counts = {r["stage"]: r["n"] for r in
-                  rejected.groupBy("stage")
-                  .agg(F.count("*").cast("long").alias("n")).collect()}
-        total = docs.count()
+        per = {r["stage"]: r["n"] for r in
+               flagged.groupBy("stage")
+               .agg(F.count("*").cast("long").alias("n")).collect()}
+        counts = {1: per.get(1, 0), 2: per.get(2, 0), 3: r3_n}
+        total = sum(per.values())   # stage null bucket = survivors
     finally:
         s2.unpersist()
     # funnel report is 3 rows of scalars — assemble locally, no lingering
