@@ -239,22 +239,69 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
     )
     centroids = np.array([r.fx for r in init], dtype=np.int64)
 
-    fx = embeddings.select("vec_id", _fixed_point_col().alias("fx"))
     for _ in range(n_iters):
-        assigned = assign_clusters(embeddings, centroids)
-        dims = (
-            fx.join(assigned, "vec_id")
-            .select("cluster", F.posexplode("fx").alias("dim", "q"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        # assignment + per-partition partial sums FUSED in one numpy Arrow
+        # stage (r4): the old plan joined the assignment back and
+        # posexplode'd N×dim (vec, dim, q) rows through a shuffle per
+        # iteration; the fused stage ships only ≤ partitions×k×(dim+1)
+        # partial rows — int64 sums are order-free, so the distributed
+        # re-combine is bit-identical to the exploded formulation
+        dims = (_assign_partial_sums(embeddings, centroids)
+                .groupBy("cluster", "dim")
+                .agg(F.sum("s").alias("s"))
+                .collect())
+        counts = {r.cluster: int(r.s) for r in dims if r.dim == -1}
         new = centroids.copy()
         for r in dims:
-            s, n = int(r.s), int(r.n)
+            if r.dim < 0:
+                continue
+            s, n = int(r.s), counts[r.cluster]
             new[r.cluster, r.dim] = (abs(s) // n) * (1 if s >= 0 else -1)
         centroids = new
     return centroids
+
+
+PARTIAL_SUMS_SCHEMA = "cluster int, dim int, s long"
+
+
+def _assign_partial_sums(embeddings: DataFrame, centroids) -> DataFrame:
+    """One Arrow pass: nearest-centroid assignment + per-batch int64
+    component sums. Emits (cluster, dim, s) partials plus (cluster, -1,
+    count) rows; exact under any partitioning (integer sums commute)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    k, d = C.shape
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"cluster": pd.Series(dtype="int32"),
+                                    "dim": pd.Series(dtype="int32"),
+                                    "s": pd.Series(dtype="int64")})
+                continue
+            M = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            Q = _fixed_point(M)
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, Q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            present = np.flatnonzero(cnt)
+            rows = {
+                "cluster": np.concatenate(
+                    [np.repeat(present, d), present]).astype("int32"),
+                "dim": np.concatenate(
+                    [np.tile(np.arange(d), len(present)),
+                     np.full(len(present), -1)]).astype("int32"),
+                "s": np.concatenate(
+                    [sums[present].ravel(), cnt[present]]),
+            }
+            yield pd.DataFrame(rows)
+
+    return (embeddings.select("vec_id", "embedding")
+            .mapInPandas(run, schema=PARTIAL_SUMS_SCHEMA))
 
 
 ASSIGN_SCHEMA = "vec_id long, cluster int"
