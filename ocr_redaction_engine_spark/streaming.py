@@ -79,6 +79,47 @@ def stream_pipeline(spark: SparkSession, documents_path: str, media_pages_path: 
     return q_spans, q_red
 
 
+def stream_pipeline_validated(spark: SparkSession, documents_path: str,
+                              media_pages_path: str, out_dir: str,
+                              ckpt_dir: str, level: int = 1,
+                              await_termination: bool = True):
+    """Streaming twin of the FULL batch pipeline including the P1
+    INVALID_DOCUMENT route, via ``foreachBatch``: each micro-batch runs the
+    batch wiring (eager validity probe → routed spans/redactions/values +
+    invalid status sink). Document rows are atomic — a document's spans
+    array arrives whole in exactly one micro-batch — so the doc-level
+    validity decision inside a batch is identical to the batch job's, and
+    append-mode parquet sinks stay exactly-once per batch through the
+    streaming checkpoint. This is the production shape for a continuously
+    fed corpus: the reference's 5 s IN_PROGRESS poll loop
+    (in_progress/process_in_progress_status.py:57-67) becomes the file
+    source trigger, and its per-document status writes become the invalid
+    sink's rows."""
+    from .pipeline import PipelineConfig, run_pipeline
+
+    docs = read_documents_stream(spark, documents_path)
+    media_pages = spark.read.parquet(media_pages_path)  # static side
+    cfg = PipelineConfig(level=level)
+
+    def process(batch_df, batch_id):
+        outs = run_pipeline(batch_df, media_pages, cfg)
+        page_rows = outs["page_rows"].persist()
+        try:
+            for name in ("spans", "redactions", "values", "invalid"):
+                outs[name].write.mode("append").parquet(f"{out_dir}/{name}")
+        finally:
+            page_rows.unpersist()
+
+    q = (docs.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", f"{ckpt_dir}/validated")
+         .trigger(availableNow=True)
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def windowed_event_rollup(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup (works on a streaming OR batch

@@ -353,3 +353,28 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     got = {(r.click_id, r.error_id)
            for r in spark.sql("SELECT click_id, error_id FROM sj_stream").collect()}
     assert got == expect
+
+
+def test_stream_pipeline_validated_matches_batch(spark, tmp_path):
+    """foreachBatch streaming twin with the P1 route: draining a corpus
+    with planted invalid docs produces exactly the batch pipeline's spans
+    and invalid statuses."""
+    from ocr_redaction_engine_spark import corpus, oracle
+    from ocr_redaction_engine_spark.streaming import stream_pipeline_validated
+
+    base = str(tmp_path)
+    corpus.write_corpus(spark, f"{base}/in", n_docs=80, seed=42,
+                        partitions=3, invalid_every=13)
+    stream_pipeline_validated(spark, f"{base}/in/documents",
+                              f"{base}/in/media_pages",
+                              f"{base}/out", f"{base}/ckpt")
+    docs, pages = corpus.build_corpus_local(42, 80)
+    docs, pages, expected = corpus.corrupt_corpus_local(docs, pages, every=13)
+    assert expected
+    inv = {r["doc_id"]: r["reason"] for r in
+           spark.read.parquet(f"{base}/out/invalid").collect()}
+    assert inv == expected
+    got = {(r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+           for r in spark.read.parquet(f"{base}/out/spans").collect()}
+    valid_docs = [d for d in docs if d["doc_id"] not in expected]
+    assert got == set(oracle.expected_spans(valid_docs))
