@@ -18,7 +18,8 @@ sys.path.insert(0, "/root/repo")
 
 import bench
 
-CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+CPUS = int(_args[0]) if _args else 32
 BASE_DOCS = 360_000
 
 
@@ -49,11 +50,16 @@ class RssTracker(threading.Thread):
         return self.peak_kb
 
 
+MODE = "extraction" if "--extraction" in sys.argv else "pipeline"
+
+
 def leg(factor: int, corpus_base: str | None) -> dict:
     n = BASE_DOCS * factor
     tracker = RssTracker()
     tracker.start()
-    r = bench.run_pipeline_once(CPUS, n, single=True, corpus_base=corpus_base)
+    runner = (bench.run_extraction_once if MODE == "extraction"
+              else bench.run_pipeline_once)
+    r = runner(CPUS, n, single=True, corpus_base=corpus_base)
     peak_kb = tracker.stop()
     r["factor"] = factor
     r["peak_rss_gb"] = round(peak_kb / 1024 / 1024, 2)
@@ -61,7 +67,10 @@ def leg(factor: int, corpus_base: str | None) -> dict:
 
 
 def main():
-    legs = {1: None, 4: bench.CORPUS_DIR + "_4x", 16: bench.CORPUS_DIR + "_16x"}
+    suffix = "_web" if MODE == "extraction" else ""
+    legs = {1: None,
+            4: bench.CORPUS_DIR + suffix + "_4x",
+            16: bench.CORPUS_DIR + suffix + "_16x"}
     runs = {f: [] for f in legs}
     # interleave 2 rounds so steal windows hit every size
     for _ in range(2):
@@ -73,7 +82,7 @@ def main():
     best = {f: min(rs, key=lambda r: r["wall_sec"]) for f, rs in runs.items()}
     dps = {f: round(BASE_DOCS * f / best[f]["wall_sec"], 2) for f in legs}
     result = {
-        "metric": "pipeline_data_weak_scaling_16x",
+        "metric": f"{MODE}_data_weak_scaling_16x",
         "cpus": CPUS,
         "ndocs": {f"{f}x": BASE_DOCS * f for f in legs},
         "wall_sec": {f"{f}x": best[f]["wall_sec"] for f in legs},
@@ -89,7 +98,8 @@ def main():
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                        if "tools" in os.path.abspath(__file__) else ".",
                        "BENCH_datascale_r04.json")
-    out = "/root/repo/BENCH_datascale_r04.json"
+    out = ("/root/repo/BENCH_datascale_r04.json" if MODE == "pipeline"
+           else "/root/repo/BENCH_datascale_extraction_r04.json")
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "runs"}))
