@@ -135,16 +135,60 @@ def extract_media_spans(spans: DataFrame, media_pages: DataFrame) -> DataFrame:
     )
 
 
+def _narrow_kind_spans(spans: DataFrame, cfg: ExtractionConfig) -> DataFrame:
+    """html + pdf + text in ONE pass: the three shuffle-free branches share
+    the row shape, so a kind-dispatched CASE computes each row's extracted
+    text in a single scan instead of a 3-way self-union that re-reads the
+    documents table per branch (at 100 TB the scan count IS the cost).
+    Row-for-row identical to the per-branch operators, which remain the
+    unit-tested single-kind API."""
+    clean = F.regexp_replace(
+        F.regexp_replace("text", r"(?s)<script[^>]*>.*?</script>", " "),
+        r"(?s)<style[^>]*>.*?</style>", " ")
+
+    def btext(b):
+        return F.trim(F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " "))
+
+    def anchor_chars(b):
+        return F.aggregate(
+            F.regexp_extract_all(b, F.lit(r"<a [^>]*>([^<]*)</a>"), F.lit(1)),
+            F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+    kept = F.filter(
+        F.transform(
+            F.split(clean, r"</p>|</div>|</nav>|</footer>"),
+            lambda b: F.struct(btext(b).alias("btext"),
+                               anchor_chars(b).alias("anchor_chars"))),
+        lambda s: (F.length(s["btext"]) >= cfg.min_len)
+        & ((s["anchor_chars"] / F.greatest(F.length(s["btext"]), F.lit(1)))
+           <= cfg.max_link_density))
+    html_text = F.concat_ws(" ", F.transform(kept, lambda s: s["btext"]))
+
+    toks = F.split(F.col("text"), " ")
+    evens = F.filter(toks, lambda x, i: i % 2 == F.lit(0))
+    odds = F.filter(toks, lambda x, i: i % 2 == F.lit(1))
+    pdf_text = F.concat_ws(" ", F.concat(evens, odds))
+
+    out_text = (F.when(F.col("kind") == "html", html_text)
+                .when(F.col("kind") == "pdf", pdf_text)
+                .otherwise(F.col("text")))
+    keep = F.when(F.col("kind") == "html", F.size(kept) > 0).otherwise(F.lit(True))
+    return (spans.where(F.col("kind").isin("html", "pdf", "text"))
+            .where(keep)
+            .select("doc_id", F.col("offset").alias("order"), "kind",
+                    out_text.alias("text"), F.lit("").alias("media_ref")))
+
+
 def extract_spans(documents: DataFrame, media_pages: DataFrame,
                   config: ExtractionConfig | None = None) -> DataFrame:
-    """Full extraction plan: explode → per-kind branches → union. Returns the
+    """Full extraction plan: explode → kind-dispatched narrow pass +
+    media-join branch → union. TWO scans of the documents table total
+    (narrow CASE pass, media join side), not one per kind. Returns the
     flat span-sequence table (doc_id, order, kind, text, media_ref)."""
     cfg = config or ExtractionConfig()
     spans = explode_spans(documents)
     return (
-        extract_html_spans(spans, cfg)
-        .unionByName(extract_pdf_spans(spans))
-        .unionByName(extract_text_spans(spans))
+        _narrow_kind_spans(spans, cfg)
         .unionByName(extract_media_spans(spans, media_pages))
     )
 
