@@ -6558,8 +6558,8 @@ def oracle_sql() -> dict[str, str]:
                          translate(regexp_replace(lower(text), '[0-9]', '0', 'g'),
                                    'áàâäéèêëíìîïóòôöúùûüçñ',
                                    'aaaaeeeeiiiioooouuuucn'),
-                         '[^\w\s]', ' ', 'g'),
-                       '\s+', ' ', 'g'))) AS fp FROM s1),
+                         '[^\\w\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g'))) AS fp FROM s1),
             k2 AS (SELECT fp, MIN(doc_id) AS keep FROM fp2 GROUP BY 1),
             r2 AS (SELECT f.doc_id FROM fp2 f JOIN k2 USING (fp) WHERE f.doc_id != keep),
             s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM r2)),

@@ -277,7 +277,10 @@ def value_trend(events: DataFrame, epoch0: int = 1704067200) -> DataFrame:
         combined.withColumn("slope_e9", slope_e9)
         .withColumn("n2", F.expr(
             "CAST(sy_cc * 10000000 - CAST(slope_e9 AS DECIMAL(19,0)) * sx "
-            "AS DECIMAL(36,0))"))
+            # DECIMAL(38,0): operand types allow up to 38 digits, and a
+            # 36-wide cast would NULL silently (allowPrecisionLoss) on
+            # corpora just past the documented ~10^8-row ceiling
+            "AS DECIMAL(38,0))"))
         .withColumn("intercept_e9", F.expr(
             "CASE WHEN den = 0 THEN NULL ELSE "
             "CAST((n2 * CAST(2 AS DECIMAL(1,0)) + "

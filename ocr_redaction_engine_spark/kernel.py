@@ -397,6 +397,18 @@ def _lower_places(places_t: tuple) -> tuple:
     return tuple(p.lower() for p in places_t)
 
 
+@lru_cache(maxsize=64)
+def _places_literal_ok(places_t: tuple) -> bool:
+    """The ``str.find`` fast path is sound only for plain-ASCII,
+    metachar-free, newline-free place literals (the shipped PLACES_LIST
+    qualifies). Places loaded via ``load_places`` are arbitrary regex
+    fragments per the reference's ``_ci(place).search`` inner test, so a
+    metachar ('.') or non-ASCII case-folding place must take the
+    regex-union prefilter instead."""
+    return all(p.isascii() and re.escape(p) == p and "\n" not in p
+               for p in places_t)
+
+
 def _place_candidates(words, place_list):
     """Indices of tokens some place hits, via C-speed ``str.find`` of each
     lowercase place literal over the lowercased '\\n'-joined page text —
@@ -404,7 +416,20 @@ def _place_candidates(words, place_list):
     Sound because the reference's test is IGNORECASE literal containment
     (ASCII places, so lower/lower ≡ IGNORECASE) and a literal cannot match
     across the separator. Candidates then pay the reference's per-place
-    loop; token order is preserved."""
+    loop; token order is preserved.
+
+    Non-literal place lists (see ``_places_literal_ok``) fall back to one
+    unescaped IGNORECASE union regex per token — an exactly equivalent
+    prefilter for the inner ``_ci(place).search(t)`` test by ∃-semantics —
+    and to all indices if the union itself fails to compile (in which case
+    the inner loop raises on the same bad pattern, like the reference)."""
+    places_t = tuple(place_list)
+    if not _places_literal_ok(places_t):
+        try:
+            union = _ci_union(places_t)
+        except re.error:
+            return list(range(len(words)))
+        return [i for i, w in enumerate(words) if union.search(w[4])]
     lowered = "\n".join(w[4] for w in words).lower()
     starts, pos = [], 0
     for w in words:

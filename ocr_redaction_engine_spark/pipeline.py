@@ -61,7 +61,11 @@ class PipelineConfig:
 def run_pipeline(documents: DataFrame, media_pages: DataFrame,
                  config: PipelineConfig | None = None,
                  counters: dict | None = None) -> dict[str, DataFrame]:
-    """Lazy plan builder: returns the output DataFrames. ``counters`` =
+    """Plan builder: returns the output DataFrames. With
+    ``cfg.validate=True`` (the default) it EAGERLY runs the bounded
+    validity-probe job at call time (one slim schema-pruned scan, like the
+    reference's promotion-time check); set ``validate=False`` or pre-supply
+    ``cfg.invalid_rows`` to restore a fully lazy build. ``counters`` =
     optional accumulator dict for live progress metrics (A8)."""
     cfg = config or PipelineConfig()
     if cfg.validate:
@@ -100,9 +104,10 @@ def run_pipeline(documents: DataFrame, media_pages: DataFrame,
 
     from .operators.xml_sink import render_redactions_xml, render_values_xml
 
+    flat_spans = reassemble_flat(text_spans, media_spans)
     return {
-        "spans": reassemble_flat(text_spans, media_spans),
-        "documents": assemble_documents(reassemble_flat(text_spans, media_spans)),
+        "spans": flat_spans,
+        "documents": assemble_documents(flat_spans),
         # the flat extract output — persist this when forcing more than one
         # of the sinks below, or the Arrow stage recomputes per action
         "page_rows": extracted,

@@ -88,13 +88,19 @@ def stream_pipeline_validated(spark: SparkSession, documents_path: str,
     batch wiring (eager validity probe → routed spans/redactions/values +
     invalid status sink). Document rows are atomic — a document's spans
     array arrives whole in exactly one micro-batch — so the doc-level
-    validity decision inside a batch is identical to the batch job's, and
-    append-mode parquet sinks stay exactly-once per batch through the
-    streaming checkpoint. This is the production shape for a continuously
-    fed corpus: the reference's 5 s IN_PROGRESS poll loop
-    (in_progress/process_in_progress_status.py:57-67) becomes the file
-    source trigger, and its per-document status writes become the invalid
-    sink's rows."""
+    validity decision inside a batch is identical to the batch job's.
+
+    Exactly-once: ``foreachBatch`` alone is only at-least-once (a
+    micro-batch retried after a partial write would re-run), so each sink
+    is partitioned by ``batch_id`` and written with dynamic partition
+    overwrite — a retry of batch N atomically REPLACES batch N's partition
+    in all four sinks instead of appending duplicates, making the write
+    idempotent per batch id. Readers see ``batch_id`` as an extra partition
+    column (drop it, or read with recursive file lookup). This is the
+    production shape for a continuously fed corpus: the reference's 5 s
+    IN_PROGRESS poll loop (in_progress/process_in_progress_status.py:57-67)
+    becomes the file source trigger, and its per-document status writes
+    become the invalid sink's rows."""
     from .pipeline import PipelineConfig, run_pipeline
 
     docs = read_documents_stream(spark, documents_path)
@@ -106,7 +112,12 @@ def stream_pipeline_validated(spark: SparkSession, documents_path: str,
         page_rows = outs["page_rows"].persist()
         try:
             for name in ("spans", "redactions", "values", "invalid"):
-                outs[name].write.mode("append").parquet(f"{out_dir}/{name}")
+                (outs[name]
+                 .withColumn("batch_id", F.lit(int(batch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id")
+                 .parquet(f"{out_dir}/{name}"))
         finally:
             page_rows.unpersist()
 

@@ -87,3 +87,36 @@ def test_load_places_df_order_col_file_parity(spark, tmp_path):
         [("Mumbai", 2), ("Zunheboto", 0), ("Agra", 1)], "place string, pos int")
     assert load_places_df(df, order_col="pos") == from_file == [
         "Zunheboto", "Agra", "Mumbai"]
+
+
+def test_place_candidates_nonliteral_fallback():
+    """ADVICE r4: the str.find literal prefilter is only sound for
+    plain-ASCII metachar-free places; a regex-metachar or non-ASCII place
+    must take the union-regex fallback so the candidate set still covers
+    everything the inner IGNORECASE ``_ci(place).search`` test matches."""
+    from ocr_redaction_engine_spark.kernel import (
+        _place_candidates, _places_address, _places_literal_ok)
+
+    words = [[0, 0, 10, 10, "Pune"], [0, 20, 10, 30, "Madrid"],
+             [0, 40, 10, 50, "zzz"], [0, 60, 10, 70, "Münster"]]
+
+    # literal list: fast path, exact candidates
+    assert _places_literal_ok(("Pune", "Madrid"))
+    assert _place_candidates(words, ["Pune", "Madrid"]) == [0, 1]
+
+    # metachar place: 'P.ne' regex-matches 'Pune' — fast path would treat
+    # the dot as a literal and miss it; the fallback must include index 0
+    assert not _places_literal_ok(("P.ne",))
+    assert _place_candidates(words, ["P.ne"]) == [0]
+    got = _places_address(words, "Aadhaar Address", places=["P.ne"])
+    assert got["value"].strip() == "Pune"
+
+    # non-ASCII case folding: 'MÜNSTER' IGNORECASE-matches 'Münster', but
+    # lower()-based str.find would still work only by accident of Python's
+    # casefold — the guard routes it through the regex union regardless
+    assert not _places_literal_ok(("MÜNSTER",))
+    assert _place_candidates(words, ["MÜNSTER"]) == [3]
+
+    # uncompilable pattern: degrade to all indices; the inner loop then
+    # raises on the same bad pattern exactly like the reference would
+    assert _place_candidates(words, ["(["]) == [0, 1, 2, 3]

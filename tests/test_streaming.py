@@ -378,3 +378,21 @@ def test_stream_pipeline_validated_matches_batch(spark, tmp_path):
            for r in spark.read.parquet(f"{base}/out/spans").collect()}
     valid_docs = [d for d in docs if d["doc_id"] not in expected]
     assert got == set(oracle.expected_spans(valid_docs))
+
+    # Idempotency under micro-batch replay: wipe the streaming checkpoint so
+    # the SAME input replays as the same batch_id, and re-drain. The
+    # batch_id-partitioned dynamic overwrite must REPLACE, not append —
+    # row multiset (not just the set) is unchanged in every sink.
+    before = {name: spark.read.parquet(f"{base}/out/{name}").count()
+              for name in ("spans", "redactions", "values", "invalid")}
+    import shutil
+    shutil.rmtree(f"{base}/ckpt")
+    stream_pipeline_validated(spark, f"{base}/in/documents",
+                              f"{base}/in/media_pages",
+                              f"{base}/out", f"{base}/ckpt")
+    after = {name: spark.read.parquet(f"{base}/out/{name}").count()
+             for name in ("spans", "redactions", "values", "invalid")}
+    assert after == before
+    got2 = {(r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+            for r in spark.read.parquet(f"{base}/out/spans").collect()}
+    assert got2 == got
