@@ -113,34 +113,71 @@ def _claims_dir(ckpt_dir: str) -> str:
 
 
 def claim_buckets(spark: SparkSession, ckpt_dir: str, buckets: list[int],
-                  claimant: str) -> set[int]:
-    """Write-intent claim with a deterministic single-winner rule.
+                  claimant: str, ttl_sec: float | None = None,
+                  backend: str | None = None,
+                  claims_target: str | None = None) -> set[int]:
+    """Write-intent claim with a deterministic single-winner rule and an
+    optional lease TTL.
 
     Protocol: append (bucket, claimant, ts) rows, then read back EVERY claim
     and keep only buckets whose winner — min row by (ts, claimant), a total
     order — is this claimant. Any driver that reads after both writes land
     computes the same winner, so the claim set is consistent.
 
-    Guarantee by backend: on an ACID table format the append is a
-    serialized commit and the rule is airtight; on raw parquet the
-    append-visibility window means two drivers claiming the SAME bucket at
-    the same instant can briefly both believe they won — the outputs stay
-    correct because every sink is bucket-partitioned dynamic-overwrite
-    (identical, idempotent data), so the race costs duplicate work, never
-    duplicate rows. This is the documented parquet trade; production
-    deployments point ckpt_dir at Iceberg/Delta
-    (lakehouse.append_checkpoint_table) for exact single-processing.
+    ``ttl_sec``: claims older than the TTL are treated as ABANDONED LEASES
+    and ignored in the winner computation, so a recovery driver (any
+    claimant id) wins buckets a crashed driver claimed but never completed
+    — without it, a crashed claimant's rows win forever and ``run_job``
+    silently finishes with those buckets unprocessed (documented recovery
+    without a TTL: rerun with the crashed driver's claimant id, or delete
+    ``<ckpt_dir>/_claims``). Size the TTL above the worst-case bucket-group
+    wall time: a live-but-slow driver whose lease expires can have a bucket
+    stolen, which costs duplicate WORK only — every sink is
+    bucket-partitioned dynamic overwrite, so reruns are idempotent and
+    duplicate rows are impossible. Staleness is judged against this call's
+    own write timestamp, so the comparison is same-clock on a single
+    recovery driver; cross-driver clock skew must stay well under the TTL
+    (the standard lease assumption).
+
+    ``backend``: None = raw parquet append (default, unchanged semantics).
+    'delta' / 'iceberg' / 'parquet' / 'auto' route the claim append and
+    read-back through ``lakehouse.write_table`` / ``read_table``: on an
+    ACID table format the append is a SERIALIZED COMMIT, closing raw
+    parquet's append-visibility window, so the single-winner rule is
+    airtight (exact single-processing — the reference's atomic
+    ``update_many`` claim, ocrr_engine.py:54). For iceberg pass
+    ``claims_target`` as a catalog table name (``cat.db.tbl``); delta
+    defaults to the ``_claims`` path under ``ckpt_dir``.
     """
     if not buckets:
         return set()
-    spark.createDataFrame(
-        [(int(b), claimant, time.time()) for b in buckets],
-        schema=CLAIMS_SCHEMA,
-    ).write.mode("append").parquet(_claims_dir(ckpt_dir))
-    all_claims = spark.read.parquet(_claims_dir(ckpt_dir)).collect()
+    now = time.time()
+    rows = spark.createDataFrame(
+        [(int(b), claimant, now) for b in buckets], schema=CLAIMS_SCHEMA)
+    if backend is None:
+        target = claims_target or _claims_dir(ckpt_dir)
+        rows.write.mode("append").parquet(target)
+        all_claims = spark.read.parquet(target).collect()
+    else:
+        from . import lakehouse
+        resolved = lakehouse.pick_backend(spark, backend)
+        if resolved == "iceberg" and claims_target is None:
+            raise ValueError(
+                "iceberg-backed claims need claims_target as a catalog "
+                "table name (cat.db.tbl); a path-derived default would "
+                "silently miss the catalog")
+        target = claims_target or _claims_dir(ckpt_dir)
+        lakehouse.write_table(rows, target, backend=resolved, mode="append")
+        all_claims = lakehouse.read_table(spark, target,
+                                          backend=resolved).collect()
     best: dict[int, tuple] = {}
     for r in all_claims:
+        if ttl_sec is not None and now - r["ts"] > ttl_sec:
+            continue                      # abandoned lease — up for grabs
         k = (r["ts"], r["claimant"])
         if r["bucket"] not in best or k < best[r["bucket"]]:
             best[r["bucket"]] = k
-    return {b for b in buckets if best[b][1] == claimant}
+    # this call's own rows carry ts=now, so every requested bucket has a
+    # live claim; .get is belt-and-braces against a ttl_sec <= 0 misuse
+    return {b for b in buckets
+            if best.get(b, (now, claimant))[1] == claimant}

@@ -18,6 +18,7 @@ partitioning is too coarse for the Python stage; AQE splits join skew).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,8 @@ from .operators.reassemble import assemble_documents, reassemble_flat
 from .operators.tokenize import tokenize_fixture
 from .operators.validate import (VALID_EXTENSIONS, collect_invalid,
                                  route_with_collected, validity_route)
+
+_log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -50,6 +53,14 @@ class PipelineConfig:
     # claims its remaining buckets through checkpoint.claim_buckets and
     # processes only the buckets it won — two concurrent drivers split the
     # corpus instead of double-processing it
+    claim_ttl_sec: float | None = None  # lease TTL: claims older than this
+    # without a done row count as abandoned, so a recovery driver wins them
+    # (size above worst-case bucket-group wall time; see claim_buckets)
+    claims_backend: str | None = None  # None = raw parquet; 'delta' /
+    # 'iceberg' / 'auto' route claims through the ACID lakehouse adapter
+    # for exact single-processing (serialized claim commits)
+    claims_target: str | None = None  # claims table override (required as a
+    # catalog name for iceberg)
     probe_documents: DataFrame | None = None  # slimmer view of the SAME
     # documents used only by the validity probe — e.g. a schema-pruned
     # parquet re-read ("doc_id string, spans array<struct<kind:string,
@@ -137,11 +148,25 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
     media_pages = spark.read.parquet(media_pages_path)
     done = ckpt.completed_buckets(spark, ckpt_dir)
     remaining = sorted(set(range(cfg.n_buckets)) - done)
+    buckets_lost = []
     if cfg.claimant is not None and remaining:
         # S2 multi-writer claim: process only the buckets this driver wins
         # (single-winner rule documented at checkpoint.claim_buckets)
-        remaining = sorted(ckpt.claim_buckets(
-            spark, ckpt_dir, remaining, cfg.claimant))
+        won = ckpt.claim_buckets(
+            spark, ckpt_dir, remaining, cfg.claimant,
+            ttl_sec=cfg.claim_ttl_sec, backend=cfg.claims_backend,
+            claims_target=cfg.claims_target)
+        buckets_lost = sorted(set(remaining) - won)
+        if buckets_lost:
+            # not necessarily a problem (another live driver owns them) —
+            # but if THAT driver crashed, these buckets stay unprocessed
+            # until a rerun with claim_ttl_sec set (or its claimant id)
+            _log.warning(
+                "run_job[%s]: skipping %d bucket(s) claimed by other "
+                "drivers and not yet done: %s — if the claimant crashed, "
+                "rerun with claim_ttl_sec set to reap the stale leases",
+                cfg.claimant, len(buckets_lost), buckets_lost)
+        remaining = sorted(won)
 
     # live at-least-once progress accumulators (A8); exact numbers live in
     # the checkpoint lineage rows
@@ -173,7 +198,8 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
         .partitionBy("bucket").parquet(f"{out_dir}/invalid")
     wave_cfg = _replace(cfg, invalid_rows=inv_rows_cfg)
 
-    stats = {"buckets_done_before": len(done), "waves": 0}
+    stats = {"buckets_done_before": len(done), "waves": 0,
+             "buckets_skipped_claimed": len(buckets_lost)}
     for g in range(0, len(remaining), cfg.bucket_group):
         group = remaining[g: g + cfg.bucket_group]
         timer = ckpt.StageTimer()
