@@ -131,6 +131,38 @@ def stream_pipeline_validated(spark: SparkSession, documents_path: str,
     return q
 
 
+def stream_extraction(spark: SparkSession, documents_path: str,
+                      media_pages_path: str, out_dir: str, ckpt_dir: str,
+                      config=None, await_termination: bool = True,
+                      max_files_per_trigger: int | None = None):
+    """Streaming twin of the main-content extraction pipeline
+    (extraction_pipeline.extract_spans) — the north-rule job for a
+    continuously arriving crawl.
+
+    Every extraction operator is stateless (kind-dispatched narrow pass,
+    stream-static media_pages join), so this is a NATIVE streaming query —
+    no foreachBatch escape hatch — and the parquet streaming sink's
+    ``_spark_metadata`` commit log makes the output exactly-once: a retried
+    micro-batch's files are superseded in the log, and readers going
+    through the sink directory see each batch once. ``availableNow`` drains
+    the backlog and stops; rerunning later picks up only new files (the
+    reference's 5 s re-poll, checkpointed)."""
+    from .extraction_pipeline import ExtractionConfig, extract_spans
+
+    cfg = config or ExtractionConfig()
+    docs = read_documents_stream(spark, documents_path, max_files_per_trigger)
+    media_pages = spark.read.parquet(media_pages_path)  # static side
+    q = (extract_spans(docs, media_pages, cfg).writeStream
+         .format("parquet")
+         .option("path", f"{out_dir}/main_spans")
+         .option("checkpointLocation", f"{ckpt_dir}/extraction")
+         .trigger(availableNow=True)
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def windowed_event_rollup(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window rollup (works on a streaming OR batch
