@@ -12,13 +12,13 @@ Usage: python tools/plan_audit.py [sf_dir]
 from __future__ import annotations
 
 import json
-import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
+from ocr_redaction_engine_spark.planaudit import audit_plan  # noqa: E402
 from ocr_redaction_engine_spark.session import get_spark  # noqa: E402
 
 spark = get_spark("plan-audit", cores=8, shuffle_partitions=8)
@@ -26,29 +26,14 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as entry  # noqa: E402
 
-JOIN_KINDS = [
-    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-    "BroadcastNestedLoopJoin", "CartesianProduct",
-]
-
 report = {}
 for name, fn in entry.queries().items():
     try:
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        # shared extractor — tests/test_plan_audit.py pins the same numbers
+        # per-commit for the top-cost queries
+        report[name] = audit_plan(fn(spark, SF_DIR))
     except Exception as exc:  # surface, don't hide
         report[name] = {"error": str(exc).splitlines()[0][:200]}
-        continue
-    report[name] = {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "arrow_stages": plan.count("MapInPandas") + plan.count("ArrowEvalPython"),
-        "python_row_udfs": plan.count("BatchEvalPython"),
-        "joins": {k: plan.count(k) for k in JOIN_KINDS if k in plan},
-        "banned_join": ("CartesianProduct" in plan)
-        or ("BroadcastNestedLoopJoin" in plan),
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan,
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
-    }
 
 # VERDICT r2 #3: simhash must add NO Exchange when the scan is already at
 # defaultParallelism (its repartition is a narrow-input rescue only); the
