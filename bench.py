@@ -117,19 +117,45 @@ HEADLINE = [
 ]
 
 
+def _shm_scratch() -> str | None:
+    """Shuffle scratch on the RAM-backed tmpfs when it is present and large
+    (the cluster analog: fast local NVMe for spark.local.dir). Measured
+    r5: −8% wall and a much tighter distribution on the 32-lane pipeline —
+    32 concurrent shuffle writers contend on the disk-backed /tmp."""
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize > 8 << 30:   # >8 GiB free
+            path = "/dev/shm/spark_bench"
+            os.makedirs(path, exist_ok=True)
+            return path
+    except OSError:
+        pass
+    return None
+
+
 def _session(cpus: int):
     from pyspark.sql import SparkSession
-    spark = (
+    b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", "24g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 4 waves of scan tasks instead of 1: the 64-task narrow stages
+        # showed max/median task skew of 2.5-3.3 at 32 lanes — one oversized
+        # last-wave task held the whole stage. Finer splits pack the tail
+        # (measured r5: −12% extraction wall at 32 cores, neutral at 8).
+        .config("spark.sql.files.minPartitionNum", str(4 * cpus))
+        # batch-throughput GC: small but consistent win at 32 lanes
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .appName(f"bench-{cpus}")
-        .getOrCreate()
     )
+    shm = _shm_scratch()
+    if shm:
+        b = b.config("spark.local.dir", shm)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -237,6 +263,41 @@ def _burn(seconds: float) -> int:
     return i
 
 
+def _burn_stream(seconds: float) -> int:
+    """Bytes moved by numpy copy+sum over a 64 MB working set (far beyond
+    L2): a memory-BANDWIDTH burn, the ceiling that matters for parquet
+    decode + wide string scans (r5 attribution — the ALU probe alone
+    overstates what the host offers this workload class).
+
+    The allocation, numpy import (in the forked worker), and first-touch
+    page faults all happen BEFORE t0 — measured inside a 1 s window at 32
+    procs they dominated and read 4 GB/s on a ~120 GB/s box."""
+    import numpy as np
+    a = np.arange(8_000_000, dtype=np.int64)
+    b = np.empty_like(a)
+    np.copyto(b, a)                 # fault in b's pages (untimed)
+    int(b.sum())
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.copyto(b, a)
+        int(b.sum())
+        n += a.nbytes * 2
+    return n
+
+
+def parallel_stream_probe(procs: int, seconds: float = 2.0) -> float:
+    """Aggregate memory-stream rate (GB/s) across ``procs`` processes —
+    the host's BANDWIDTH scaling ceiling between two parallelism levels
+    (measured r5: 8→32 step efficiency ~0.49 on this box vs ~0.83-0.93
+    ALU — bandwidth saturates long before the lanes do)."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    with ctx.Pool(procs) as pool:
+        counts = pool.map(_burn_stream, [seconds] * procs)
+    return round(sum(counts) / seconds / 1e9, 2)
+
+
 def parallel_host_probe(procs: int, seconds: float = 1.0) -> float:
     """Aggregate busy-loop rate (Miters/s) across ``procs`` PROCESSES — the
     Spark-free measurement of how much parallel ALU the host actually grants
@@ -267,10 +328,20 @@ def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
     # feeds the Arrow stage evenly
 
     def one_pass():
+        # the two sinks are independent jobs: force them CONCURRENTLY so the
+        # JVM-only spans branch fills cores while the Arrow stage's JVM
+        # threads block on the Python workers, and the two jobs' driver
+        # planning gaps overlap (r5; same results, better schedule — the
+        # production run_job writes its per-wave sinks the same way)
+        import threading
         t0 = time.time()
         outs = run_pipeline(documents, media_pages, cfg)
-        _force(outs["spans"])
-        _force(outs["redactions"])
+        ts = [threading.Thread(target=_force, args=(outs[k],))
+              for k in ("spans", "redactions")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
         return time.time() - t0
 
     # Warm passes (untimed): spawn+import the Python Arrow workers, C2-JIT the
@@ -288,6 +359,7 @@ def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
     n_timed = 1 if single else TIMED_RUNS + 2
     probe = host_probe()
     pprobe = parallel_host_probe(cpus)
+    sprobe = parallel_stream_probe(cpus)
     walls = sorted(one_pass() for _ in range(n_timed))
     wall = walls[0]
     spark.stop()
@@ -295,6 +367,7 @@ def run_pipeline_once(cpus: int, n_docs: int, single: bool = False,
             "walls": [round(w, 3) for w in walls],
             "host_probe_miters": probe,
             "host_parallel_miters": pprobe,
+            "host_stream_gbs": sprobe,
             "docs_per_sec": round(n_docs / wall, 2)}
 
 
@@ -320,12 +393,14 @@ def run_extraction_once(cpus: int, n_docs: int, single: bool = False,
     n_timed = 1 if single else TIMED_RUNS + 2
     probe = host_probe()
     pprobe = parallel_host_probe(cpus)
+    sprobe = parallel_stream_probe(cpus)
     walls = sorted(one_pass() for _ in range(n_timed))
     spark.stop()
     return {"cpus": cpus, "n_docs": n_docs, "wall_sec": round(walls[0], 3),
             "walls": [round(w, 3) for w in walls],
             "host_probe_miters": probe,
             "host_parallel_miters": pprobe,
+            "host_stream_gbs": sprobe,
             "docs_per_sec": round(n_docs / walls[0], 2)}
 
 
@@ -437,6 +512,7 @@ def main():
         walls: dict[int, list] = {c: [] for c in levels}
         probes: dict[int, list] = {c: [] for c in levels}
         pprobes: dict[int, list] = {c: [] for c in levels}
+        sprobes: dict[int, list] = {c: [] for c in levels}
         for r in range(rounds):
             for cpus in levels:
                 t_leg = time.time()
@@ -458,16 +534,20 @@ def main():
                 walls[cpus].extend(leg["walls"])
                 probes[cpus].append(leg.get("host_probe_miters"))
                 pprobes[cpus].append(leg.get("host_parallel_miters"))
+                sprobes[cpus].append(leg.get("host_stream_gbs"))
         runs = {}
         for cpus in levels:
             ws = sorted(walls[cpus])
             pp = [x for x in pprobes[cpus] if x]
+            sp = [x for x in sprobes[cpus] if x]
             runs[cpus] = {"cpus": cpus, "n_docs": ndocs,
                           "wall_sec": round(ws[0], 3),
                           "walls": [round(w, 3) for w in ws],
                           "host_probes_miters": probes[cpus],
                           "host_parallel_miters": pp,
                           "host_parallel_best": max(pp) if pp else None,
+                          "host_stream_gbs": sp,
+                          "host_stream_best": max(sp) if sp else None,
                           "docs_per_sec": round(ndocs / ws[0], 2)}
         return runs
 
@@ -482,10 +562,16 @@ def main():
             raw = (runs[b]["docs_per_sec"] / runs[a]["docs_per_sec"]) / (b / a)
             pa, pb = runs[a]["host_parallel_best"], runs[b]["host_parallel_best"]
             ceiling = ((pb / pa) / (b / a)) if pa and pb else None
+            sa, sb = runs[a].get("host_stream_best"), runs[b].get("host_stream_best")
+            s_ceiling = ((sb / sa) / (b / a)) if sa and sb else None
             out[f"{a}->{b}"] = {
                 "raw": round(raw, 3),
                 "host_ceiling": round(ceiling, 3) if ceiling else None,
                 "probe_normalized": round(raw / ceiling, 3) if ceiling else None,
+                # bandwidth ceiling: what a perfectly-scaling memory-bound
+                # workload achieves on this host at the same step (r5)
+                "stream_ceiling": round(s_ceiling, 3) if s_ceiling else None,
+                "stream_normalized": round(raw / s_ceiling, 3) if s_ceiling else None,
             }
         return out
 

@@ -209,13 +209,35 @@ def run_job(spark: SparkSession, documents_path: str, media_pages_path: str,
         # persist it so the Arrow stage runs once per wave, not per sink
         page_rows = outs["page_rows"].persist()
 
-        spans = ckpt.with_bucket(outs["spans"], cfg.n_buckets)
-        spans.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/spans")
-        red = ckpt.with_bucket(outs["redactions"], cfg.n_buckets)
-        red.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/redactions")
-        vals = ckpt.with_bucket(outs["values"], cfg.n_buckets)
-        vals.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/values")
-        page_rows.unpersist()
+        # the spans sink is JVM-only and independent of the Arrow extract
+        # stage: run it as a CONCURRENT job so it fills cores while the
+        # Arrow stage's JVM threads block on the Python workers (r5;
+        # redactions then values stay sequential — the first fills the
+        # page_rows cache the second reads)
+        import threading
+
+        spans_err: list[BaseException] = []
+
+        def _write_spans():
+            try:
+                ckpt.with_bucket(outs["spans"], cfg.n_buckets).write \
+                    .mode("overwrite").partitionBy("bucket") \
+                    .parquet(f"{out_dir}/spans")
+            except BaseException as e:   # re-raised on the main thread
+                spans_err.append(e)
+
+        spans_t = threading.Thread(target=_write_spans)
+        spans_t.start()
+        try:
+            red = ckpt.with_bucket(outs["redactions"], cfg.n_buckets)
+            red.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/redactions")
+            vals = ckpt.with_bucket(outs["values"], cfg.n_buckets)
+            vals.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/values")
+        finally:
+            spans_t.join()
+            page_rows.unpersist()
+        if spans_err:
+            raise spans_err[0]
 
         # per-bucket lineage metrics from the data just written (A8)
         m = {r["bucket"]: r for r in

@@ -23,6 +23,10 @@ def get_spark(app_name: str = "ocrr-spark", cores: int | None = None,
         b = b.master(f"local[{cores}]")
         if shuffle_partitions is None:
             shuffle_partitions = cores
+        # 4 scan-task waves per core instead of 1: a single oversized
+        # last-wave task was the measured straggler at wide parallelism
+        # (r5 attribution — max/median task skew 2.5-3.3 on 64-task scans)
+        b = b.config("spark.sql.files.minPartitionNum", str(4 * cores))
     confs = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

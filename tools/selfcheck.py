@@ -55,7 +55,12 @@ def main():
         i = argv.index("--sf-dir")
         SF_DIR = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # engine versions in the record: oracle portability is written for the
+    # pinned duckdb>=1.0,<2 range (pyproject), but a second-minor-version
+    # run (VERDICT r4 #5) needs the version each transcript ran against
+    import pyspark
     print(f"# selfcheck over {SF_DIR}")
+    print(f"# engines: duckdb {duckdb.__version__}, pyspark {pyspark.__version__}")
 
     spark = (
         SparkSession.builder.master("local[32]")
