@@ -55,6 +55,18 @@ def main():
         i = argv.index("--sf-dir")
         SF_DIR = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    driver_mem = "8g"
+    if "--driver-mem" in argv:   # sf1 duplicate-heavy joins need more heap
+        i = argv.index("--driver-mem")
+        driver_mem = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    stream_collect = "--stream-collect" in argv
+    if stream_collect:
+        # partition-at-a-time result fetch: duplicate-heavy scale steps
+        # return multi-GB candidate-pair tables that a monolithic
+        # collect() materializes whole in JVM heap (OOM at 48g); the
+        # iterator keeps one partition resident at a time
+        argv.remove("--stream-collect")
     # engine versions in the record: oracle portability is written for the
     # pinned duckdb>=1.0,<2 range (pyproject), but a second-minor-version
     # run (VERDICT r4 #5) needs the version each transcript ran against
@@ -65,7 +77,11 @@ def main():
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", driver_mem)
+        # the compare collects full result sets; duplicate-heavy scale
+        # steps (sf1's 10x replica structure) legitimately return
+        # GB-sized candidate-pair tables
+        .config("spark.driver.maxResultSize", "16g")
         .config("spark.sql.adaptive.enabled", "true")
         .appName("selfcheck")
         .getOrCreate()
@@ -104,7 +120,10 @@ def main():
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            if stream_collect:
+                rows = [tuple(r) for r in df.toLocalIterator()]
+            else:
+                rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
