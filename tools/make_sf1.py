@@ -25,7 +25,11 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-K = 10
+# replica count: 10 = the sf1 decade. The two pair-join giants
+# (prefix-Jaccard, SimHash bands) see pair counts grow ~K^2 under the
+# replica structure, so a smaller K gives them a tractable scale step
+# (K=3 ~ 9x pairs) when the K=10 output exceeds the verification window.
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 OFF = 10**9
 
 # id-like columns to offset per replica (everything else copied verbatim);
